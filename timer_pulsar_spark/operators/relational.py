@@ -1,0 +1,483 @@
+"""The relational read surface — every scan/filter/join/agg/sort/paginate
+operator the reference exposes, re-expressed as declarative DataFrame plans.
+
+Reference parity map (SURVEY.md §2, file:line into /root/reference):
+- scans + closure predicates  -> gotimer_web/dao/timer/timer.go:42-49,
+  dao/task/task.go:30-38; here plain ``read.parquet().filter``
+  (Catalyst pushes the predicate into the scan).
+- equality / IN / range / point / LIKE filters
+  -> dao/task/option.go:10-50, dao/timer/option.go:11-51.
+- hash-bucket predicate (timer_id % N == b)
+  -> gotimer_web/service/trigger/task.go:42-49.
+- semi-join + broadcast dimension lookup
+  -> gotimer_web/service/executor/timer.go:41-85.
+- COUNT with predicates -> dao/task/task.go:45-52.
+- ORDER BY + OFFSET/LIMIT pagination -> dao/task/option.go:52-69,
+  vo/base.go:34-47 (page default 1, size default 10).
+- client-side re-sort by id -> service/webserver/timer.go:169-171
+  (folded into a total ORDER BY here — distributed engines need a
+  total order for deterministic pages).
+
+Every function takes (spark, sf_dir) and returns a DataFrame; the paired
+DuckDB oracle SQL lives in ORACLES under the same key. Column names are
+aliased identically on both sides (driver hash-compares by sorted column
+name). Aggregated doubles are rounded on both sides so double summation
+order (which legitimately differs between engines) cannot flip the 1e-9
+canonical hash.
+
+Scale notes (100 TB design):
+- filters/projections are pushed to parquet (verified via
+  .explain: PushedFilters / ReadSchema) — see tests/test_plans.py.
+- dimension joins broadcast the small side explicitly; fact-fact joins
+  shuffle on the join key and rely on AQE for skew.
+- no operator collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+
+# ---------------------------------------------------------------------------
+# S1/S2 scans + P1-P5 filters
+# ---------------------------------------------------------------------------
+
+
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-scan] Projected, filtered scan (dao/task/task.go:30-38 analog).
+
+    Column pruning: only 3 of 11 lineitem columns are read; the range
+    predicate reaches the parquet reader (row-group skipping at scale).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1995-07-01")
+    ).select("l_orderkey", "l_extendedprice", "l_shipdate")
+
+
+def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-filter-eq] status = ? (dao/task/option.go:40-44)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-filter-in] status IN (...) (dao/task/option.go:46-50; the
+    reference filters tasks to Running/Successed/Failed,
+    service/webserver/task.go:31-35)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type").isin("purchase", "signup", "error")).select(
+        "event_id", "event_type", "user_id"
+    )
+
+
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-filter-range] half-open run_timer range (dao/task/option.go:28-38)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("ts") >= "2024-01-05 00:00:00") & (F.col("ts") < "2024-01-06 00:00:00")
+    ).select("event_id", "ts", "user_id", "event_type")
+
+
+def q_filter_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-filter-point] point lookup by key (dao/timer/option.go:11-15)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.filter(F.col("c_custkey") == 42).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-filter-like] name LIKE '%fuzzy%' (dao/timer/option.go:47-51)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(F.col("p_name").like("%blue%")).select("p_partkey", "p_name", "p_brand")
+
+
+def q_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-bucket] hash-bucket predicate: keep rows with
+    timer_id % maxBucket == bucket (gotimer_web/service/trigger/task.go:42-49).
+    The reference applies this *post-scan in Go*; here it is a pushable
+    column predicate — pmod keeps Go's non-negative semantics.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.pmod(F.col("user_id"), F.lit(10)) == 3).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8/P9 projections, JSON
+# ---------------------------------------------------------------------------
+
+
+def q_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-proj]+[Q-substr] po->vo projection/rename with the minute key
+    LEFT(run_timer,16) (dao/task/sql.go:3, vo/task.go:37-47)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id").alias("task_id"),
+        F.substring(F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), 1, 16).alias("minute"),
+        F.col("event_type").alias("kind"),
+    )
+
+
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-json] JSON extract (notify_http_param string <-> struct,
+    vo/timer.go:79-93)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+def q_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-string] composite-key codec: build "<id>_<unixms>" task keys and
+    parse them back (gotimer_web/common/utils/timer.go:12-23,
+    service/trigger/worker.go:52-67)."""
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        F.concat_ws("_", F.col("user_id"), F.unix_millis("ts")).alias("task_key")
+    )
+    parts = F.split(F.col("task_key"), "_")
+    return keyed.select(
+        "task_key",
+        parts.getItem(0).cast("long").alias("k_id"),
+        parts.getItem(1).cast("long").alias("k_unix_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1-J3 joins
+# ---------------------------------------------------------------------------
+
+
+def q_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-join] tasks-in-window ⨝ enabled timer dimension
+    (getTimersByTime, gotimer_web/service/executor/timer.go:70-85).
+
+    The reference does: distinct timer_ids -> WHERE id IN (...) -> hash
+    map lookup. Spark-first: inner join with an explicitly broadcast,
+    pre-filtered dimension — one scan, no driver round-trip, and the
+    build side ships to every executor exactly once.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def q_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-join] semi-join reduction: rows whose key appears in the dim
+    (the reference's distinct-IDs-then-IN pattern,
+    gotimer_web/service/executor/timer.go:41-54 + dao/timer/option.go:17-21).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return o.join(F.broadcast(big), o.o_custkey == big.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-anti] dup-check anti-join: drop rows already present in the
+    executed set (bloom + status probe,
+    gotimer_web/service/executor/woker.go:59-67). Expressed as a
+    broadcast left-anti join — Spark 3.3+ can also inject a runtime
+    bloom filter for exactly the reference's read-avoidance trick.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1-A6 aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-count] COUNT(*) with predicates — pagination totals
+    (dao/task/task.go:45-52)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50)
+    ).agg(F.count("*").alias("cnt"))
+
+
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-distinct] distinct timer IDs in a window (map-based dedup in the
+    reference, gotimer_web/service/executor/timer.go:41-54). Partial
+    aggregation makes this a map-side-combined shuffle, not a full sort.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("ts") >= "2024-01-02") & (F.col("ts") < "2024-01-09"))
+        .select("user_id")
+        .distinct()
+    )
+
+
+def q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-quantile] delay quantiles {.5,.9,.99} per group (Prometheus
+    summary, gotimer_web/pkg/promethus/reporter.go:74-83). Exact
+    interpolated percentile on both engines (Spark `percentile`,
+    DuckDB `quantile_cont`), rounded to survive float canonicalization.
+    At 100 TB one would flip to approx_percentile (t-digest) — same call
+    shape; tested separately in tests/test_relational.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1-O4 sorts / limits / pagination
+# ---------------------------------------------------------------------------
+
+
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-sort]+top-k: ORDER BY run_timer DESC limit N
+    (dao/task/option.go:52-62). Spark executes limit+sort as TakeOrdered
+    (per-partition top-N then merge) — no global sort at scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+def q_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-paginate] OFFSET/LIMIT page (page=3, size=10 over the dim table;
+    dao/task/option.go:65-69, defaults vo/base.go:34-47). Total order on
+    the primary key — the reference re-sorts pages by id client-side
+    (service/webserver/timer.go:169-171); a distributed engine needs the
+    total order stated up front for deterministic pages.
+    """
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .offset(20)
+        .limit(10)
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer segment — the row_number() form that
+    distributed pagination takes (SURVEY.md §2.5)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_mktsegment", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship analytical queries (bench headliners)
+# ---------------------------------------------------------------------------
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary — the engine's flagship batch aggregation:
+    2 group cols, 8 aggregates, fully map-side-combinable (partial+final
+    hash agg; whole-stage codegen end to end)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority — broadcast dim (customer) + shuffled
+    fact-fact join (orders⨝lineitem) + top-10; the canonical
+    join-then-agg shape for the bench."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (same aliases, same rounding)
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    "q_scan": """
+        SELECT l_orderkey, l_extendedprice, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1995-07-01'
+    """,
+    "q_filter_eq": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "q_filter_in": """
+        SELECT event_id, event_type, user_id FROM events
+        WHERE event_type IN ('purchase', 'signup', 'error')
+    """,
+    "q_filter_range": """
+        SELECT event_id, ts, user_id, event_type FROM events
+        WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-06 00:00:00'
+    """,
+    "q_filter_point": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer WHERE c_custkey = 42
+    """,
+    "q_filter_like": """
+        SELECT p_partkey, p_name, p_brand FROM part WHERE p_name LIKE '%blue%'
+    """,
+    "q_bucket": """
+        SELECT event_id, user_id, event_type FROM events WHERE user_id % 10 = 3
+    """,
+    "q_proj": """
+        SELECT event_id AS task_id,
+               substr(strftime(ts, '%Y-%m-%d %H:%M:%S'), 1, 16) AS minute,
+               event_type AS kind
+        FROM events
+    """,
+    "q_json": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
+    """,
+    "q_string": """
+        SELECT user_id || '_' || epoch_ms(ts) AS task_key,
+               CAST(string_split(user_id || '_' || epoch_ms(ts), '_')[1] AS BIGINT) AS k_id,
+               CAST(string_split(user_id || '_' || epoch_ms(ts), '_')[2] AS BIGINT) AS k_unix_ms
+        FROM events
+    """,
+    "q_join": """
+        SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY c_mktsegment
+    """,
+    "q_semi": """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE EXISTS (SELECT 1 FROM customer
+                      WHERE c_custkey = o_custkey AND c_acctbal > 5000)
+    """,
+    "q_anti": """
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+    """,
+    "q_count": """
+        SELECT count(*) AS cnt FROM events WHERE event_type = 'purchase' AND value > 50
+    """,
+    "q_distinct": """
+        SELECT DISTINCT user_id FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-09'
+    """,
+    "q_quantile": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """,
+    "q_sort": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "q_paginate": """
+        SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey LIMIT 10 OFFSET 20
+    """,
+    "q_topk_per_group": """
+        SELECT c_mktsegment, rn, o_orderkey, o_totalprice FROM (
+            SELECT c_mktsegment, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY c_mktsegment
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ) WHERE rn <= 3
+    """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+}
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if callable(fn) and (name.startswith("q_") or name.startswith("tpch_"))
+}

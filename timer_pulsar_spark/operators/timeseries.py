@@ -1,0 +1,186 @@
+"""Time-series operators — the heart of the reference system.
+
+The reference's execution index is a (1-minute window × hash bucket)
+partitioning of future tasks (Redis ZSET per slice,
+gotimer_web/dao/task/cache.go:47-50), scanned per-second
+(gotimer_trigger/service/trigger/worker.go:59-131) and aggregated
+per-minute for monitoring (dao/task/sql.go:3). Spark-first equivalents:
+
+- the minute key is `date_trunc`/`date_format` — partition-prunable when
+  tables are written partitionBy(minute_bucket);
+- the hash bucket is `pmod(key, N)` — a shuffle partitioning, not a
+  hand-managed Redis keyspace;
+- dynamic bucket scaling (+1 per 200 tasks/min, dao/task/cache.go:33-44)
+  is derivable as a column and subsumed at runtime by AQE.
+
+All aggregations here are partial+final hash aggregations (map-side
+combine), so the shuffle carries one row per (minute[, bucket]) — at
+100 TB the shuffle volume is bounded by the key cardinality, not the
+input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+def q_groupby_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-groupby-minute] THE reference aggregation (dao/task/sql.go:3):
+    SELECT LEFT(run_timer,16) minute, count(*) cnt FROM task
+    WHERE run_timer >= ? AND run_timer < ? GROUP BY LEFT(run_timer,16).
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08"))
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_trunc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-trunc] time truncation to hour buckets (GetStartHour,
+    gotimer_web/common/utils/time.go:13-25) + per-hour stats."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-derived] dynamic bucket count: buckets = 10 + floor(cnt/200)
+    per minute (gotimer_web/dao/task/cache.go:33-44) — the reference's
+    hand-rolled partition-scaling rule as a derived column."""
+    per_minute = q_groupby_minute(spark, sf_dir)
+    return per_minute.select(
+        "minute",
+        "cnt",
+        (F.lit(10) + F.floor(F.col("cnt") / 200)).cast("long").alias("buckets"),
+    )
+
+
+def q_window_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-bucket]+T6: the full slice partitioning — tumbling 1-minute
+    window × pmod hash bucket, i.e. the ZSET key "<minute>_<bucket>"
+    (gotimer_web/common/utils/timer.go:43-45, dao/task/cache.go:47-50)
+    with per-slice counts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute"),
+            F.pmod(F.col("user_id"), F.lit(10)).alias("bucket"),
+        )
+        .groupBy("minute", "bucket")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("slice_key", F.concat_ws("_", "minute", "bucket"))
+    )
+
+
+def q_dedup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-dedup] idempotent-materialization semantics: feed intentional
+    duplicate candidates and collapse on the unique key, keeping the
+    first-created row (UNIQUE (timer_id, run_timer), task.sql:14;
+    MySQL 1062 tolerance, pkg/mysql/mysql.go:54-57).
+
+    The duplicate feed is the events table unioned with itself shifted —
+    the min(event_id) per (user_id, minute) survives, exactly MERGE
+    WHEN NOT MATCHED semantics. Aggregate form (not dropDuplicates) so
+    the winner is deterministic for the oracle.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute")
+    )
+    dupes = e.unionAll(e)  # at-least-once delivery: every candidate twice
+    return dupes.groupBy("user_id", "minute").agg(F.min("event_id").alias("event_id"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization — gap > 30 min starts a new session per user.
+    Beyond the reference surface (it has no analytic windows) but a core
+    time-series operator for an events table at scale: one shuffle on
+    user_id, then lag + running sum inside each partition."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.lag(F.unix_millis("ts")).over(w)
+    gapped = e.withColumn(
+        "new_session",
+        F.when(
+            prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > 1_800_000), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    sessions = gapped.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_groupby_minute": """
+        SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, count(*) AS cnt
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        GROUP BY 1
+    """,
+    "q_trunc": """
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS cnt,
+               round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    "q_derived": """
+        SELECT minute, cnt, CAST(10 + cnt // 200 AS BIGINT) AS buckets FROM (
+            SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, count(*) AS cnt
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+            GROUP BY 1
+        )
+    """,
+    "q_window_bucket": """
+        SELECT minute, bucket, count(*) AS cnt, minute || '_' || bucket AS slice_key
+        FROM (
+            SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, user_id % 10 AS bucket
+            FROM events
+        )
+        GROUP BY minute, bucket
+    """,
+    "q_dedup_merge": """
+        SELECT user_id, minute, min(event_id) AS event_id FROM (
+            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M') AS minute FROM events
+            UNION ALL
+            SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M') AS minute FROM events
+        )
+        GROUP BY user_id, minute
+    """,
+    "q_sessionize": """
+        WITH gapped AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sess AS (
+            SELECT user_id, value,
+                   CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+            FROM gapped
+        )
+        SELECT user_id, session_seq, count(*) AS n_events,
+               round(sum(value), 4) AS session_value
+        FROM sess GROUP BY user_id, session_seq
+    """,
+}
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if callable(fn) and name.startswith("q_")
+}
