@@ -31,6 +31,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microseconds with integer division (ns epochs overflow double
     mantissa, so no float math) — the same precision DuckDB/pandas use,
     keeping oracle comparisons exact."""
+    # Runtime-set so the conversion works on ANY session (the driver's
+    # correctness gate supplies a vanilla SparkSession that never goes
+    # through session.get_spark()). Verified runtime-settable on 4.1.2.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     from pyspark.sql import functions as F
     from pyspark.sql import types as T

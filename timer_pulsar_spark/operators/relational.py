@@ -100,10 +100,11 @@ def q_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q-bucket] hash-bucket predicate: keep rows with
     timer_id % maxBucket == bucket (gotimer_web/service/trigger/task.go:42-49).
     The reference applies this *post-scan in Go*; here it is a pushable
-    column predicate — pmod keeps Go's non-negative semantics.
+    column predicate — `%` (sign-preserving) matches both Go's `%` and
+    the DuckDB oracle's `%`, so negative keys bucket identically.
     """
     e = load_table(spark, sf_dir, "events")
-    return e.filter(F.pmod(F.col("user_id"), F.lit(10)) == 3).select(
+    return e.filter(F.col("user_id") % 10 == 3).select(
         "event_id", "user_id", "event_type"
     )
 

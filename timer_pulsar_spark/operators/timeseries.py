@@ -71,7 +71,7 @@ def q_window_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute"),
-            F.pmod(F.col("user_id"), F.lit(10)).alias("bucket"),
+            (F.col("user_id") % 10).alias("bucket"),
         )
         .groupBy("minute", "bucket")
         .agg(F.count("*").alias("cnt"))
