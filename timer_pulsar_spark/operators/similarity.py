@@ -1,0 +1,173 @@
+"""Similarity search over the `embeddings` table (vec_id,
+embedding: array<float>, label).
+
+Two paths, mirroring how a production vector pipeline is layered:
+
+- `q_ann_topk` — brute-force cosine top-k: the correctness baseline,
+  all arithmetic in JVM higher-order functions (zip_with/aggregate in
+  double), DuckDB-oracle-checked. The query side is a tiny broadcast
+  dimension; the corpus side streams — so the plan is a broadcast
+  nested-loop over corpus partitions + per-query TakeOrdered, which
+  scales linearly in corpus size (never corpus x corpus).
+- `q_ann_lsh` — random-hyperplane (sign) LSH: 16-bit signatures from
+  fixed seeded hyperplanes, candidates restricted to same-bucket
+  vectors (multi-probe via 4 bands of 4 bits), exact cosine re-rank of
+  candidates. This is the 100 TB path: bucket sizes bound the join.
+  Engine-independent arithmetic but the bucket restriction makes
+  results recall-bounded, not exact → rows-only gate; recall vs
+  brute-force is asserted in tests/test_similarity.py.
+
+No Python UDFs; at real scale the same plans run unchanged, with the
+cosine verify optionally swapped for a mapInPandas numpy-matmul kernel
+(Arrow-batched) if profiling shows the JVM lambda is the bottleneck.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .dedup import cosine_sim
+
+TOP_K = 5
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+
+# --- deterministic hyperplanes for sign-LSH --------------------------------
+# 16 hyperplanes x 64 dims from a fixed-seed LCG mapped to [-1, 1).
+_DIM = 64
+_N_PLANES = 16
+_LSH_BANDS = 4
+_BITS_PER_BAND = _N_PLANES // _LSH_BANDS
+
+
+def _hyperplanes() -> list[list[float]]:
+    seed = 20240813
+    planes = []
+    for _ in range(_N_PLANES):
+        row = []
+        for _ in range(_DIM):
+            seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((seed >> 11) / float(1 << 52) - 1.0)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplanes()
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for each query vector (vec_id < 5):
+    broadcast the queries, score every corpus vector, keep the top 5 per
+    query via row_number. Ties broken on (rounded cosine, neighbor_id)
+    so ranking is engine-stable."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_sim(F.col("q_emb"), F.col("c_emb")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def signature_bits(emb: Column) -> Column:
+    """Sign-LSH signature: one bit per hyperplane (1 iff dot >= 0),
+    packed into a long. Hyperplanes ship as literal arrays — evaluated
+    entirely in whole-stage codegen."""
+    demb = F.transform(emb, lambda x: x.cast("double"))
+    bits = []
+    for i, plane in enumerate(_PLANES):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(demb, plane_col, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: queries and corpus get 16-bit sign signatures;
+    candidates are corpus vectors sharing any 4-bit band with the query
+    (multi-probe), re-ranked by exact cosine. Same output shape as
+    q_ann_topk; recall measured in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select("vec_id", "embedding", signature_bits(F.col("embedding")).alias("sig"))
+
+    def banded(df: DataFrame, id_alias: str, emb_alias: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.col("embedding").alias(emb_alias),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_id"),
+                            F.shiftright(F.col("sig"), i * _BITS_PER_BAND)
+                            .bitwiseAND(F.lit((1 << _BITS_PER_BAND) - 1))
+                            .alias("band_val"),
+                        )
+                        for i in range(_LSH_BANDS)
+                    ]
+                )
+            ).alias("b"),
+        ).select(id_alias, emb_alias, "b.band_id", "b.band_val")
+
+    queries = banded(sigs.filter(F.col("vec_id") < N_QUERIES), "query_id", "q_emb")
+    corpus = banded(sigs, "neighbor_id", "c_emb")
+    cand = (
+        queries.join(corpus, ["band_id", "band_val"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "q_emb", "neighbor_id", "c_emb")
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", F.round(cosine_sim(F.col("q_emb"), F.col("c_emb")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+_COS = (
+    "round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)"
+)
+
+ORACLES: dict[str, str] = {
+    "q_ann_topk": f"""
+        SELECT query_id, neighbor_id, cosine, rnk FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   {_COS} AS cosine,
+                   row_number() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_COS} DESC, c.vec_id) AS rnk
+            FROM embeddings q
+            JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+        ) WHERE rnk <= {TOP_K}
+    """,
+    # q_ann_lsh: recall-bounded by design → no SQL oracle (rows-only);
+    # tests/test_similarity.py asserts recall >= 0.6 vs q_ann_topk.
+}
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if callable(fn) and name.startswith("q_")
+}
