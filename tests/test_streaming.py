@@ -1,0 +1,90 @@
+"""Streaming pipeline tests: exactly-once-effective status after
+injected duplicate and late input, fire-time enabled check, and replay
+across restarts from the same checkpoint."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+BASE = datetime(2024, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture()
+def timers(spark):
+    from timer_pulsar_spark.schemas import TIMER_ENABLED, TIMER_UNABLED
+
+    rows = [
+        (i, "app", f"t{i}", TIMER_ENABLED if i != 5 else TIMER_UNABLED, "* * * * *",
+         {"method": "POST", "url": "http://mock", "header": {}, "body": ""})
+        for i in range(1, 6)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, app string, name string, status int, cron string, "
+        "notify_http_param struct<method:string,url:string,header:map<string,string>,body:string>",
+    )
+
+
+def _write_tasks(spark, path, entries, mode="append"):
+    df = spark.createDataFrame(entries, "timer_id long, run_timer timestamp, status int")
+    df.write.mode(mode).parquet(path)
+
+
+def test_pipeline_exactly_once_effective(spark, timers, tmp_path):
+    from timer_pulsar_spark.schemas import TASK_SUCCESSED
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline_blocking
+
+    tasks_dir = str(tmp_path / "tasks")
+    status_path = str(tmp_path / "status")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: timers 1-5, two instants each, with in-batch duplicates
+    batch1 = []
+    for tid in range(1, 6):
+        for k in range(2):
+            row = (tid, BASE + timedelta(minutes=k), 0)
+            batch1 += [row, row]  # duplicate every delivery
+    _write_tasks(spark, tasks_dir, batch1)
+
+    run_pipeline_blocking(spark, tasks_dir, timers, status_path, ckpt)
+
+    out = spark.read.parquet(status_path)
+    # timer 5 is disabled -> never fired (T16)
+    assert out.filter("timer_id = 5").count() == 0
+    # one row per (enabled timer, instant), all Successed, mock output
+    assert out.count() == 4 * 2
+    assert out.groupBy("timer_id", "run_timer").count().filter("count > 1").count() == 0
+    assert out.filter(F.col("status") != TASK_SUCCESSED).count() == 0
+    assert out.filter(~F.col("output").contains("hello world")).count() == 0
+
+    # batch 2: replay of old keys (late duplicates) + genuinely new rows
+    batch2 = [(1, BASE, 0), (2, BASE + timedelta(minutes=1), 0)]  # replays
+    batch2 += [(tid, BASE + timedelta(minutes=5), 0) for tid in (1, 2)]  # new
+    _write_tasks(spark, tasks_dir, batch2)
+
+    run_pipeline_blocking(spark, tasks_dir, timers, status_path, ckpt)
+    out2 = spark.read.parquet(status_path)
+    assert out2.count() == 8 + 2  # only the 2 new keys were added
+    assert out2.groupBy("timer_id", "run_timer").count().filter("count > 1").count() == 0
+
+
+def test_registered_stream_query(spark):
+    """The registry's hermetic pipeline query: one Successed row per
+    (enabled timer, trigger), duplicates collapsed."""
+    import __spark_entry__ as entrymod
+    from timer_pulsar_spark.schemas import TASK_SUCCESSED
+
+    from .conftest import SF_DIR
+
+    out = entrymod.queries()["q_stream_execute"](spark, SF_DIR)
+    pdf = out.toPandas()
+    assert (pdf["status"] == TASK_SUCCESSED).all()
+    assert (pdf["timer_id"] % 2 == 0).all()  # odd timers disabled
+    assert not pdf.duplicated(["timer_id", "run_timer"]).any()
+    assert len(pdf) > 0

@@ -22,7 +22,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     mods = [relational, timeseries]
-    for extra in ("dedup", "similarity", "textops", "timerdomain", "multimodal"):
+    for extra in ("dedup", "similarity", "textops", "timerdomain", "multimodal", "streamops"):
         try:
             mods.append(__import__(f"timer_pulsar_spark.operators.{extra}", fromlist=[extra]))
         except ImportError:

@@ -1,0 +1,112 @@
+"""The HTTP callback executor (S12/T13).
+
+Reference parity (file:line into /root/reference):
+- execute() -> gotimer_web/service/executor/woker.go:88-107: resolve the
+  timer's NotifyHTTPParam, uppercase the method (woker.go:94), fire the
+  call, JSON response becomes `output`.
+- xhttp client -> gotimer_web/pkg/xhttp/client.go:15-18,35-80: 5 s
+  timeout, 4 MB response cap.
+- post-process -> woker.go:110-136: status Successed/Failed, cost_time =
+  actual - scheduled in ms, delay reported to metrics.
+
+Delivery contract: **at-least-once callback, effectively-once status**
+(SURVEY §7.5 risk 3) — the reference sets its bloom-filter dedup bit
+*after* executing (woker.go:112), so a crash between call and write-back
+can re-fire the callback; the status table stays exactly-once because
+the write-back is an idempotent MERGE on (timer_id, run_timer). This
+module preserves exactly that: the transport may be invoked twice for a
+replayed batch, the MERGE never double-counts.
+
+The transport is injectable: `urllib_transport` is the real network
+path; `mock_transport` is the deterministic stand-in mirroring the
+reference's own mock endpoint (app/webserver/app.go:87-95 returns
+{"word":"hello world!"}) so tests and the driver gate run hermetically.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+HTTP_TIMEOUT_SECONDS = 5  # xhttp/client.go:15
+MAX_RESPONSE_BYTES = 4 * 1024 * 1024  # client.go:17 (4 MB cap)
+
+Transport = Callable[[str, str, dict, str], tuple[bool, str]]
+
+
+def urllib_transport(method: str, url: str, headers: dict, body: str) -> tuple[bool, str]:
+    """Real HTTP transport (stdlib only): 5 s timeout, 4 MB read cap."""
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=body.encode() if body else None, method=(method or "GET").upper()
+    )
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        with urllib.request.urlopen(req, timeout=HTTP_TIMEOUT_SECONDS) as resp:
+            payload = resp.read(MAX_RESPONSE_BYTES)
+            return 200 <= resp.status < 300, payload.decode(errors="replace")
+    except Exception as exc:  # network failure -> Failed status, not a crash
+        return False, json.dumps({"error": str(exc)})
+
+
+def mock_transport(method: str, url: str, headers: dict, body: str) -> tuple[bool, str]:
+    """Deterministic mock mirroring the reference's /api/mock/v1/mock."""
+    return True, json.dumps({"word": "hello world!"})
+
+
+EXEC_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("timer_id", T.LongType(), False),
+        T.StructField("run_timer", T.TimestampType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("output", T.StringType(), True),
+        T.StructField("cost_time", T.IntegerType(), True),
+    ]
+)
+
+
+def execute_batch(joined: DataFrame, transport: Transport) -> DataFrame:
+    """Fire the callback for each (task x notify-param) row,
+    partition-parallel via mapInPandas (one Python worker per partition,
+    Arrow-batched), returning the status write-back rows
+    (woker.go:110-131). Input columns: timer_id, run_timer, method, url,
+    header (map), body."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..schemas import TASK_FAILED, TASK_SUCCESSED
+
+        for pdf in batches:
+            statuses, outputs, costs = [], [], []
+            for _, row in pdf.iterrows():
+                t0 = time.monotonic()
+                ok, output = transport(
+                    (row.get("method") or "GET").upper(),
+                    row.get("url") or "",
+                    row.get("header") or {},
+                    row.get("body") or "",
+                )
+                statuses.append(TASK_SUCCESSED if ok else TASK_FAILED)
+                outputs.append(output[: 256])  # output varchar(256), task.sql:6
+                costs.append(int((time.monotonic() - t0) * 1000))
+            yield pd.DataFrame(
+                {
+                    "timer_id": pdf["timer_id"],
+                    "run_timer": pdf["run_timer"],
+                    "status": statuses,
+                    "output": outputs,
+                    "cost_time": costs,
+                }
+            )
+
+    cols = ["timer_id", "run_timer", "method", "url", "header", "body"]
+    present = [c for c in cols if c in joined.columns]
+    return joined.select(*present).mapInPandas(kernel, schema=EXEC_RESULT_SCHEMA)

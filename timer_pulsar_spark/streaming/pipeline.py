@@ -1,0 +1,121 @@
+"""The standing execution pipeline as ONE Structured Streaming query
+(SURVEY.md §3.2): due tasks stream in, get deduped within the watermark,
+joined to the still-enabled timer dimension, executed (HTTP callback),
+and their status MERGEd back — replacing the reference's four
+microservices (scheduler -> Pulsar -> trigger -> Pulsar -> executor).
+
+Reference parity (file:line into /root/reference):
+- T7 micro-batch loop: gotimer_trigger/service/trigger/worker.go:59-131
+  runs 1-second sub-batches inside a minute slice; here that is the
+  engine's own trigger — `processingTime='1 second'` in production,
+  `availableNow` in tests (drains all pending input then stops).
+- T8 late/missed replay: gotimer_web/service/scheduler/worker.go:110-123
+  re-attempts now-1min; here `withWatermark('run_timer', '1 minute')` —
+  rows older than the watermark fall out of dedup state and are instead
+  caught by the idempotent MERGE (layered exactly like the reference's
+  bloom-then-DB check).
+- T12 idempotent dedup: woker.go:53-68 bloom + unique-key probe; here
+  `dropDuplicatesWithinWatermark(['timer_id','run_timer'])` (state-store
+  dedup) + MERGE on the same unique key (task.sql:14) as the durable
+  second layer.
+- T16 delayed visibility: trigger/task.go:31-51 — a task fires only if
+  its timer is still Enabled at fire time: the per-batch broadcast join
+  against the *current* enabled dimension snapshot.
+- T13 execute + write-back: executor woker.go:71-136 == notify.execute_batch
+  -> store.merge_table(update_matched=True).
+- S10/S11 Pulsar topics: the two hops disappear — Spark's checkpoint is
+  the ack (consume-after-complete, gotimer_trigger/main.go:117-123); a
+  real broker plugs in by swapping the file source for a kafka/pulsar
+  `readStream` with the same schema (SURVEY §7.5 risk 5).
+
+Scale notes: dedup state is hash-partitioned on the dedup key across
+executors; the timer dimension is broadcast (bounded: distinct enabled
+timers); the only other shuffle is the MERGE key shuffle. Watermark
+bounds state size: 1 minute of task keys, ~700 keys at the reference's
+1e6/day design point — trivially small per executor even at 1000x.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TIMER_ENABLED
+from ..store import merge_table
+from .notify import Transport, execute_batch, mock_transport
+
+# schema of the due-task stream (fan-out output + app tag)
+TASK_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("timer_id", T.LongType(), False),
+        T.StructField("run_timer", T.TimestampType(), False),
+        T.StructField("status", T.IntegerType(), True),
+    ]
+)
+
+
+def timer_dim(spark: SparkSession, timers: DataFrame) -> DataFrame:
+    """Enabled-timer dimension with flattened notify params (the
+    executor's 2-min-ahead cache, service/executor/timer.go:87-114 —
+    subsumed by a broadcast join against the current snapshot)."""
+    return timers.filter(F.col("status") == TIMER_ENABLED).select(
+        F.col("id").alias("timer_id"),
+        F.col("notify_http_param.method").alias("method"),
+        F.col("notify_http_param.url").alias("url"),
+        F.col("notify_http_param.header").alias("header"),
+        F.col("notify_http_param.body").alias("body"),
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    tasks_stream_dir: str,
+    timers: DataFrame,
+    status_path: str,
+    checkpoint_dir: str,
+    *,
+    transport: Transport = mock_transport,
+    available_now: bool = True,
+    processing_time: str = "1 second",
+):
+    """Start the pipeline; with available_now=True it drains pending
+    input and stops (the test/driver mode). Returns the StreamingQuery.
+    """
+    dim = timer_dim(spark, timers)
+
+    stream = (
+        spark.readStream.schema(TASK_STREAM_SCHEMA)
+        .parquet(tasks_stream_dir)
+        .withWatermark("run_timer", "1 minute")
+        .dropDuplicatesWithinWatermark(["timer_id", "run_timer"])
+    )
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # T16: only fire tasks whose timer is still enabled *now*
+        due = batch_df.join(F.broadcast(dim), "timer_id", "inner")
+        executed = execute_batch(due, transport)
+        # T12 second layer + S9: effectively-once status, incoming wins
+        merge_table(
+            spark, status_path, executed, ["timer_id", "run_timer"], update_matched=True
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def run_pipeline_blocking(*args, timeout_sec: int = 120, **kwargs) -> None:
+    q = run_pipeline(*args, available_now=True, **kwargs)
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        if q.isActive:
+            q.stop()
