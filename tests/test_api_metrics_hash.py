@@ -1,0 +1,163 @@
+"""Tests for the timer API lifecycle (P7 guards, enable fan-out),
+metrics observation, and reference hash parity."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# --- hashing parity --------------------------------------------------------
+
+
+def test_murmur3_32_test_vectors():
+    """Public MurmurHash3 x86_32 vectors (seed 0)."""
+    from timer_pulsar_spark.functions.hashing import murmur3_32
+
+    assert murmur3_32(b"") == 0
+    assert murmur3_32(b"hello") == 0x248BFA47
+    assert murmur3_32(b"hello, world") == 0x149BBB7F
+    assert murmur3_32(b"The quick brown fox jumps over the lazy dog") == 0x2E4FF723
+
+
+def test_sha1_uint64_matches_go_construction():
+    """Replicates sha1.go:17-24 by hand: base32-hex digest parsed base 32."""
+    import base64
+    import hashlib
+
+    from timer_pulsar_spark.functions.hashing import sha1_uint64
+
+    for s in ("", "abc", "42_1704067200000"):
+        digest = hashlib.sha1(s.encode()).digest()
+        expect = int(base64.b32hexencode(digest).decode().lower(), 32) & ((1 << 64) - 1)
+        assert sha1_uint64(s) == expect
+
+
+def test_bloom_positions_stable():
+    from timer_pulsar_spark.functions.hashing import bloom_positions
+
+    p1 = bloom_positions("7_1704067200000")
+    assert p1 == bloom_positions("7_1704067200000")
+    assert all(0 <= p < (1 << 32) for p in p1)
+
+
+def test_q_hash_bloom_udfs_match_python(spark):
+    from .conftest import SF_DIR
+    import __spark_entry__ as entrymod
+    from timer_pulsar_spark.functions.hashing import murmur3_32, sha1_uint64
+
+    pdf = entrymod.queries()["q_hash_bloom"](spark, SF_DIR).limit(20).toPandas()
+    for _, row in pdf.iterrows():
+        assert row["h_murmur3"] == murmur3_32(row["task_key"].encode())
+        expect_sha = sha1_uint64(row["task_key"])
+        got = row["h_sha1_64"] % (1 << 64)  # signed view -> uint64
+        assert got == expect_sha
+        assert row["bloom_bit1"] == row["h_murmur3"] % (1 << 32)
+        assert row["bloom_bit2"] == expect_sha % (1 << 32)
+
+
+# --- metrics ---------------------------------------------------------------
+
+
+def test_observe_exec_metrics(spark):
+    from timer_pulsar_spark.metrics import observe_exec_metrics
+
+    df = spark.createDataFrame(
+        [(1, 2, 10), (2, 2, 30), (3, 3, 20)], "timer_id long, status int, cost_time int"
+    )
+    observed, obs = observe_exec_metrics(df)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["exec_total"] == 3
+    assert got["exec_success"] == 2
+    assert got["exec_failed"] == 1
+    assert got["cost_ms_max"] == 30
+
+
+def test_delay_quantiles_shape(spark):
+    from timer_pulsar_spark.metrics import DELAY_QUANTILES, delay_quantiles
+
+    df = spark.range(1000).select((F.col("id") % 997).alias("delay_ms"))
+    row = delay_quantiles(df).collect()[0]
+    assert len(row["delay_quantiles"]) == len(DELAY_QUANTILES)
+    assert row["n"] == 1000
+    qs = row["delay_quantiles"]
+    assert qs == sorted(qs)  # monotone quantiles
+
+
+# --- timer API -------------------------------------------------------------
+
+NOW = datetime(2024, 1, 1, 0, 30, 0)
+NOTIFY = {"method": "POST", "url": "http://mock", "header": {}, "body": ""}
+
+
+@pytest.fixture()
+def svc(spark, tmp_path):
+    from timer_pulsar_spark.api import TimerService
+
+    return TimerService(spark, str(tmp_path))
+
+
+def test_create_validates(svc):
+    with pytest.raises(ValueError, match="invalid cron"):
+        svc.create_timer(1, "app", "bad", "*/0 * * * *", NOTIFY, NOW)
+    with pytest.raises(ValueError, match="url"):
+        svc.create_timer(1, "app", "bad", "*/5 * * * *", {"method": "POST"}, NOW)
+
+
+def test_create_is_idempotent_on_app_name(svc):
+    svc.create_timer(1, "app", "t1", "*/5 * * * *", NOTIFY, NOW)
+    svc.create_timer(99, "app", "t1", "*/1 * * * *", NOTIFY, NOW)  # same (app,name)
+    assert svc.timers().count() == 1
+    assert svc.get_timer(1) is not None  # original row won
+
+
+def test_enable_guard_and_fanout(svc):
+    from timer_pulsar_spark.schemas import TIMER_ENABLED
+
+    svc.create_timer(1, "app", "t1", "*/15 * * * *", NOTIFY, NOW)
+    n = svc.enable_timer(1, NOW)
+    # window [00:30, 02:00): triggers 00:45, 01:00, 01:15, 01:30, 01:45
+    # + the boundary trigger 02:00 (NextsBetween quirk) = 6
+    assert n == 6
+    assert svc.get_timer(1)["status"] == TIMER_ENABLED
+    assert svc.tasks().count() == 6
+    # P7: enabling an already-enabled timer is rejected
+    with pytest.raises(ValueError, match="not in Unabled"):
+        svc.enable_timer(1, NOW)
+    # re-running the fan-out via unable+enable stays idempotent
+    svc.unable_timer(1, NOW)
+    svc.enable_timer(1, NOW)
+    assert svc.tasks().count() == 6
+
+
+def test_unable_guard(svc):
+    svc.create_timer(1, "app", "t1", "*/15 * * * *", NOTIFY, NOW)
+    with pytest.raises(ValueError, match="illegal status transition"):
+        svc.unable_timer(1, NOW)  # not enabled yet
+
+
+def test_list_pagination_and_task_visibility(svc, spark):
+    from timer_pulsar_spark.schemas import TASK_NOT_RUNNED, TASK_SUCCESSED
+    from timer_pulsar_spark.store import merge_table
+
+    for i in range(1, 26):
+        svc.create_timer(i, "app", f"t{i}", "*/5 * * * *", NOTIFY, NOW)
+    page1 = svc.list_timers("app", page=1, size=10).collect()
+    assert [r["id"] for r in page1] == list(range(25, 15, -1))  # id desc
+    page3 = svc.list_timers("app", page=3, size=10).collect()
+    assert [r["id"] for r in page3] == [5, 4, 3, 2, 1]
+
+    # task read path hides NotRunned rows (task.go:31-35)
+    rows = [(1, datetime(2024, 1, 1, 0, m), TASK_SUCCESSED if m % 2 else TASK_NOT_RUNNED)
+            for m in range(10)]
+    df = spark.createDataFrame(rows, "timer_id long, run_timer timestamp, status int")
+    merge_table(spark, svc.tasks_path, df, ["timer_id", "run_timer"])
+    visible = svc.list_tasks(1, page=1, size=20).collect()
+    assert len(visible) == 5
+    assert all(r["status"] == TASK_SUCCESSED for r in visible)
+    times = [r["run_timer"] for r in visible]
+    assert times == sorted(times, reverse=True)

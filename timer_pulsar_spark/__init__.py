@@ -11,10 +11,15 @@ entire query surface Spark-first:
   as declarative DataFrame plans -> ``operators/relational.py``,
   ``operators/timeseries.py``
 - the timer domain (cron expansion, task fan-out, idempotent
-  materialization, status state machine) -> ``functions/cron.py``,
-  ``materialize.py``, ``api.py``
+  materialization, status state machine, timer CRUD) ->
+  ``functions/cron.py``, ``operators/timerdomain.py``, ``api.py``
+- the write path (batch append, slice-partitioned task store, parquet
+  MERGE upsert/update) -> ``store.py``
 - the execution pipeline (scheduler/trigger/executor loop) as Structured
-  Streaming micro-batches -> ``streaming/``
+  Streaming micro-batches with an injectable HTTP executor ->
+  ``streaming/pipeline.py``, ``streaming/notify.py``
+- metrics (observe()-based counters/gauges, delay-quantile sketches) ->
+  ``metrics.py``; reference bloom-hash parity -> ``functions/hashing.py``
 - large-scale training-data-pipeline extensions (dedup, similarity
   search, text analysis, multimodal plumbing) -> ``operators/dedup.py``,
   ``operators/similarity.py``, ``operators/textops.py``,

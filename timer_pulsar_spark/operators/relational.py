@@ -250,6 +250,57 @@ def q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-quantile] scale variant: approx_percentile — a mergeable
+    sketch with bounded memory per group, the only quantile shape that
+    survives 100 TB (exact percentile buffers every value per group; a
+    hot event_type would OOM an executor). No SQL oracle: sketch error
+    is engine-specific; the driver records the rows-only check and the
+    exact twin q_quantile stays the correctness anchor."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("approx_percentile(value, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("approx_percentile(value, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("approx_percentile(value, 0.99)"), 2).alias("p99"),
+    )
+
+
+def q_hash_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-hash] digest parity over composite task keys ("<id>_<unixms>",
+    utils/timer.go:12): md5 + sha256, engine-independent hex."""
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat_ws("_", F.col("user_id"), F.unix_millis("ts"))
+    return e.select(
+        key.alias("task_key"),
+        F.md5(key).alias("h_md5"),
+        F.sha2(key, 256).alias("h_sha256"),
+    )
+
+
+def q_hash_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-hash] the reference bloom filter's exact two hashes
+    (pkg/hash/murmur3.go:14-16 seed-0 murmur3-32; pkg/hash/sha1.go:17-24
+    sha1-base32-bigint) and their k=2 bit positions
+    (pkg/bloom/fillter.go:10-15, m=2^32). Pure-Python reimplementations
+    as pandas UDFs — no SQL oracle (DuckDB has neither hash); parity is
+    pinned by test vectors in tests/test_hashing.py."""
+    from ..functions.hashing import murmur3_32_udf, sha1_uint64_udf
+
+    e = load_table(spark, sf_dir, "events")
+    key = F.concat_ws("_", F.col("user_id"), F.unix_millis("ts"))
+    m = F.lit(1 << 32).cast("long")
+    keyed = e.select(key.alias("task_key")).withColumn(
+        "h_murmur3", murmur3_32_udf(F.col("task_key"))
+    ).withColumn("h_sha1_64", sha1_uint64_udf(F.col("task_key")))
+    return keyed.select(
+        "task_key",
+        "h_murmur3",
+        "h_sha1_64",
+        F.pmod(F.col("h_murmur3"), m).alias("bloom_bit1"),
+        F.pmod(F.col("h_sha1_64"), m).alias("bloom_bit2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # O1-O4 sorts / limits / pagination
 # ---------------------------------------------------------------------------
@@ -431,6 +482,12 @@ ORACLES: dict[str, str] = {
                round(quantile_cont(value, 0.9), 6) AS p90,
                round(quantile_cont(value, 0.99), 6) AS p99
         FROM events GROUP BY event_type
+    """,
+    "q_hash_digest": """
+        SELECT user_id || '_' || epoch_ms(ts) AS task_key,
+               md5(user_id || '_' || epoch_ms(ts)) AS h_md5,
+               sha256(user_id || '_' || epoch_ms(ts)) AS h_sha256
+        FROM events
     """,
     "q_sort": """
         SELECT o_orderkey, o_totalprice FROM orders

@@ -17,11 +17,12 @@ _MODULES = []
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
+    from . import metrics
     from .operators import relational, timeseries
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    mods = [relational, timeseries]
+    mods = [relational, timeseries, metrics]
     for extra in ("dedup", "similarity", "textops", "timerdomain", "multimodal", "streamops"):
         try:
             mods.append(__import__(f"timer_pulsar_spark.operators.{extra}", fromlist=[extra]))
