@@ -1,0 +1,94 @@
+"""Physical-plan quality gates: these assert the *shape* Catalyst picks,
+not just results — a correct answer from a bad plan fails here.
+
+Checks mirror the 100 TB design rules:
+- filters reach the parquet scan (PushedFilters), projections prune
+  (ReadSchema lists only needed columns);
+- dimension joins broadcast; no query falls back to cartesian;
+- aggregations are partial+final hash aggs (map-side combine);
+- top-k lowers to TakeOrdered, not a global sort;
+- hot paths stay inside WholeStageCodegen; no Python eval in JVM-only
+  queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from .conftest import SF_DIR
+
+
+def _plan(spark, name, *, executed: bool = False):
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()[name](spark, SF_DIR)
+    if executed:
+        # AQE shows the real physical operators only in the final plan,
+        # and only on the same QueryExecution the action ran on
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q_scan")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: only the 3 projected columns in ReadSchema
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_quantity" not in read_schema and "l_tax" not in read_schema
+
+
+def test_point_filter_pushdown(spark):
+    plan = _plan(spark, "q_filter_point")
+    assert "EqualTo(c_custkey,42)" in plan.replace(" ", "")
+
+
+def test_joins_broadcast_small_side(spark):
+    for name in ("q_join", "q_semi", "q_anti", "tpch_q3", "q_topk_per_group"):
+        plan = _plan(spark, name)
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_agg_is_partial_final_hash(spark):
+    for name in ("tpch_q1", "q_groupby_minute", "q_trunc"):
+        plan = _plan(spark, name)
+        assert "HashAggregate" in plan, name
+        assert "partial" in plan.lower(), f"{name}: no map-side combine"
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "q_sort")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_hot_paths(spark):
+    for name in ("tpch_q1", "q_textstats", "q_fingerprint"):
+        plan = _plan(spark, name, executed=True)
+        # codegen'd operators are starred "*(n) Op" in the plan string
+        assert "WholeStageCodegen" in plan or "*(" in plan, name
+
+
+def test_no_python_eval_in_jvm_queries(spark):
+    """Python appears ONLY where it must: cron + bloom-hash + kernel
+    UDFs. Every other registered query stays JVM-side."""
+    import __spark_entry__ as entrymod
+
+    python_ok = {
+        "q_fanout", "q_fanout_daily", "q_cron_valid", "q_cron_next",
+        "q_materialize", "q_hash_bloom", "q_multimodal_features",
+        "q_stream_execute",
+    }
+    for name in entrymod.queries():
+        if name in python_ok or name == "q_stream_execute":
+            continue
+        plan = _plan(spark, name)
+        assert "EvalPython" not in plan, f"{name} unexpectedly uses a Python UDF"
+
+
+def test_dedup_near_single_scan(spark):
+    """The near-dup pipeline must scan documents exactly once (the
+    in-group pair generation design)."""
+    plan = _plan(spark, "q_dedup_near")
+    assert plan.count("Scan parquet") == 1

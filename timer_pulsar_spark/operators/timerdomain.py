@@ -122,7 +122,58 @@ def q_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(prior, full, ["timer_id", "run_timer"])
 
 
+def q_cron_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 NextFromNow (parser.go:21-33) with a pinned 'now': the next
+    trigger of each every-k-minutes timer strictly after
+    2024-06-15 12:34:56 — the next minute > 34 divisible by k, or the
+    top of the next hour."""
+    from ..functions.cron import cron_next_after
+
+    timers = minute_timers(spark, sf_dir)
+    return timers.select(
+        "timer_id",
+        cron_next_after(
+            F.col("cron"), F.to_timestamp(F.lit("2024-06-15 12:34:56"))
+        ).alias("next_run"),
+    )
+
+
+def q_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 raw SQL scan (dao/task/task.go:55-59 + dao/task/sql.go:3):
+    the reference's one literal SQL statement — LEFT(run_timer,16)
+    minute-count — submitted through spark.sql() over registered views
+    instead of the DataFrame API."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT substring(date_format(ts, 'yyyy-MM-dd HH:mm:ss'), 1, 16) AS minute,
+               count(*) AS cnt
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-05'
+        GROUP BY substring(date_format(ts, 'yyyy-MM-dd HH:mm:ss'), 1, 16)
+        """
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_cron_next": """
+        SELECT n_nationkey AS timer_id,
+               CASE WHEN ((34 // (1 + n_nationkey % 10)) + 1) * (1 + n_nationkey % 10) <= 59
+                    THEN TIMESTAMP '2024-06-15 12:00:00'
+                         + (((34 // (1 + n_nationkey % 10)) + 1) * (1 + n_nationkey % 10))
+                           * INTERVAL 1 MINUTE
+                    ELSE TIMESTAMP '2024-06-15 13:00:00'
+               END AS next_run
+        FROM nation
+    """,
+    "q_sql": """
+        SELECT substr(strftime(ts, '%Y-%m-%d %H:%M:%S'), 1, 16) AS minute, count(*) AS cnt
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-05'
+        GROUP BY 1
+    """,
     "q_fanout": f"""
         SELECT n_nationkey AS timer_id,
                TIMESTAMP '{WINDOW_START}' + m * INTERVAL 1 MINUTE AS run_timer,
