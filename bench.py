@@ -42,6 +42,67 @@ def sf_from_dir(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def bench_pipeline(spark) -> dict:
+    """Streaming-pipeline replay throughput vs the reference design
+    point (1e6 tasks/day ~= 11.6 tasks/s, BASELINE.md): 1000 enabled
+    every-minute timers x a 1-hour window -> ~61k due tasks through
+    watermark + dedup + dim join + mock executor + status MERGE."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.schemas import TIMER_ENABLED
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline_blocking
+
+    n_timers = 1000
+    work = tempfile.mkdtemp(prefix="bench_pipeline_")
+    tasks_dir = os.path.join(work, "tasks")
+    status_path = os.path.join(work, "status")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        ids = spark.range(n_timers)
+        minutes = spark.range(61).select(F.col("id").alias("m"))
+        tasks = ids.crossJoin(minutes).select(
+            F.col("id").alias("timer_id"),
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.col("m") * F.expr("INTERVAL 1 MINUTE")
+            ).alias("run_timer"),
+            F.lit(0).alias("status"),
+        )
+        tasks.write.mode("overwrite").parquet(tasks_dir)
+        n_tasks = n_timers * 61
+
+        timers = ids.select(
+            F.col("id"),
+            F.lit("bench").alias("app"),
+            F.concat(F.lit("t"), F.col("id")).alias("name"),
+            F.lit(TIMER_ENABLED).alias("status"),
+            F.lit("* * * * *").alias("cron"),
+            F.struct(
+                F.lit("POST").alias("method"),
+                F.lit("http://mock").alias("url"),
+                F.create_map().cast("map<string,string>").alias("header"),
+                F.lit("").alias("body"),
+            ).alias("notify_http_param"),
+        )
+
+        t0 = time.perf_counter()
+        run_pipeline_blocking(spark, tasks_dir, timers, status_path, ckpt)
+        wall = time.perf_counter() - t0
+        executed = spark.read.parquet(status_path).count()
+        return {
+            "tasks": n_tasks,
+            "executed": executed,
+            "wall_sec": round(wall, 3),
+            "tasks_per_sec": round(executed / wall, 1),
+            "design_point_tasks_per_sec": 11.6,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -66,12 +127,16 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
+    pipeline = bench_pipeline(spark)
+    print(f"# pipeline: {pipeline}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     line = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "pipeline": pipeline,
         "sf": sf_from_dir(sf_dir),
     }
     print(json.dumps(line), flush=True)

@@ -86,16 +86,17 @@ def execute_batch(joined: DataFrame, transport: Transport) -> DataFrame:
 
         for pdf in batches:
             statuses, outputs, costs = [], [], []
-            for _, row in pdf.iterrows():
+            methods = pdf["method"] if "method" in pdf else [None] * len(pdf)
+            urls = pdf["url"] if "url" in pdf else [None] * len(pdf)
+            headers = pdf["header"] if "header" in pdf else [None] * len(pdf)
+            bodies = pdf["body"] if "body" in pdf else [None] * len(pdf)
+            for method, url, header, body in zip(methods, urls, headers, bodies):
                 t0 = time.monotonic()
                 ok, output = transport(
-                    (row.get("method") or "GET").upper(),
-                    row.get("url") or "",
-                    row.get("header") or {},
-                    row.get("body") or "",
+                    (method or "GET").upper(), url or "", header or {}, body or ""
                 )
                 statuses.append(TASK_SUCCESSED if ok else TASK_FAILED)
-                outputs.append(output[: 256])  # output varchar(256), task.sql:6
+                outputs.append(output[:256])  # output varchar(256), task.sql:6
                 costs.append(int((time.monotonic() - t0) * 1000))
             yield pd.DataFrame(
                 {
