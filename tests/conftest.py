@@ -13,7 +13,6 @@ import pandas as pd
 import pytest
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

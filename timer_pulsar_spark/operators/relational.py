@@ -135,6 +135,23 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-json] both JSON directions (vo/timer.go:79-93 read,
+    114-135 write): construct a JSON document from columns (to_json of
+    a struct) then extract the fields back — engine-independent because
+    the comparison is on the extracted values, not the serialized
+    formatting."""
+    e = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(F.col("user_id").alias("uid"), F.col("event_type").alias("et"))
+    )
+    return e.select(
+        "event_id",
+        F.get_json_object(doc, "$.uid").cast("long").alias("uid"),
+        F.get_json_object(doc, "$.et").alias("et"),
+    )
+
+
 def q_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q-string] composite-key codec: build "<id>_<unixms>" task keys and
     parse them back (gotimer_web/common/utils/timer.go:12-23,
@@ -446,6 +463,14 @@ ORACLES: dict[str, str] = {
     """,
     "q_json": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
+    """,
+    "q_json_roundtrip": """
+        SELECT event_id,
+               CAST(json_extract_string(json_object('uid', user_id, 'et', event_type),
+                                        '$.uid') AS BIGINT) AS uid,
+               json_extract_string(json_object('uid', user_id, 'et', event_type),
+                                   '$.et') AS et
+        FROM events
     """,
     "q_string": """
         SELECT user_id || '_' || epoch_ms(ts) AS task_key,
