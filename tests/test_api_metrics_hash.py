@@ -134,6 +134,30 @@ def test_enable_guard_and_fanout(svc):
     assert svc.tasks().count() == 6
 
 
+def test_migration_job(svc):
+    """T9: migrator expands all enabled timers into the NEXT hour
+    window; idempotent on re-run; disabled timers excluded."""
+    svc.create_timer(1, "app", "t1", "*/20 * * * *", NOTIFY, NOW)
+    svc.create_timer(2, "app", "t2", "*/30 * * * *", NOTIFY, NOW)
+    svc.enable_timer(1, NOW)  # NOW = 00:30 -> enable covers [00:30, 02:00)
+    n_after_enable = svc.tasks().count()
+
+    # migrator at NOW: window [01:00, 02:00) -> overlaps enable's range,
+    # so MERGE adds nothing new for timer 1; timer 2 stays disabled
+    assert svc.run_migration(NOW) > 0
+    assert svc.tasks().count() == n_after_enable
+    assert svc.tasks().filter("timer_id = 2").count() == 0
+
+    # migrator an hour later extends the horizon to [02:00, 03:00)
+    later = NOW.replace(hour=1)
+    added = svc.run_migration(later)
+    assert added > 0
+    assert svc.tasks().filter("run_timer >= '2024-01-01 02:00:01'").count() > 0
+    n_total = svc.tasks().count()
+    assert svc.run_migration(later) == added  # idempotent re-run
+    assert svc.tasks().count() == n_total
+
+
 def test_unable_guard(svc):
     svc.create_timer(1, "app", "t1", "*/15 * * * *", NOTIFY, NOW)
     with pytest.raises(ValueError, match="illegal status transition"):

@@ -36,6 +36,7 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .config import CONFIG
 from .functions.cron import is_valid
 from .schemas import (
     TASK_FAILED,
@@ -48,7 +49,7 @@ from .schemas import (
 )
 from .store import merge_table
 
-MIGRATE_STEP_MINUTES = 60  # conf/init.go:42-43
+MIGRATE_STEP_MINUTES = CONFIG.migrate_step_minutes  # conf/init.go:42-43
 
 
 def forward_two_step_end(now: datetime) -> datetime:
@@ -179,6 +180,34 @@ class TimerService:
         n = tasks.count()
         merge_table(self.spark, self.tasks_path, tasks, ["timer_id", "run_timer"])
         self._set_status(timer_id, TIMER_UNABLED, TIMER_ENABLED, now)
+        return n
+
+    def run_migration(self, now: datetime) -> int:
+        """T9: the periodic migrator (service/migrator/worker.go:54-76)
+        as one batch job — every Enabled timer, cron-expanded over the
+        next window [start-of-hour(now + step), start-of-hour(now +
+        2*step)), idempotently MERGEd into the tasks table. The
+        reference loops timers one by one with a sleep (worker.go:73);
+        here the whole fleet expands in one distributed fan-out.
+        Re-running for the same hour is a no-op (the migrator lock's
+        job, subsumed by MERGE). Returns rows in the window."""
+        from .operators.timerdomain import fan_out
+
+        step = timedelta(minutes=MIGRATE_STEP_MINUTES)
+        start = (now + step).replace(minute=0, second=0, microsecond=0)
+        end = (now + 2 * step).replace(minute=0, second=0, microsecond=0)
+        enabled = (
+            self.timers()
+            .filter(F.col("status") == TIMER_ENABLED)
+            .filter(F.col("deleted_at").isNull())
+            .select(F.col("id").alias("timer_id"), "cron")
+        )
+        tasks = fan_out(
+            enabled, start.strftime("%Y-%m-%d %H:%M:%S"), end.strftime("%Y-%m-%d %H:%M:%S")
+        )
+        n = tasks.count()
+        if n:
+            merge_table(self.spark, self.tasks_path, tasks, ["timer_id", "run_timer"])
         return n
 
     def unable_timer(self, timer_id: int, now: datetime) -> None:

@@ -42,7 +42,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DEFAULT_BUCKETS = 10  # BucketsNum, common/conf/init.go:54-55
+from .config import CONFIG
+
+DEFAULT_BUCKETS = CONFIG.buckets_num  # BucketsNum, common/conf/init.go:54-55
 
 
 def append_table(df: DataFrame, path: str) -> None:

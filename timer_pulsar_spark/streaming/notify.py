@@ -35,8 +35,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-HTTP_TIMEOUT_SECONDS = 5  # xhttp/client.go:15
-MAX_RESPONSE_BYTES = 4 * 1024 * 1024  # client.go:17 (4 MB cap)
+from ..config import CONFIG
+
+HTTP_TIMEOUT_SECONDS = CONFIG.http_timeout_seconds  # xhttp/client.go:15
+MAX_RESPONSE_BYTES = CONFIG.http_max_response_bytes  # client.go:17 (4 MB cap)
 
 Transport = Callable[[str, str, dict, str], tuple[bool, str]]
 

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..config import CONFIG
 from ..schemas import TIMER_ENABLED
 from ..store import merge_table
 from .notify import Transport, execute_batch, mock_transport
@@ -77,7 +78,7 @@ def run_pipeline(
     *,
     transport: Transport = mock_transport,
     available_now: bool = True,
-    processing_time: str = "1 second",
+    processing_time: str | None = None,
 ):
     """Start the pipeline; with available_now=True it drains pending
     input and stops (the test/driver mode). Returns the StreamingQuery.
@@ -87,7 +88,7 @@ def run_pipeline(
     stream = (
         spark.readStream.schema(TASK_STREAM_SCHEMA)
         .parquet(tasks_stream_dir)
-        .withWatermark("run_timer", "1 minute")
+        .withWatermark("run_timer", CONFIG.watermark_lateness)
         .dropDuplicatesWithinWatermark(["timer_id", "run_timer"])
     )
 
@@ -108,7 +109,11 @@ def run_pipeline(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime=processing_time)
+        # T7: the reference's 1-second sub-batch resolution
+        # (trigger.zrangeGapSeconds, conf/init.go:64-67)
+        writer = writer.trigger(
+            processingTime=processing_time or f"{CONFIG.trigger_gap_seconds} second"
+        )
     return writer.start()
 
 
