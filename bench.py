@@ -116,13 +116,16 @@ def main() -> None:
     # JVM/codegen warm-up so the first headliner isn't charged startup cost
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    present = [n for n in HEADLINERS if n in qs]
+    # untimed warm-up pass: page-cache the inputs and JIT the codegen
+    # shapes so the timed pass measures steady-state compute
+    for name in present:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
-    for name in HEADLINERS:
-        fn = qs.get(name)
-        if fn is None:
-            continue
+    for name in present:
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
+        df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)

@@ -41,6 +41,15 @@ def get_spark(app_name: str = "timer_pulsar_spark", *, shuffle_partitions: int |
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # The testdata ships ONE parquet file per table, so the default
+        # 128 MB split yields single-partition scans locally; smaller
+        # splits fan the scan across cores. A production lake has many
+        # files per table — keep the 128 MB default there (more tasks
+        # per byte is pure overhead at 100 TB); env-tunable either way.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
         # parquet side: row-group min/max + bloom on dedup keys help scans
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
