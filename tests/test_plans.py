@@ -78,7 +78,7 @@ def test_no_python_eval_in_jvm_queries(spark):
     python_ok = {
         "q_fanout", "q_fanout_daily", "q_cron_valid", "q_cron_next",
         "q_materialize", "q_hash_bloom", "q_multimodal_features",
-        "q_stream_execute",
+        "q_multimodal_frames", "q_stream_execute",
     }
     for name in entrymod.queries():
         if name in python_ok or name == "q_stream_execute":

@@ -63,6 +63,21 @@ def _perm_constants() -> list[tuple[int, int]]:
 _PERMS = _perm_constants()
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Widen a narrow scan before CPU-heavy per-row work. The testdata
+    is one small parquet file per table (one scan partition), which
+    would single-thread the shingle/signature computation; a 100 TB
+    corpus already arrives in thousands of splits, where this is a
+    no-op (guarded by partition count) — never an unconditional
+    repartition, which would shuffle the whole corpus."""
+    target = spark.sparkContext.defaultParallelism
+    # inputFiles() is pure metadata (no job, unlike df.rdd which builds
+    # and plans an RDD lineage per call)
+    if len(df.inputFiles()) < max(2, target // 4):
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Word n-gram shingle sets.
 
@@ -173,7 +188,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle, then by pair. Hot shingles would skew the pair expansion at
     100 TB; the standard mitigation (df-cap filter after the first
     groupBy) composes here as one extra filter."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     shingled = with_shingles(d).select("doc_id", "shingles")
     postings = shingled.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
@@ -220,7 +235,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows the s-curve midpoint is (1/16)^(1/4) ~= 0.5, so 0.8-similar
     pairs are caught with P(miss) ~ 1e-18 — tests assert exact parity
     with q_dedup_near."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     shingled = with_shingles(d).select("doc_id", "shingles").filter(F.size("shingles") > 0)
     sig = shingled.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
     bands = sig.select(
@@ -297,7 +312,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     every doc contains nearly every word, so unigram SimHash collapses —
     shingles keep the signature discriminative (same feature space as
     the Jaccard/MinHash strategies)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     shingled = with_shingles(d)
     sigs = shingled.select("doc_id", simhash64("shingles").alias("sig"))
     chunks = sigs.select(

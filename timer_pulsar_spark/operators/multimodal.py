@@ -114,6 +114,61 @@ def byte_histogram_features(payload: bytes, n: int = N_FEATURES) -> list[float]:
     return [c / total for c in counts]
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Image resize — STUB (no codec libs in this container); the
+    Spark-side call site is `kernel` inside extract_features/
+    sample_frames, which is codec-agnostic."""
+    try:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).resize((width, height))
+        out = io.BytesIO()
+        img.save(out, format="PNG")
+        return out.getvalue()
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "image resize requires Pillow; plumbing (binary in/out, "
+            "typed metadata) is exercised via the frame-sample kernel"
+        ) from exc
+
+
+FRAME_BYTES = 256
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(mdf: DataFrame, frame_bytes: int = FRAME_BYTES) -> DataFrame:
+    """Frame sampling: the 1->N kernel shape (one media payload -> many
+    frame rows) as mapInPandas. The deterministic stand-in 'decodes' a
+    frame every `frame_bytes` bytes and emits its digest; a real video
+    path swaps the chunker for a codec keyframe iterator with the same
+    output schema. Output rows explode inside the Arrow batch — no
+    driver involvement, no shuffle."""
+    import hashlib
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for i in range(0, len(payload), frame_bytes):
+                    ids.append(doc_id)
+                    idxs.append(i // frame_bytes)
+                    digests.append(hashlib.md5(payload[i : i + frame_bytes]).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": digests})
+
+    return mdf.select("doc_id", "payload").mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
 def extract_features(mdf: DataFrame) -> DataFrame:
     """mapInPandas feature-extraction pipeline: Arrow batches of
     (doc_id, payload) -> fixed-width feature vectors. The kernel sees
@@ -132,6 +187,13 @@ def extract_features(mdf: DataFrame) -> DataFrame:
             )
 
     return mdf.select("doc_id", "payload").mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sample kernel over the multimodal frame: one row per
+    256-byte 'frame' with its digest. Oracle-able because the fake
+    payload is ASCII text (char positions == byte positions)."""
+    return sample_frames(media_frame(spark, sf_dir))
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -161,6 +223,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_multimodal_frames": """
+        SELECT doc_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               md5(substr(text, f * 256 + 1, 256)) AS frame_md5
+        FROM documents, generate_series(0, 100) s(f)
+        WHERE f * 256 < length(text)
+    """,
     "q_multimodal_meta": """
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,

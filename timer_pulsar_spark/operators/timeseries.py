@@ -123,7 +123,35 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for each purchase event, the most recent 'error'
+    event of the same user at or before it. Spark lacks a native as-of
+    join; the scalable composition is a single user-partitioned window
+    with the default RANGE frame (unbounded preceding .. current row,
+    which includes same-ts peers, so 'at or before' ties resolve
+    deterministically): one shuffle on user_id, no self-join, no
+    per-row subquery. The same plan shape serves any
+    latest-dimension-state-at-event-time lookup at 100 TB."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    last_error = F.max(F.when(F.col("event_type") == "error", F.col("ts"))).over(w)
+    return (
+        e.withColumn("last_error_ts", last_error)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_error_ts")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_asof": """
+        SELECT p.event_id, p.user_id, p.ts,
+               (SELECT max(e.ts) FROM events e
+                WHERE e.user_id = p.user_id AND e.event_type = 'error'
+                  AND e.ts <= p.ts) AS last_error_ts
+        FROM events p WHERE p.event_type = 'purchase'
+    """,
     "q_groupby_minute": """
         SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, count(*) AS cnt
         FROM events
