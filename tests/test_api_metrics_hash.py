@@ -175,6 +175,10 @@ def test_list_pagination_and_task_visibility(svc, spark):
     page3 = svc.list_timers("app", page=3, size=10).collect()
     assert [r["id"] for r in page3] == [5, 4, 3, 2, 1]
 
+    # LIKE search shares the order/paging contract
+    found = svc.find_timers("app", "t2", page=1, size=10).collect()
+    assert [r["id"] for r in found] == [25, 24, 23, 22, 21, 20, 2]  # names containing "t2"
+
     # task read path hides NotRunned rows (task.go:31-35)
     rows = [(1, datetime(2024, 1, 1, 0, m), TASK_SUCCESSED if m % 2 else TASK_NOT_RUNNED)
             for m in range(10)]

@@ -96,6 +96,18 @@ class TimerService:
             .limit(size)
         )
 
+    def find_timers(self, app: str, name_fuzzy: str, page: int = 1, size: int = 10) -> DataFrame:
+        """GetTimersByName (timer.go:177-199): LIKE '%fuzzy%' search,
+        same total order and paging as list_timers."""
+        return (
+            self.timers()
+            .filter(F.col("app") == app)
+            .filter(F.col("name").like(f"%{name_fuzzy}%"))
+            .orderBy(F.col("id").desc())
+            .offset((page - 1) * size)
+            .limit(size)
+        )
+
     def list_tasks(self, timer_id: int, page: int = 1, size: int = 10) -> DataFrame:
         """task.go:30-54: visible statuses only, newest first."""
         return (
