@@ -77,6 +77,18 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.5, f"LSH recall {recall} too low"
 
 
+def test_embed_dup_lsh_subset_and_recall(spark):
+    """The LSH-bucketed embedding dedup returns a subset of the exact
+    all-pairs result with usable recall."""
+    exact = _q("q_embed_dup")(spark, SF_DIR).toPandas()
+    lsh = _q("q_embed_dup_lsh")(spark, SF_DIR).toPandas()
+    exact_pairs = set(map(tuple, exact[["vec_a", "vec_b"]].values.tolist()))
+    lsh_pairs = set(map(tuple, lsh[["vec_a", "vec_b"]].values.tolist()))
+    assert lsh_pairs <= exact_pairs
+    if exact_pairs:
+        assert len(lsh_pairs) / len(exact_pairs) >= 0.3
+
+
 def test_multimodal_kernel_values(spark):
     """The mapInPandas kernel output must equal the pure-Python
     featurizer on raw bytes (deterministic fake decode)."""

@@ -379,6 +379,50 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, 100 TB path: sign-LSH bands restrict
+    candidates to same-bucket vectors (each vector lands in exactly 4
+    buckets), then the exact cosine verify. Output ⊆ q_embed_dup
+    (recall bounded by the bands' s-curve) — rows-only gate; subset +
+    recall asserted in tests."""
+    from .similarity import signature_bits, _LSH_BANDS, _BITS_PER_BAND
+
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = e.select("vec_id", "embedding", signature_bits(F.col("embedding")).alias("sig"))
+    bands = sigs.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        F.shiftright(F.col("sig"), i * _BITS_PER_BAND)
+                        .bitwiseAND(F.lit((1 << _BITS_PER_BAND) - 1))
+                        .alias("band_val"),
+                    )
+                    for i in range(_LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "embedding", "b.band_id", "b.band_val")
+    cand = (
+        cooccurring_pairs(bands, ["band_id", "band_val"], ["vec_id", "embedding"])
+        .select(
+            F.col("a_vec_id").alias("vec_a"),
+            F.col("b_vec_id").alias("vec_b"),
+            F.col("a_embedding").alias("emb_a"),
+            F.col("b_embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), 6))
+        .filter(F.col("cosine") >= EMBED_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 ORACLES: dict[str, str] = {
     "q_dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,

@@ -404,6 +404,27 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change — the pure filter+scalar-agg
+    shape: every predicate pushes to the scan, zero shuffles beyond the
+    single partial/final agg exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shipping priority — broadcast dim (customer) + shuffled
     fact-fact join (orders⨝lineitem) + top-10; the canonical
@@ -544,6 +565,14 @@ ORACLES: dict[str, str] = {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """,
+    "tpch_q6": """
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+          AND l_shipdate < TIMESTAMP '1995-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
     """,
     "tpch_q3": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
