@@ -24,6 +24,7 @@ HEADLINERS = [
     # flagship relational aggregations / joins
     "tpch_q1",
     "tpch_q3",
+    "tpch_q6",
     # time-series core
     "q_groupby_minute",
     "q_window_bucket",
