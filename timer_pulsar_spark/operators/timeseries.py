@@ -123,6 +123,25 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (day -> hour -> grand total) via GROUP
+    BY ROLLUP — the continuous-aggregate/hypertable-rollup shape: one
+    pass computes every level with partial aggregation; Catalyst
+    expands the grouping sets without rescanning the input. Beyond the
+    reference surface (it only has the flat minute count, sql.go:3) but
+    the natural upgrade for its monitoring query at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.date_trunc("day", "ts"))
+        .withColumn("hour", F.date_trunc("hour", "ts"))
+        .rollup("day", "hour")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — for each purchase event, the most recent 'error'
     event of the same user at or before it. Spark lacks a native as-of
@@ -145,6 +164,12 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_rollup": """
+        SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+               count(*) AS cnt, round(sum(value), 4) AS sum_value
+        FROM events
+        GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
     "q_asof": """
         SELECT p.event_id, p.user_id, p.ts,
                (SELECT max(e.ts) FROM events e
