@@ -47,6 +47,30 @@ def test_partitioned_write_layout_and_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "minute" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Joining the slice store against a small minute dimension must
+    prune partitions at runtime (DPP) — the scan carries a dynamic
+    pruning expression instead of reading every minute directory."""
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.store import write_tasks_partitioned
+
+    path = str(tmp_path / "dpp")
+    write_tasks_partitioned(_tasks(spark), path)
+    store = spark.read.parquet(path)
+    wanted = (
+        spark.range(3)
+        .select(
+            F.concat(F.lit("2024-01-01 00:1"), F.col("id")).alias("minute"),
+            F.lit(1).alias("flag"),
+        )
+    )
+    joined = store.join(wanted, "minute").groupBy("minute").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [" in plan
+    assert joined.count() == 3  # only 00:10, 00:11, 00:12 slices read
+
+
 def test_merge_insert_is_idempotent(spark, tmp_path):
     from timer_pulsar_spark.store import merge_table
 

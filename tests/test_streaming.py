@@ -74,6 +74,30 @@ def test_pipeline_exactly_once_effective(spark, timers, tmp_path):
     assert out2.groupBy("timer_id", "run_timer").count().filter("count > 1").count() == 0
 
 
+def test_transport_failure_marks_failed(spark, timers, tmp_path):
+    """A failing callback must produce a Failed status row with the
+    error payload — not a crashed query (woker.go:124-131: failures are
+    data, not exceptions)."""
+    from timer_pulsar_spark.schemas import TASK_FAILED
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline_blocking
+
+    tasks_dir = str(tmp_path / "tasks")
+    status_path = str(tmp_path / "status")
+    _write_tasks(spark, tasks_dir, [(1, BASE, 0), (2, BASE, 0)])
+
+    def broken_transport(method, url, headers, body):
+        return False, '{"error":"connection refused"}'
+
+    run_pipeline_blocking(
+        spark, tasks_dir, timers, status_path, str(tmp_path / "ckpt"),
+        transport=broken_transport,
+    )
+    out = spark.read.parquet(status_path)
+    assert out.count() == 2
+    assert out.filter(F.col("status") != TASK_FAILED).count() == 0
+    assert out.filter(~F.col("output").contains("connection refused")).count() == 0
+
+
 def test_registered_stream_query(spark):
     """The registry's hermetic pipeline query: one Successed row per
     (enabled timer, trigger), duplicates collapsed."""

@@ -70,6 +70,11 @@ def write_tasks_partitioned(
         sliced.repartition("minute", "bucket")
         .write.mode("append")
         .partitionBy("minute", "bucket")
+        # parquet bloom filter on the dedup key: the storage-level
+        # analog of the reference's read-avoidance bloom
+        # (pkg/bloom/fillter.go) — point probes on timer_id skip row
+        # groups without scanning them
+        .option("parquet.bloom.filter.enabled#timer_id", "true")
         .parquet(path)
     )
 
