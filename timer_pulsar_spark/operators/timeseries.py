@@ -142,6 +142,30 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: count events inside derived maintenance
+    windows [day r+1, day r+2) built from the region dimension. The
+    window side is tiny -> broadcast nested-loop with a range predicate,
+    which Spark executes as a broadcast range join (no shuffle of the
+    fact side); at 100 TB the fact scan additionally prunes on the
+    overall [min_start, max_end) envelope."""
+    e = load_table(spark, sf_dir, "events")
+    r = load_table(spark, sf_dir, "region")
+    windows = r.select(
+        F.col("r_regionkey").alias("window_id"),
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,r_regionkey+1)").alias("w_start"),
+        F.expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,r_regionkey+2)").alias("w_end"),
+    )
+    return (
+        e.join(
+            F.broadcast(windows),
+            (F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")),
+        )
+        .groupBy("window_id")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — for each purchase event, the most recent 'error'
     event of the same user at or before it. Spark lacks a native as-of
@@ -169,6 +193,15 @@ ORACLES: dict[str, str] = {
                count(*) AS cnt, round(sum(value), 4) AS sum_value
         FROM events
         GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+    "q_range_join": """
+        SELECT r_regionkey AS window_id, count(*) AS cnt,
+               round(sum(value), 4) AS sum_value
+        FROM events
+        JOIN region
+          ON ts >= TIMESTAMP '2024-01-01 00:00:00' + (r_regionkey + 1) * INTERVAL 1 DAY
+         AND ts <  TIMESTAMP '2024-01-01 00:00:00' + (r_regionkey + 2) * INTERVAL 1 DAY
+        GROUP BY r_regionkey
     """,
     "q_asof": """
         SELECT p.event_id, p.user_id, p.ts,

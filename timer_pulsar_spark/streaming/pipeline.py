@@ -93,13 +93,21 @@ def run_pipeline(
     )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..metrics import observe_exec_metrics
+
         # T16: only fire tasks whose timer is still enabled *now*
         due = batch_df.join(F.broadcast(dim), "timer_id", "inner")
-        executed = execute_batch(due, transport)
+        executed, obs = observe_exec_metrics(execute_batch(due, transport))
         # T12 second layer + S9: effectively-once status, incoming wins
         merge_table(
             spark, status_path, executed, ["timer_id", "run_timer"], update_matched=True
         )
+        # S13/A5: per-batch counters ride the same job (observe() adds
+        # no extra scan); surfaces via logs and StreamingQueryListener
+        try:
+            print(f"# batch {batch_id} metrics: {obs.get}")
+        except Exception:
+            pass  # empty batch -> no observed rows
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)
