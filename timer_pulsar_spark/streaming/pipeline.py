@@ -95,6 +95,13 @@ def run_pipeline(
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         from ..metrics import observe_exec_metrics
 
+        # availableNow ends with a no-data batch that only advances the
+        # dedup watermark state. Short-circuit it: merging zero rows is
+        # a no-op, and the empty plan folds away the CollectMetrics node
+        # so Observation.get would block forever (hanging the trigger in
+        # "cleaning up state" until the awaitTermination timeout).
+        if batch_df.isEmpty():
+            return
         # T16: only fire tasks whose timer is still enabled *now*
         due = batch_df.join(F.broadcast(dim), "timer_id", "inner")
         executed, obs = observe_exec_metrics(execute_batch(due, transport))
