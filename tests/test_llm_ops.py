@@ -77,6 +77,26 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.5, f"LSH recall {recall} too low"
 
 
+def test_ann_ivf_recall_and_exact_scores(spark):
+    """IVF probing (6 of 16 cells) must recover a usable share of the
+    brute-force top-k, and every (query, neighbor) it returns must carry
+    the exact brute-force cosine (the re-rank is exact arithmetic)."""
+    brute = _q("q_ann_topk")(spark, SF_DIR).toPandas()
+    ivf = _q("q_ann_ivf")(spark, SF_DIR).toPandas()
+    truth = dict(
+        ((q, n), c)
+        for q, n, c in brute[["query_id", "neighbor_id", "cosine"]].values.tolist()
+    )
+    got = dict(
+        ((q, n), c)
+        for q, n, c in ivf[["query_id", "neighbor_id", "cosine"]].values.tolist()
+    )
+    recall = len(set(truth) & set(got)) / len(truth)
+    assert recall >= 0.3, f"IVF recall {recall} too low"
+    for pair in set(truth) & set(got):
+        assert abs(truth[pair] - got[pair]) < 1e-9
+
+
 def test_embed_dup_lsh_subset_and_recall(spark):
     """The LSH-bucketed embedding dedup returns a subset of the exact
     all-pairs result with usable recall."""

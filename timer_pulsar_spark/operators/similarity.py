@@ -1,7 +1,7 @@
 """Similarity search over the `embeddings` table (vec_id,
 embedding: array<float>, label).
 
-Two paths, mirroring how a production vector pipeline is layered:
+Three paths, mirroring how a production vector pipeline is layered:
 
 - `q_ann_topk` — brute-force cosine top-k: the correctness baseline,
   all arithmetic in JVM higher-order functions (zip_with/aggregate in
@@ -15,7 +15,12 @@ Two paths, mirroring how a production vector pipeline is layered:
   candidates. This is the 100 TB path: bucket sizes bound the join.
   Engine-independent arithmetic but the bucket restriction makes
   results recall-bounded, not exact → rows-only gate; recall vs
-  brute-force is asserted in tests/test_similarity.py.
+  brute-force is asserted in tests/test_llm_ops.py.
+- `q_ann_ivf` — inverted-file (IVF) probing: nearest-centroid cell
+  assignment against a broadcast 16-centroid codebook (Arrow-batched
+  numpy kernel), candidates = equi-join on the query's nprobe closest
+  cells, exact cosine re-rank. The coarse-quantizer layout every
+  billion-vector ANN service uses.
 
 No Python UDFs; at real scale the same plans run unchanged, with the
 cosine verify optionally swapped for a mapInPandas numpy-matmul kernel
@@ -23,6 +28,9 @@ cosine verify optionally swapped for a mapInPandas numpy-matmul kernel
 """
 
 from __future__ import annotations
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -137,6 +145,79 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     scored = cand.withColumn("cosine", F.round(cosine_sim(F.col("q_emb"), F.col("c_emb")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+_N_CENTROIDS = 16
+_NPROBE = 6  # cells probed per query (of 16) — recall/cost knob
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN, the third layer of the similarity stack:
+
+    1. centroids — 16 fixed corpus vectors (vec_id 5..20) stand in for
+       a trained k-means codebook; like any model parameter they are
+       fetched to the driver (16 rows) and shipped inside the kernel
+       closure (a broadcast, NOT a data-scale collect).
+    2. assignment — every corpus vector gets its nearest-centroid cell
+       via one Arrow-batched pandas UDF (numpy matmul over the whole
+       batch): map-side, zero shuffle, linear scan — the shape that
+       survives 100 TB.
+    3. probe — each query expands to its _NPROBE closest cells; the
+       candidate set is an **equi-join on cell id** (shuffle bounded to
+       corpus/16 x nprobe rows), then exact JVM-side cosine re-rank.
+
+    Same output shape as q_ann_topk; recall-bounded -> rows-only gate,
+    recall vs brute force asserted in tests/test_llm_ops.py."""
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + _N_CENTROIDS)
+        )
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_ids = np.array([r.vec_id for r in cents])
+    C = np.array([r.embedding for r in cents], dtype="float64")
+    Cn = (C / np.linalg.norm(C, axis=1, keepdims=True)).T  # dim x K
+
+    def _sims(embs: pd.Series) -> np.ndarray:
+        M = np.stack(embs.to_numpy()).astype("float64")
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        return M @ Cn  # batch x K cosine vs every centroid
+
+    @F.pandas_udf("long")
+    def assign_cell(embs: pd.Series) -> pd.Series:
+        return pd.Series(cent_ids[np.argmax(_sims(embs), axis=1)])
+
+    @F.pandas_udf("array<long>")
+    def probe_cells(embs: pd.Series) -> pd.Series:
+        order = np.argsort(-_sims(embs), axis=1)[:, :_NPROBE]
+        return pd.Series(list(cent_ids[order]))
+
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        assign_cell("embedding").alias("cell"),
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.explode(probe_cells("embedding")).alias("cell"),
+    )
+    cand = queries.join(corpus, "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine", F.round(cosine_sim(F.col("q_emb"), F.col("c_emb")), 6)
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -90,6 +90,34 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality scoring: repetition (distinct-token ratio, top
+    token share), character-class ratios (alpha / punctuation), and the
+    resulting keep/drop gate — the C4/Gopher-style rule set expressed as
+    pure column expressions (map-side only, no shuffle at any scale).
+    top_token_frac is O(distinct x tokens) per row inside codegen; for
+    pathological documents cap the token list upstream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    top = F.expr(
+        "array_max(transform(array_distinct(split(text, ' ')),"
+        " u -> size(filter(split(text, ' '), x -> x = u))))"
+    )
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    space = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
+    text_len = F.length("text")
+    return d.select(
+        "doc_id",
+        F.round(n_distinct / n, 6).alias("distinct_ratio"),
+        F.round(top / n, 6).alias("top_token_frac"),
+        F.round(alpha / text_len, 6).alias("alpha_ratio"),
+        F.round((text_len - alpha - space) / text_len, 6).alias("punct_ratio"),
+        ((n >= 50) & (n_distinct / n >= 0.2)).cast("int").alias("keep"),
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: polynomial rolling hash over the token
     stream ((acc*131 + ascii(tok)+len(tok)) mod 1e9+7) — order-sensitive
@@ -132,6 +160,24 @@ ORACLES: dict[str, str] = {
                CASE WHEN len(list_filter(string_split(text, ' '),
                                          x -> x = 'the' OR x = 'a')) >= 1
                     THEN 'en' ELSE 'und' END AS pred_lang
+        FROM documents
+    """,
+    "q_quality": """
+        SELECT doc_id,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS distinct_ratio,
+               round(list_max(list_transform(list_distinct(string_split(text, ' ')),
+                         u -> len(list_filter(string_split(text, ' '), x -> x = u)))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS top_token_frac,
+               round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                     / length(text), 6) AS alpha_ratio,
+               round((length(text) - length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      - length(regexp_replace(text, '[^ ]', '', 'g'))) * 1.0
+                     / length(text), 6) AS punct_ratio,
+               CASE WHEN len(string_split(text, ' ')) >= 50
+                     AND len(list_distinct(string_split(text, ' '))) * 1.0
+                         / len(string_split(text, ' ')) >= 0.2
+                    THEN 1 ELSE 0 END AS keep
         FROM documents
     """,
     "q_fingerprint": """
