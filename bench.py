@@ -24,7 +24,9 @@ HEADLINERS = [
     # flagship relational aggregations / joins
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
+    "tpch_q18",
     # time-series core
     "q_groupby_minute",
     "q_window_bucket",
