@@ -103,7 +103,10 @@ def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFram
 
 
 def cooccurring_pairs(
-    postings: DataFrame, key_cols: list[str], payload_cols: list[str]
+    postings: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    pair_pred_sql: str | None = None,
 ) -> DataFrame:
     """Candidate pairs of doc_ids sharing a posting key, generated
     WITHIN each key group (groupBy key -> sorted member list -> in-group
@@ -116,17 +119,25 @@ def cooccurring_pairs(
     one task; at 100 TB apply the standard df-cap first (drop keys with
     df above a threshold — they carry no near-dup signal anyway).
 
+    `pair_pred_sql` (SQL boolean over member structs `x`, `y`) prunes
+    pairs INSIDE the expansion lambda, before the pair rows exist — the
+    hook for exact-safe bounds like the Jaccard size-ratio filter
+    (dropping whole pairs never changes surviving pairs' counts).
+
     Output columns: a_<payload>, b_<payload> for doc_id + payloads.
     """
     member = F.struct(*[F.col(c) for c in payload_cols])
     grouped = postings.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(member)).alias("members")
     )
+    inner = "slice(members, i + 2, size(members))"
+    if pair_pred_sql:
+        inner = f"filter({inner}, y -> {pair_pred_sql})"
     pairs = grouped.select(
         F.explode(
             F.expr(
                 "flatten(transform(members, (x, i) -> "
-                "transform(slice(members, i + 2, size(members)), "
+                f"transform({inner}, "
                 "y -> struct(x AS a, y AS b))))"
             )
         ).alias("p")
@@ -187,13 +198,21 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair payload (no post-hoc size joins). Two shuffles total: by
     shingle, then by pair. Hot shingles would skew the pair expansion at
     100 TB; the standard mitigation (df-cap filter after the first
-    groupBy) composes here as one extra filter."""
+    groupBy) composes here as one extra filter.
+
+    Pair pruning: jaccard(a,b) <= min(n_a,n_b)/max(n_a,n_b), so pairs
+    whose size ratio is below the threshold are dropped inside the
+    expansion lambda — exact (whole pairs only, counts of survivors
+    untouched), and it cuts the pair shuffle before it happens."""
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     shingled = with_shingles(d).select("doc_id", "shingles")
     postings = shingled.select(
         "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
     )
-    pairs = cooccurring_pairs(postings, ["sh"], ["doc_id", "n_sh"])
+    size_bound = (
+        f"least(x.n_sh, y.n_sh) >= {NEAR_DUP_THRESHOLD} * greatest(x.n_sh, y.n_sh)"
+    )
+    pairs = cooccurring_pairs(postings, ["sh"], ["doc_id", "n_sh"], size_bound)
     return (
         pairs.groupBy(
             F.col("a_doc_id").alias("doc_a"),
