@@ -98,6 +98,23 @@ def test_transport_failure_marks_failed(spark, timers, tmp_path):
     assert out.filter(~F.col("output").contains("connection refused")).count() == 0
 
 
+def test_stream_sessionize_matches_batch(spark):
+    """The applyInPandasWithState sessionizer must produce exactly the
+    batch window-function sessionization: same {(user, n_events)}
+    multiset once the sentinel-driven watermark flushes all state."""
+    import __spark_entry__ as entrymod
+
+    from .conftest import SF_DIR
+
+    qs = entrymod.queries()
+    stream = qs["q_stream_sessionize"](spark, SF_DIR).toPandas()
+    batch = qs["q_sessionize"](spark, SF_DIR).toPandas()
+    sm = sorted(map(tuple, stream[["user_id", "n_events"]].values.tolist()))
+    bm = sorted(map(tuple, batch[["user_id", "n_events"]].values.tolist()))
+    assert sm == bm
+    assert (stream["session_end"] >= stream["session_start"]).all()
+
+
 def test_registered_stream_query(spark):
     """The registry's hermetic pipeline query: one Successed row per
     (enabled timer, trigger), duplicates collapsed."""
