@@ -45,10 +45,24 @@ def test_point_filter_pushdown(spark):
 
 
 def test_joins_broadcast_small_side(spark):
-    for name in ("q_join", "q_semi", "q_anti", "tpch_q3", "q_topk_per_group"):
+    for name in (
+        "q_join", "q_semi", "q_anti", "tpch_q3", "q_topk_per_group",
+        "tpch_q5", "tpch_q14", "tpch_q18",
+    ):
         plan = _plan(spark, name)
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_salted_distinct_is_two_level(spark):
+    """The salted distinct must show two HashAggregate levels keyed
+    (event_type, salt) then (event_type) — the skew-splitting shape."""
+    plan = _plan(spark, "q_distinct_salted")
+    assert "HashAggregate" in plan
+    # the salt expression must be a grouping key of the first exchange
+    assert "pmod(hash(user_id" in plan
+    assert plan.count("Exchange hashpartitioning") >= 2
+    assert "CartesianProduct" not in plan
 
 
 def test_agg_is_partial_final_hash(spark):
@@ -79,6 +93,10 @@ def test_no_python_eval_in_jvm_queries(spark):
         "q_fanout", "q_fanout_daily", "q_cron_valid", "q_cron_next",
         "q_materialize", "q_hash_bloom", "q_multimodal_features",
         "q_multimodal_frames", "q_stream_execute",
+        # IVF cell assignment is an Arrow-batched numpy kernel by design
+        "q_ann_ivf",
+        # building this query runs a streaming job; plan is a plain scan
+        "q_stream_sessionize",
     }
     for name in entrymod.queries():
         if name in python_ok or name == "q_stream_execute":

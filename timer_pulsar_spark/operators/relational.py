@@ -251,6 +251,26 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe distinct count per key: a hot key's whole distinct set
+    normally funnels through ONE reducer (partial agg dedups map-side
+    but the merge is single-task). Salting on a hash of the *value*
+    splits that state 32 ways — identical users share a salt, so
+    summing the per-salt distinct counts is exact, not approximate.
+    This is the hand-salting pattern the brief's "skewed keys" note
+    calls for where AQE can't help (AQE splits skewed join partitions,
+    not skewed aggregation state). The HLL twin (approx_count_distinct)
+    is the sketch alternative when ±2% error is acceptable."""
+    e = load_table(spark, sf_dir, "events")
+    partial = e.groupBy(
+        "event_type", F.pmod(F.hash("user_id"), F.lit(32)).alias("salt")
+    ).agg(F.count_distinct("user_id").alias("part_users"))
+    return (
+        partial.groupBy("event_type")
+        .agg(F.sum("part_users").alias("n_users"))
+    )
+
+
 def q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q-quantile] delay quantiles {.5,.9,.99} per group (Prometheus
     summary, gotimer_web/pkg/promethus/reporter.go:74-83). Exact
@@ -640,6 +660,10 @@ ORACLES: dict[str, str] = {
     "q_distinct": """
         SELECT DISTINCT user_id FROM events
         WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-09'
+    """,
+    "q_distinct_salted": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
     """,
     "q_quantile": """
         SELECT event_type,
