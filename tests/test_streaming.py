@@ -98,6 +98,26 @@ def test_transport_failure_marks_failed(spark, timers, tmp_path):
     assert out.filter(~F.col("output").contains("connection refused")).count() == 0
 
 
+def test_task_record_codec_roundtrip(spark):
+    """The broker record codec (S10/S11) must round-trip task rows:
+    encode -> (key,value binary) -> decode == original. Second-resolution
+    run times (all cron output is) survive the JSON hop exactly."""
+    from timer_pulsar_spark.sources import decode_task_records, encode_task_records
+
+    tasks = spark.createDataFrame(
+        [(7, BASE, 0), (8, BASE + timedelta(minutes=1), 1)],
+        "timer_id long, run_timer timestamp, status int",
+    )
+    rec = encode_task_records(tasks)
+    assert rec.schema.simpleString() == "struct<key:binary,value:binary>"
+    back = decode_task_records(rec).toPandas().sort_values("timer_id")
+    orig = tasks.toPandas().sort_values("timer_id")
+    assert back.reset_index(drop=True).equals(orig.reset_index(drop=True))
+    # key carries the timer id for per-timer topic-partition ordering
+    keys = [bytes(k).decode() for k in rec.toPandas()["key"]]
+    assert sorted(keys) == ["7", "8"]
+
+
 def test_stream_sessionize_matches_batch(spark):
     """The applyInPandasWithState sessionizer must produce exactly the
     batch window-function sessionization: same {(user, n_events)}

@@ -43,17 +43,12 @@ from pyspark.sql import types as T
 
 from ..config import CONFIG
 from ..schemas import TIMER_ENABLED
+from ..sources.task_stream import TASK_RECORD_SCHEMA, task_stream
 from ..store import merge_table
 from .notify import Transport, execute_batch, mock_transport
 
 # schema of the due-task stream (fan-out output + app tag)
-TASK_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("timer_id", T.LongType(), False),
-        T.StructField("run_timer", T.TimestampType(), False),
-        T.StructField("status", T.IntegerType(), True),
-    ]
-)
+TASK_STREAM_SCHEMA = TASK_RECORD_SCHEMA
 
 
 def timer_dim(spark: SparkSession, timers: DataFrame) -> DataFrame:
@@ -85,9 +80,10 @@ def run_pipeline(
     """
     dim = timer_dim(spark, timers)
 
+    # S11: swap "files" for "kafka"/"pulsar" (sources/task_stream.py) to
+    # consume from a real broker — same schema, same plan downstream
     stream = (
-        spark.readStream.schema(TASK_STREAM_SCHEMA)
-        .parquet(tasks_stream_dir)
+        task_stream(spark, "files", path=tasks_stream_dir)
         .withWatermark("run_timer", CONFIG.watermark_lateness)
         .dropDuplicatesWithinWatermark(["timer_id", "run_timer"])
     )
