@@ -133,6 +133,34 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", fp.alias("fingerprint"))
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation in ONE declarative plan: quality gate
+    (length + repetition) -> exact-dedup canonical filter (keep the
+    lowest doc_id per content hash) -> token-count enrichment. Composes
+    three operators without materializing between stages, so Catalyst
+    fuses the quality projections into the scan and the only shuffle is
+    the dedup groupBy. The canonical-id filter is a self-aggregation
+    join kept broadcastable by aggregating to (hash, min_id) first —
+    at 100 TB that dim is |distinct docs| rows of 2 columns."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    gated = d.filter((n >= 50) & (n_distinct / n >= 0.2))
+    canon = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        gated.join(canon, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(_toks()).alias("n_tokens"),
+            F.length("text").alias("n_chars_calc"),
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
     "q_textstats": """
         SELECT doc_id,
@@ -179,6 +207,22 @@ ORACLES: dict[str, str] = {
                          / len(string_split(text, ' ')) >= 0.2
                     THEN 1 ELSE 0 END AS keep
         FROM documents
+    """,
+    "q_corpus_curate": """
+        WITH gated AS (
+            SELECT * FROM documents
+            WHERE len(string_split(text, ' ')) >= 50
+              AND len(list_distinct(string_split(text, ' '))) * 1.0
+                  / len(string_split(text, ' ')) >= 0.2
+        ),
+        canon AS (
+            SELECT md5(text) AS h, min(doc_id) AS doc_id FROM gated GROUP BY md5(text)
+        )
+        SELECT g.doc_id,
+               g.lang,
+               len(string_split(g.text, ' ')) AS n_tokens,
+               length(g.text) AS n_chars_calc
+        FROM gated g WHERE EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = g.doc_id)
     """,
     "q_fingerprint": """
         SELECT doc_id,
