@@ -585,6 +585,75 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution — the engine's LEFT
+    OUTER JOIN shape: customers with zero matching orders must survive
+    with count 0, so the join condition (priority filter) lives in the
+    join, not a WHERE. Two aggregations, both map-side combinable."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+        "left_outer",
+    )
+    per_cust = j.groupBy("c_custkey").agg(F.count("o_orderkey").alias("c_count"))
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue — the correlated scalar
+    subquery (per-part average quantity) decorrelated by hand into an
+    aggregate + broadcast join: the per-part threshold dim is |parts|
+    rows of 2 columns, broadcast to every lineitem partition, so the
+    big table is scanned twice but never shuffled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_type") == "MEDIUM")
+    )
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(thresh), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: no c_phone column,
+    so the country code is c_nationkey, and every testdata customer has
+    orders, so the anti-join target is *urgent* orders): scalar
+    aggregate subquery (global average balance) + anti-join. The scalar
+    is a 1-row broadcast; the anti-join shuffles on custkey once."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same aliases, same rounding)
 # ---------------------------------------------------------------------------
@@ -785,6 +854,34 @@ ORACLES: dict[str, str] = {
         JOIN orders ON o_orderkey = big.l_orderkey
         JOIN customer ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "tpch_q13": """
+        SELECT c_count, count(*) AS custdist FROM (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey
+        ) GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "tpch_q17": """
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23' AND p_type = 'MEDIUM'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    """,
+    "tpch_q22": """
+        SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+               round(sum(c_acctbal), 4) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey
+        ORDER BY cntrycode
     """,
 }
 
