@@ -95,8 +95,8 @@ def test_no_python_eval_in_jvm_queries(spark):
         "q_multimodal_frames", "q_stream_execute",
         # IVF cell assignment is an Arrow-batched numpy kernel by design
         "q_ann_ivf",
-        # building this query runs a streaming job; plan is a plain scan
-        "q_stream_sessionize",
+        # building these queries runs a streaming job; plan is a plain scan
+        "q_stream_sessionize", "q_stream_rollup",
     }
     for name in entrymod.queries():
         if name in python_ok or name == "q_stream_execute":

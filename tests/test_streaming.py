@@ -135,6 +135,22 @@ def test_stream_sessionize_matches_batch(spark):
     assert (stream["session_end"] >= stream["session_start"]).all()
 
 
+def test_stream_rollup_matches_batch(spark):
+    """The incremental watermarked rollup must equal the batch
+    group-by-minute rescan row-for-row (append mode = only finalized
+    windows ever reach the rollup table)."""
+    import __spark_entry__ as entrymod
+
+    from .conftest import SF_DIR
+
+    qs = entrymod.queries()
+    stream = qs["q_stream_rollup"](spark, SF_DIR).toPandas()
+    batch = qs["q_groupby_minute"](spark, SF_DIR).toPandas()
+    s = stream.sort_values("minute").reset_index(drop=True)
+    b = batch.sort_values("minute").reset_index(drop=True)
+    assert s[["minute", "cnt"]].equals(b[["minute", "cnt"]])
+
+
 def test_registered_stream_query(spark):
     """The registry's hermetic pipeline query: one Successed row per
     (enabled timer, trigger), duplicates collapsed."""
