@@ -585,6 +585,30 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier — aggregate reuse: the quarterly revenue
+    aggregate feeds both the supplier join and the scalar max. Declared
+    once and referenced twice; Spark caches nothing here but Catalyst
+    dedups the subplan into a ReusedExchange under AQE, so the heavy
+    lineitem aggregation runs once."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "total_rev"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 customer order-count distribution — the engine's LEFT
     OUTER JOIN shape: customers with zero matching orders must survive
@@ -854,6 +878,18 @@ ORACLES: dict[str, str] = {
         JOIN orders ON o_orderkey = big.l_orderkey
         JOIN customer ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "tpch_q15": """
+        WITH revenue AS (
+            SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
     """,
     "tpch_q13": """
         SELECT c_count, count(*) AS custdist FROM (

@@ -142,6 +142,23 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over (event_type, day-of-week): all four grouping
+    sets — per cell, per type, per weekday, grand total — in one pass.
+    The grouping-sets expansion happens before the (single) shuffle, so
+    the cost is one aggregated scan regardless of how many levels the
+    cube has."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("dow", F.dayofweek("ts"))
+        .cube("event_type", "dow")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: count events inside derived maintenance
     windows [day r+1, day r+2) built from the region dimension. The
@@ -193,6 +210,12 @@ ORACLES: dict[str, str] = {
                count(*) AS cnt, round(sum(value), 4) AS sum_value
         FROM events
         GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+    """,
+    "q_cube": """
+        SELECT event_type, CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+               count(*) AS cnt, round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY CUBE (event_type, CAST(dayofweek(ts) + 1 AS INTEGER))
     """,
     "q_range_join": """
         SELECT r_regionkey AS window_id, count(*) AS cnt,
