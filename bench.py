@@ -106,6 +106,85 @@ def bench_pipeline(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_delay_slo(spark, waves: int = 10, timers_n: int = 50) -> dict:
+    """Live 1-second-trigger latency (BASELINE delay SLO): one wave of
+    due tasks scheduled at 'now' lands per second; delay_ms = executor
+    pickup - scheduled, reported at the reference's summary quantiles
+    {.5,.9,.99} (promethus/reporter.go:74-83)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.schemas import TIMER_ENABLED
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline
+
+    work = tempfile.mkdtemp(prefix="bench_delay_")
+    tasks_dir = os.path.join(work, "tasks")
+    status_path = os.path.join(work, "status")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        ids = spark.range(timers_n)
+        timers = ids.select(
+            F.col("id"),
+            F.lit("slo").alias("app"),
+            F.concat(F.lit("t"), F.col("id")).alias("name"),
+            F.lit(TIMER_ENABLED).alias("status"),
+            F.lit("* * * * *").alias("cron"),
+            F.struct(
+                F.lit("POST").alias("method"),
+                F.lit("http://mock").alias("url"),
+                F.create_map().cast("map<string,string>").alias("header"),
+                F.lit("").alias("body"),
+            ).alias("notify_http_param"),
+        )
+        # seed the directory so the stream has a schema-compatible file
+        spark.createDataFrame(
+            [], "timer_id long, run_timer timestamp, status int"
+        ).write.mode("overwrite").parquet(tasks_dir)
+
+        q = run_pipeline(
+            spark, tasks_dir, timers, status_path, ckpt,
+            available_now=False, processing_time="1 second",
+        )
+        for _ in range(waves):
+            now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            ids.select(
+                F.col("id").alias("timer_id"),
+                F.lit(now).cast("timestamp").alias("run_timer"),
+                F.lit(0).alias("status"),
+            ).write.mode("append").parquet(tasks_dir)
+            time.sleep(1)
+        # drain on the output table (micro-batches can lag under load)
+        expected = waves * timers_n
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(status_path).count() >= expected:
+                    break
+            except Exception:
+                pass  # status dir not created yet
+            time.sleep(2)
+        q.stop()
+
+        status = spark.read.parquet(status_path)
+        pcts = status.selectExpr(
+            "approx_percentile(delay_ms, array(0.5, 0.9, 0.99)) AS p",
+            "count(*) AS n",
+        ).collect()[0]
+        return {
+            "executed": pcts["n"],
+            "submitted": waves * timers_n,
+            "delay_p50_ms": int(pcts["p"][0]),
+            "delay_p90_ms": int(pcts["p"][1]),
+            "delay_p99_ms": int(pcts["p"][2]),
+            "design_point": "p99 <= 1s trigger resolution + batch overhead",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -135,6 +214,8 @@ def main() -> None:
 
     pipeline = bench_pipeline(spark)
     print(f"# pipeline: {pipeline}", file=sys.stderr)
+    delay = bench_delay_slo(spark)
+    print(f"# delay_slo: {delay}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     line = {
@@ -143,6 +224,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "pipeline": pipeline,
+        "delay_slo": delay,
         "sf": sf_from_dir(sf_dir),
     }
     print(json.dumps(line), flush=True)

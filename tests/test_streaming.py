@@ -98,6 +98,57 @@ def test_transport_failure_marks_failed(spark, timers, tmp_path):
     assert out.filter(~F.col("output").contains("connection refused")).count() == 0
 
 
+def test_live_trigger_delay_slo(spark, timers, tmp_path):
+    """T7 with the production 1-second trigger: waves of tasks scheduled
+    at 'now' must all execute, each carrying a sane (actual - scheduled)
+    delay_ms. The bound is deliberately loose for CI noise — the bench
+    reports the real quantiles against the BASELINE SLO."""
+    import datetime as dt
+    import time as _time
+
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline
+
+    tasks_dir = str(tmp_path / "tasks")
+    status_path = str(tmp_path / "status")
+    spark.createDataFrame(
+        [], "timer_id long, run_timer timestamp, status int"
+    ).write.mode("overwrite").parquet(tasks_dir)
+
+    q = run_pipeline(
+        spark, tasks_dir, timers, status_path, str(tmp_path / "ckpt"),
+        available_now=False, processing_time="1 second",
+    )
+    waves = 3
+    expected = 4 * waves  # 4 enabled timers (5 is disabled) per wave
+    try:
+        for _ in range(waves):
+            now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            _write_tasks(
+                spark, tasks_dir, [(tid, now, 0) for tid in (1, 2, 3, 4)]
+            )
+            _time.sleep(1)
+        # drain on the OUTPUT, not progress heuristics: micro-batches
+        # can take tens of seconds when the suite runs under load
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            assert q.exception() is None, f"stream died: {q.exception()}"
+            try:
+                if spark.read.parquet(status_path).count() >= expected:
+                    break
+            except Exception:
+                pass  # status dir not created yet / mid-merge swap
+            _time.sleep(2)
+    finally:
+        q.stop()
+
+    out = spark.read.parquet(status_path)
+    # each wave a distinct run_timer -> nothing deduped, exactly once
+    assert out.count() == expected
+    delays = [r.delay_ms for r in out.select("delay_ms").collect()]
+    assert all(d >= 0 for d in delays)
+    assert max(delays) < 150_000, f"delay out of bounds: {max(delays)}ms"
+
+
 def test_task_record_codec_roundtrip(spark):
     """The broker record codec (S10/S11) must round-trip task rows:
     encode -> (key,value binary) -> decode == original. Second-resolution

@@ -72,6 +72,9 @@ EXEC_RESULT_SCHEMA = T.StructType(
         T.StructField("status", T.IntegerType(), False),
         T.StructField("output", T.StringType(), True),
         T.StructField("cost_time", T.IntegerType(), True),
+        # actual - scheduled in ms (woker.go:133-136) — the delay-SLO
+        # metric (BASELINE: p99 <= trigger resolution + batch overhead)
+        T.StructField("delay_ms", T.LongType(), True),
     ]
 )
 
@@ -87,6 +90,12 @@ def execute_batch(joined: DataFrame, transport: Transport) -> DataFrame:
         from ..schemas import TASK_FAILED, TASK_SUCCESSED
 
         for pdf in batches:
+            # delay vs scheduled run time, measured when the executor
+            # picks the batch up (one clock read per batch is enough —
+            # the per-row callback cost is what cost_time captures)
+            now_ns = time.time_ns()
+            # datetime64[ns] -> int64 is NANOSECONDS since epoch
+            delays = (now_ns - pdf["run_timer"].astype("int64")) // 1_000_000
             statuses, outputs, costs = [], [], []
             methods = pdf["method"] if "method" in pdf else [None] * len(pdf)
             urls = pdf["url"] if "url" in pdf else [None] * len(pdf)
@@ -107,6 +116,7 @@ def execute_batch(joined: DataFrame, transport: Transport) -> DataFrame:
                     "status": statuses,
                     "output": outputs,
                     "cost_time": costs,
+                    "delay_ms": delays.astype("int64"),
                 }
             )
 

@@ -100,17 +100,42 @@ def run_pipeline(
             return
         # T16: only fire tasks whose timer is still enabled *now*
         due = batch_df.join(F.broadcast(dim), "timer_id", "inner")
-        executed, obs = observe_exec_metrics(execute_batch(due, transport))
-        # T12 second layer + S9: effectively-once status, incoming wins
-        merge_table(
-            spark, status_path, executed, ["timer_id", "run_timer"], update_matched=True
+        # Observation names are session-global across ALL queries ever
+        # run on the session — a reused name (even from a previous,
+        # stopped query) can leave the new observation's future
+        # unresolved. uuid, not batch_id: batch ids restart at 0 for
+        # every query.
+        import uuid as _uuid
+
+        executed, obs = observe_exec_metrics(
+            execute_batch(due, transport),
+            name=f"exec_{_uuid.uuid4().hex[:12]}",
         )
-        # S13/A5: per-batch counters ride the same job (observe() adds
-        # no extra scan); surfaces via logs and StreamingQueryListener
+        # Materialize the executor output ONCE before merging. The
+        # merge plan references `executed` twice (anti-join probe +
+        # union): unpersisted, that re-runs the transport kernel per
+        # subtree (duplicate HTTP calls) and leaves the CollectMetrics
+        # future unresolved, blocking obs.get and stalling the trigger
+        # loop forever after the first merge-into-existing batch.
+        executed = executed.persist()
         try:
-            print(f"# batch {batch_id} metrics: {obs.get}")
-        except Exception:
-            pass  # empty batch -> no observed rows
+            executed.count()  # side effects + observation resolve here
+            # T12 second layer + S9: effectively-once status, incoming wins
+            merge_table(
+                spark,
+                status_path,
+                executed,
+                ["timer_id", "run_timer"],
+                update_matched=True,
+            )
+            # S13/A5: per-batch counters ride the same job (observe()
+            # adds no extra scan); surfaces via logs and listener
+            try:
+                print(f"# batch {batch_id} metrics: {obs.get}")
+            except Exception:
+                pass  # empty batch -> no observed rows
+        finally:
+            executed.unpersist()
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)
