@@ -74,6 +74,40 @@ def test_pipeline_exactly_once_effective(spark, timers, tmp_path):
     assert out2.groupBy("timer_id", "run_timer").count().filter("count > 1").count() == 0
 
 
+def test_append_log_mode_latest_wins(spark, timers, tmp_path):
+    """status_mode=append_log: appends are O(batch) (no table rewrite),
+    and the compaction view (store.read_latest) restores effectively-
+    once MERGE semantics — a beyond-watermark duplicate replay lands in
+    the log twice but the reader sees one row per (timer_id, run_timer)."""
+    from timer_pulsar_spark.store import read_latest
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline
+
+    tasks_dir = str(tmp_path / "tasks")
+    status_path = str(tmp_path / "status")
+
+    _write_tasks(spark, tasks_dir, [(tid, BASE, 0) for tid in (1, 2, 3)])
+    q = run_pipeline(
+        spark, tasks_dir, timers, status_path, str(tmp_path / "ckpt"),
+        status_mode="append_log",
+    )
+    q.awaitTermination(120)
+    # replay timer 1 from a FRESH checkpoint (beyond-watermark dup: the
+    # state-store dedup can't see it) + one genuinely new key
+    _write_tasks(spark, tasks_dir, [(1, BASE, 0), (4, BASE + timedelta(minutes=2), 0)])
+    q = run_pipeline(
+        spark, tasks_dir, timers, status_path, str(tmp_path / "ckpt2"),
+        status_mode="append_log",
+    )
+    q.awaitTermination(120)
+
+    log = spark.read.parquet(status_path)
+    # fresh checkpoint reprocessed everything: log holds the dup rows
+    assert log.count() > 4
+    latest = read_latest(spark, status_path, ["timer_id", "run_timer"])
+    assert latest.count() == 4  # timers 1,2,3 @BASE + timer 4 @BASE+2m
+    assert latest.groupBy("timer_id", "run_timer").count().filter("count > 1").count() == 0
+
+
 def test_transport_failure_marks_failed(spark, timers, tmp_path):
     """A failing callback must produce a Failed status row with the
     error payload — not a crashed query (woker.go:124-131: failures are

@@ -89,6 +89,35 @@ def read_tasks_slice(
     return df.filter((F.col("minute") >= minute_start) & (F.col("minute") < minute_end))
 
 
+def read_latest(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    order_col: str = "status",
+) -> DataFrame:
+    """Latest-wins compaction view over an append-only log table: one
+    row per key, the winner chosen by the highest `order_col` (ties
+    broken deterministically by the remaining columns). The read-side
+    twin of `merge_table` for pipelines running in append_log mode —
+    appends stay O(batch) while readers still see MERGE semantics.
+
+    Scale: one hash shuffle on the key (same as the MERGE would do),
+    then a per-partition top-1 — no global sort, no table rewrite.
+    """
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(path)
+    tiebreak = [c for c in df.columns if c not in keys and c != order_col]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).desc(), *[F.col(c).desc_nulls_last() for c in tiebreak]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def merge_table(
     spark: SparkSession,
     path: str,

@@ -74,9 +74,20 @@ def run_pipeline(
     transport: Transport = mock_transport,
     available_now: bool = True,
     processing_time: str | None = None,
+    status_mode: str = "merge",
 ):
     """Start the pipeline; with available_now=True it drains pending
     input and stops (the test/driver mode). Returns the StreamingQuery.
+
+    status_mode:
+    - ``merge`` (default): per-batch MERGE into the status table —
+      file-level exactly-once, but each batch rewrites O(history).
+    - ``append_log``: append-only status log, latest-wins compaction at
+      read time (store.read_latest). O(batch) per batch — the low-
+      latency/at-scale mode: the per-batch cost stays constant as the
+      status table grows, and the watermarked dedup upstream already
+      bounds duplicates to beyond-watermark replays, which the
+      compacting read resolves deterministically.
     """
     dim = timer_dim(spark, timers)
 
@@ -111,31 +122,36 @@ def run_pipeline(
             execute_batch(due, transport),
             name=f"exec_{_uuid.uuid4().hex[:12]}",
         )
-        # Materialize the executor output ONCE before merging. The
-        # merge plan references `executed` twice (anti-join probe +
-        # union): unpersisted, that re-runs the transport kernel per
-        # subtree (duplicate HTTP calls) and leaves the CollectMetrics
-        # future unresolved, blocking obs.get and stalling the trigger
-        # loop forever after the first merge-into-existing batch.
-        executed = executed.persist()
-        try:
-            executed.count()  # side effects + observation resolve here
-            # T12 second layer + S9: effectively-once status, incoming wins
-            merge_table(
-                spark,
-                status_path,
-                executed,
-                ["timer_id", "run_timer"],
-                update_matched=True,
-            )
-            # S13/A5: per-batch counters ride the same job (observe()
-            # adds no extra scan); surfaces via logs and listener
+        if status_mode == "append_log":
+            # one action, one kernel execution, O(batch) written
+            executed.write.mode("append").parquet(status_path)
+        else:
+            # Materialize the executor output ONCE before merging. The
+            # merge plan references `executed` twice (anti-join probe +
+            # union): unpersisted, that re-runs the transport kernel per
+            # subtree (duplicate HTTP calls) and leaves the
+            # CollectMetrics future unresolved, blocking obs.get and
+            # stalling the trigger loop forever after the first
+            # merge-into-existing batch.
+            executed = executed.persist()
             try:
-                print(f"# batch {batch_id} metrics: {obs.get}")
-            except Exception:
-                pass  # empty batch -> no observed rows
-        finally:
-            executed.unpersist()
+                executed.count()  # side effects + observation resolve
+                # T12 second layer + S9: effectively-once, incoming wins
+                merge_table(
+                    spark,
+                    status_path,
+                    executed,
+                    ["timer_id", "run_timer"],
+                    update_matched=True,
+                )
+            finally:
+                executed.unpersist()
+        # S13/A5: per-batch counters ride the same job (observe() adds
+        # no extra scan); surfaces via logs and listener
+        try:
+            print(f"# batch {batch_id} metrics: {obs.get}")
+        except Exception:
+            pass  # empty batch -> no observed rows
 
     writer = (
         stream.writeStream.foreachBatch(handle_batch)
