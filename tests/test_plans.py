@@ -105,6 +105,24 @@ def test_no_python_eval_in_jvm_queries(spark):
         assert "EvalPython" not in plan, f"{name} unexpectedly uses a Python UDF"
 
 
+def test_window_queries_single_shuffle(spark):
+    """Each window analytic must cost exactly one hash shuffle (its
+    partition key) — a second exchange would mean Catalyst failed to
+    reuse the window partitioning."""
+    for name in ("q_moving_avg", "q_cumsum", "q_rank_ntile", "q_lead_lag"):
+        plan = _plan(spark, name)
+        assert "Window" in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+
+
+def test_pivot_no_cartesian_no_python(spark):
+    """Explicit pivot values: the plan is a plain two-level aggregate —
+    no distinct-collect job, no Python, no cartesian."""
+    plan = _plan(spark, "q_pivot")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_dedup_near_single_scan(spark):
     """The near-dup pipeline must scan documents exactly once (the
     in-group pair generation design)."""

@@ -30,6 +30,30 @@ def test_every_query_runs_and_has_stable_schema(spark):
         assert df.count() >= 0, name
 
 
+def test_approx_users_within_hll_bound(spark):
+    """q_approx_users is rows-only in the driver gate (HLL estimates
+    are engine-specific); here it must land within 5% of the exact
+    distinct count per event_type."""
+    from timer_pulsar_spark.operators.timeseries import q_approx_users
+    from timer_pulsar_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.event_type: r.approx_users
+        for r in q_approx_users(spark, SF_DIR).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in load_table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, est in approx.items():
+        assert abs(est - exact[t]) <= max(1, 0.05 * exact[t]), (t, est, exact[t])
+
+
 def test_entry_contract(spark):
     import importlib.util
     import os

@@ -204,7 +204,79 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled minute rollup with last-observation-carried-forward —
+    the hypertable `time_bucket_gapfill + locf` analog: a dense minute
+    spine (F.sequence over the observed bounds), left-joined to the
+    sparse per-minute aggregate, empty minutes carrying the previous
+    minute's average forward within each day.
+
+    Scale: the per-minute aggregate is bounded by the time span (not
+    the input rows) so both the spine and the rollup are tiny relative
+    to the fact table — the join broadcasts. LOCF partitions by day, so
+    the window never serializes more than 1440 rows per task no matter
+    how long the series grows."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_min = e.groupBy(F.date_trunc("minute", F.col("ts")).alias("minute")).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    bounds = per_min.agg(F.min("minute").alias("lo"), F.max("minute").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("minute")
+    )
+    w = (
+        Window.partitionBy(F.to_date("minute"))
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(per_min, "minute", "left")
+        .select(
+            "minute",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(F.last("avg_value", ignorenulls=True).over(w), 6).alias(
+                "value_locf"
+            ),
+        )
+        .orderBy("minute")
+    )
+
+
+def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type — the sketch
+    twin of the exact q_distinct: mergeable partial aggregates, fixed
+    memory per group regardless of cardinality (the only distinct-count
+    that works on a 100 TB hot key). Estimates are engine-specific, so
+    this registers rows-only; the error bound vs exact is pytest-gated
+    (tests/test_relational.py)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_gapfill_locf": """
+        WITH per_min AS (
+            SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), spine AS (
+            SELECT unnest(generate_series((SELECT min(minute) FROM per_min),
+                                          (SELECT max(minute) FROM per_min),
+                                          INTERVAL 1 MINUTE)) AS minute
+        )
+        SELECT s.minute, CAST(coalesce(p.n, 0) AS BIGINT) AS n,
+               round(last_value(p.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY CAST(s.minute AS DATE) ORDER BY s.minute
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                   AS value_locf
+        FROM spine s LEFT JOIN per_min p USING (minute)
+        ORDER BY minute
+    """,
     "q_rollup": """
         SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
                count(*) AS cnt, round(sum(value), 4) AS sum_value
