@@ -1,0 +1,300 @@
+"""Deterministic sampling / splitting / mixing / packing for training-
+data curation — the corpus-assembly stage between raw documents and a
+tokenized training set.
+
+Every operator here is keyed on a **content-stable hash bucket**
+(md5 of the document key, first hex chars parsed as an integer), not
+on `rand()`: the same document lands in the same sample / split /
+shard on every run, on any engine, at any parallelism. That property
+is what makes 100 TB curation reproducible — re-running a stage after
+adding data never reshuffles the previously assigned documents, and
+an external auditor can recompute membership from the key alone.
+
+Scale notes:
+- hash-sample / split / mix are scan + map + filter: no shuffle at
+  all, perfectly parallel, and the filter is cheap enough to ride
+  along any existing scan of the corpus.
+- contamination joins the corpus's n-grams against the *benchmark*
+  n-gram set — benchmarks are small by construction (eval sets, not
+  corpora), so the build side broadcasts and the corpus is scanned
+  exactly once, never self-joined.
+- packing and shard interleave use one window each, partitioned by a
+  bounded key (lang / shard id), so no partition exceeds the corpus
+  share of one language / one shard; at 100 TB you'd sub-key by
+  (lang, date) the same way q_sessionize notes salting.
+
+Reference parity: the reference engine has no corpus stage (it is a
+timer service); these operators cover the driver's training-data
+north star alongside operators/dedup.py and operators/textops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from .dedup import spread, with_shingles
+
+# Parsing 6 hex chars (24 bits) keeps the value exact in both engines'
+# 64-bit integers; 100 buckets ~ percentage semantics.
+_HEX_CHARS = 6
+_BUCKETS = 100
+
+SAMPLE_PCT = 10          # q_sample_hash keep-rate
+SPLIT_TRAIN, SPLIT_VAL = 90, 95  # <90 train, <95 val, else test
+# per-language mixing rates (percent kept), the "data mixture" knob
+MIX_RATES = {"en": 100, "de": 50, "fr": 50, "es": 50, "zh": 25}
+BENCH_PCT = 5            # q_contamination: hash share held out as "benchmark"
+CONTAM_MIN_SHARED = 2    # flag docs sharing >= this many 3-grams with it
+PACK_BUDGET = 512        # q_pack_sequences: tokens per packed sequence
+N_SHARDS = 8             # q_shuffle_shards fan-out
+
+
+def hash_bucket(key: Column) -> Column:
+    """Stable bucket in [0, 100) from md5 of the key's string form.
+
+    Unlike Spark's murmur3 `F.hash`, md5-hex is bit-identical across
+    engines (DuckDB, pandas, a Go service…), which is what lets an
+    oracle — or a downstream consumer — recompute sample membership.
+    """
+    hexpart = F.substring(F.md5(key.cast("string")), 1, _HEX_CHARS)
+    return (F.conv(hexpart, 16, 10).cast("long") % _BUCKETS).alias("bucket")
+
+
+def _bucket_sql(key_sql: str) -> str:
+    """DuckDB twin of hash_bucket (same md5 prefix, same modulus)."""
+    return (
+        f"(('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, {_HEX_CHARS}))"
+        f"::BIGINT % {_BUCKETS})"
+    )
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: deterministic sample] keep a fixed hash share of the
+    corpus (10%). Pure scan+filter — zero shuffle, and the predicate
+    rides the parquet scan, so sampling 100 TB costs one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(hash_bucket(F.col("doc_id")) < SAMPLE_PCT)
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: train/val/test split] assign every document to a
+    split by hash bucket (90/5/5) and report per-split counts and
+    char mass. Documents never migrate between splits as the corpus
+    grows — the property that prevents eval contamination over time."""
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < SPLIT_TRAIN, "train").when(b < SPLIT_VAL, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: weighted mixture] downsample each language at its
+    mixture rate (en 100%, de/fr/es 50%, zh 25%) in one pass. The rate
+    lookup is a CASE expression, not a join — the mixture table is
+    config, not data. Reports the post-mix per-language census."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.lit(0)
+    for lang, pct in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    kept = d.filter(hash_bucket(F.col("doc_id")) < rate)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: benchmark contamination] flag corpus documents whose
+    3-gram shingles overlap a held-out "benchmark" set (the hash-lowest
+    5% of docs stands in for an eval suite). The benchmark n-gram set
+    is exploded, deduped, and **broadcast** — real benchmarks are tiny
+    next to a 100 TB corpus, so the corpus is scanned once and never
+    self-joined. Reports each contaminated doc with how many distinct
+    benchmark n-grams and benchmark docs it touches."""
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = hash_bucket(F.col("doc_id")) < BENCH_PCT
+    shingled = with_shingles(spread(d, spark).select("doc_id", "text"), n=3)
+
+    bench = (
+        shingled.filter(is_bench)
+        .select(
+            F.col("doc_id").alias("bench_doc"),
+            F.explode("shingles").alias("sh"),
+        )
+        .distinct()
+    )
+    corpus = shingled.filter(~is_bench).select(
+        "doc_id", F.explode("shingles").alias("sh")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh").alias("shared_ngrams"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+        .filter(F.col("shared_ngrams") >= CONTAM_MIN_SHARED)
+        .orderBy("doc_id")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: sequence packing] greedily pack documents into
+    fixed-token-budget training sequences (512 whitespace tokens),
+    per language in doc_id order: a doc starts in the bin where its
+    running-total start offset falls. One window per language — the
+    partition key is bounded (5 langs here; at 100 TB sub-key by
+    (lang, shard) to cap partition width). Emits bin-level occupancy,
+    the packing-efficiency report."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = d.select("doc_id", "lang", toks.alias("n_tokens")).withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_BUDGET),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: deterministic global shuffle + sharding] assign each
+    document a shard (hash mod 8) and a position within the shard
+    (ordered by a longer hash prefix) — the reproducible analog of
+    "shuffle the corpus and split into N training shards". Writing
+    would be `.repartition('shard').sortWithinPartitions('pos')`;
+    the window here is per-shard, so parallelism = shard count."""
+    d = load_table(spark, sf_dir, "documents")
+    # 12 hex chars = 48 bits: exact in a long, collision-free ordering
+    # for any realistic corpus
+    order_key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            (hash_bucket(F.col("doc_id")) % N_SHARDS).alias("shard"),
+            order_key.alias("order_key"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+_B = _bucket_sql("doc_id")
+
+ORACLES: dict[str, str] = {
+    "q_sample_hash": f"""
+        SELECT doc_id, source, lang, n_chars
+        FROM documents WHERE {_B} < {SAMPLE_PCT}
+        ORDER BY doc_id
+    """,
+    "q_split_assign": f"""
+        SELECT CASE WHEN {_B} < {SPLIT_TRAIN} THEN 'train'
+                    WHEN {_B} < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY split ORDER BY split
+    """,
+    "q_mix_sources": f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        WHERE {_B} < CASE lang
+            WHEN 'en' THEN {MIX_RATES['en']} WHEN 'de' THEN {MIX_RATES['de']}
+            WHEN 'fr' THEN {MIX_RATES['fr']} WHEN 'es' THEN {MIX_RATES['es']}
+            WHEN 'zh' THEN {MIX_RATES['zh']} ELSE 0 END
+        GROUP BY lang ORDER BY lang
+    """,
+    "q_contamination": f"""
+        WITH shingled AS (
+            SELECT doc_id, {_B} AS bucket,
+                   list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS shingles
+            FROM documents
+        ), bench AS (
+            SELECT DISTINCT doc_id AS bench_doc, unnest(shingles) AS sh
+            FROM shingled WHERE bucket < {BENCH_PCT}
+        ), corpus AS (
+            SELECT doc_id, unnest(shingles) AS sh
+            FROM shingled WHERE bucket >= {BENCH_PCT}
+        )
+        SELECT doc_id,
+               count(DISTINCT sh) AS shared_ngrams,
+               count(DISTINCT bench_doc) AS n_bench_docs
+        FROM corpus JOIN bench USING (sh)
+        GROUP BY doc_id
+        HAVING count(DISTINCT sh) >= {CONTAM_MIN_SHARED}
+        ORDER BY doc_id
+    """,
+    "q_pack_sequences": f"""
+        WITH packed AS (
+            SELECT lang,
+                   CAST(floor((sum(len(string_split(text, ' ')))
+                           OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - len(string_split(text, ' '))) / {PACK_BUDGET}) AS BIGINT)
+                       AS bin,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT lang, bin, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        FROM packed GROUP BY lang, bin ORDER BY lang, bin
+    """,
+    "q_shuffle_shards": f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   {_B} % {N_SHARDS} AS shard,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       AS order_key
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY order_key, doc_id) AS INT) AS pos
+        FROM keyed ORDER BY shard, pos
+    """,
+}
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if callable(fn) and name.startswith("q_")
+}
