@@ -28,6 +28,7 @@ def _sql(name):
 ORACLE_CHECKED = [
     "q_dedup_exact",
     "q_dedup_near",
+    "q_dup_clusters",
     "q_embed_dup",
     "q_ann_topk",
     "q_textstats",
@@ -53,6 +54,23 @@ def test_minhash_matches_exact_near_dup(spark):
     key = lambda df: set(map(tuple, df[["doc_a", "doc_b"]].values.tolist()))
     assert key(mh) == key(near)
     assert len(near) > 0, "testdata is expected to contain planted near-dups"
+
+
+def test_dup_clusters_close_pairs_transitively(spark):
+    """Every near-dup pair must land in one cluster (even pairs only
+    connected through an intermediate doc), the canonical member is the
+    cluster's min doc_id, and non-clustered docs never appear."""
+    pairs = _q("q_dedup_near")(spark, SF_DIR).toPandas()
+    clusters = _q("q_dup_clusters")(spark, SF_DIR).toPandas()
+    label = dict(zip(clusters["doc_id"], clusters["cluster_id"]))
+    for a, b in pairs[["doc_a", "doc_b"]].values.tolist():
+        assert label[a] == label[b], (a, b)
+    by_cluster = clusters.groupby("cluster_id")["doc_id"].min()
+    for cid, min_id in by_cluster.items():
+        assert cid == min_id
+    assert set(clusters["doc_id"]) == set(pairs["doc_a"]) | set(pairs["doc_b"])
+    assert (clusters["is_canonical"] == (clusters["doc_id"] == clusters["cluster_id"])).all()
+    assert (clusters["cluster_size"] >= 2).all()
 
 
 def test_simhash_pairs_are_true_near_dups(spark):

@@ -442,6 +442,65 @@ def q_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over the
+    near-dup pair graph, labeling every clustered doc with its
+    component's minimum doc_id (the canonical survivor) — the step
+    that turns pairwise Jaccard hits into an actionable keep/drop set
+    (A~B and B~C must drop together even though A~C was never tested).
+
+    Iterative min-label propagation: each round, every node takes the
+    min label among itself and its neighbors; rounds needed = cluster
+    diameter. Near-dup components at a 0.8 Jaccard threshold are
+    small and dense (near-cliques), so this converges in 2-3 rounds;
+    a web-scale graph with long chains would use the large-star/
+    small-star contraction (O(log n) rounds) — same join-groupBy
+    primitive, different edge rewrite. Per round: one shuffle join +
+    one min-groupBy, with localCheckpoint truncating the lineage so
+    plan size stays constant across iterations. The convergence test
+    piggybacks on the same pass (max label-change indicator), not a
+    separate count job.
+    """
+    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("node", "peer")
+    labels = (
+        edges.select("node").distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+
+    for _ in range(20):  # >> any real diameter; assert below catches stalls
+        neighbor = edges.join(
+            labels.withColumnRenamed("node", "peer"), "peer"
+        ).select("node", "label")
+        merged = (
+            neighbor.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        stepped = labels.join(merged, "node").localCheckpoint()
+        changed = stepped.agg(
+            F.max((F.col("new_label") < F.col("label")).cast("int")).alias("c")
+        ).collect()[0]["c"]
+        labels = stepped.select("node", F.col("new_label").alias("label"))
+        if not changed:
+            break
+    else:  # pragma: no cover - 20 rounds covers any plausible cluster
+        raise RuntimeError("connected components did not converge")
+
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLES: dict[str, str] = {
     "q_dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
@@ -471,6 +530,46 @@ ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
         WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6) >= {NEAR_DUP_THRESHOLD}
+    """,
+    # the same pair derivation as q_dedup_near, then transitive closure
+    # (recursive CTE) -> per-node min reachable id = the cluster label
+    "q_dup_clusters": f"""
+        WITH RECURSIVE shingled AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS shingles
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_sh FROM shingled
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled) a
+            JOIN (SELECT doc_id, unnest(shingles) AS sh FROM shingled) b USING (sh)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), dup AS (
+            SELECT doc_a, doc_b
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6)
+                  >= {NEAR_DUP_THRESHOLD}
+        ), edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM dup
+            UNION SELECT doc_b, doc_a FROM dup
+        ), reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), labeled AS (
+            SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM labeled ORDER BY doc_id
     """,
     "q_embed_dup": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
