@@ -250,3 +250,39 @@ def test_registered_stream_query(spark):
     assert (pdf["timer_id"] % 2 == 0).all()  # odd timers disabled
     assert not pdf.duplicated(["timer_id", "run_timer"]).any()
     assert len(pdf) > 0
+
+
+def test_stream_join_matches_batch_twin(spark):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch join's pairs (inner interval join is deterministic; the
+    watermark bounds state, never drops on-time rows in a replay)."""
+    import __spark_entry__ as entrymod
+
+    from timer_pulsar_spark.catalog import load_table
+    from timer_pulsar_spark.streaming.joins import attribution_join
+
+    from .conftest import SF_DIR
+
+    streamed = entrymod.queries()["q_stream_join"](spark, SF_DIR).toPandas()
+
+    def side(event_type, prefix):
+        return (
+            load_table(spark, SF_DIR, "events")
+            .filter(
+                (F.col("event_type") == event_type)
+                & (F.col("ts") >= "2024-01-01")
+                & (F.col("ts") < "2024-01-08")
+            )
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+        )
+
+    batch = attribution_join(side("click", "click"), side("purchase", "purchase")).toPandas()
+    cols = ["user_id", "click_event_id", "purchase_event_id", "gap_us"]
+    key = lambda df: sorted(map(tuple, df[cols].values.tolist()))
+    assert key(streamed) == key(batch)
+    assert len(batch) > 0
+    assert (streamed["gap_us"] >= 0).all()

@@ -150,7 +150,134 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[funnel] strictly-ordered view -> click -> purchase conversion
+    per user: the first view, the first click AFTER that view, the
+    first purchase AFTER that click. Expressed as three cascaded
+    conditional min-aggregations (each a groupBy + join on user_id),
+    so the sequencing constraint is exact — a user who purchased
+    before ever clicking does not count as converted.
+
+    Scale: the per-stage dims are |users| rows of 2 columns; each join
+    reuses the same user_id hash partitioning, so AQE coalesces the
+    cascade into one exchange of each side. Skewed mega-users only
+    affect their own group's min()."""
+    e = load_table(spark, sf_dir, "events")
+    t_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    t_click = (
+        e.filter(F.col("event_type") == "click")
+        .join(t_view, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(t_click, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t_view.join(t_click, "user_id", "left")
+        .join(t_purchase, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase")
+        .orderBy("user_id")
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[cohort retention] users bucketed by first-seen day; for each
+    (cohort_day, day_offset) the distinct users active that many days
+    later — the classic retention triangle. One agg builds the cohort
+    dim (|users| rows, broadcast), one agg counts; the distinct is
+    per (cohort, offset) group with map-side partial aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_date")
+    )
+    return (
+        e.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff(F.to_date("ts"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[resample: OHLC] per event_type x hour candle: open/close via
+    min_by/max_by on the event timestamp (deterministic — (event_type,
+    ts) is collision-free at microsecond resolution), high/low/volume
+    as plain aggregates. Single shuffle with partial combine; min_by
+    carries one (ts, value) pair per group through the combiner, not
+    the group's rows."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.round(F.min_by("value", "ts"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "ts"), 6).alias("close"),
+            F.count(F.lit(1)).alias("n_trades"),
+            F.round(F.sum("value"), 4).alias("volume"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_funnel": """
+        WITH t_view AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), t_click AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN t_view v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t_view
+            GROUP BY e.user_id
+        ), t_purchase AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN t_click c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+        FROM t_view v
+        LEFT JOIN t_click c ON c.user_id = v.user_id
+        LEFT JOIN t_purchase p ON p.user_id = v.user_id
+        ORDER BY v.user_id
+    """,
+    "q_retention": """
+        WITH cohort AS (
+            SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date
+            FROM events GROUP BY user_id
+        )
+        SELECT strftime(c.cohort_date, '%Y-%m-%d') AS cohort_day,
+               datediff('day', c.cohort_date, CAST(e.ts AS DATE)) AS day_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN cohort c ON e.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q_ohlc": """
+        SELECT event_type, date_trunc('hour', ts) AS hour,
+               round(arg_min(value, ts), 6) AS open,
+               round(max(value), 6) AS high,
+               round(min(value), 6) AS low,
+               round(arg_max(value, ts), 6) AS close,
+               count(*) AS n_trades,
+               round(sum(value), 4) AS volume
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     "q_moving_avg": """
         SELECT event_id, event_type,
                round(avg(value) OVER (

@@ -161,7 +161,202 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 3
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k keyword extraction by TF-IDF. Two shuffles:
+    (doc_id, term) count — map-side combiner collapses each document
+    to its distinct terms before the exchange — and the term document-
+    frequency aggregate, whose result is a |vocab|-row 2-column dim
+    that broadcasts even for a 100 TB corpus (natural-language vocab
+    growth is sublinear, Heaps' law). The top-k window repartitions by
+    doc_id only.
+
+    Ranking is by the integer triple (tf desc, df asc, term asc) —
+    monotone in tf-idf within a document but exactly reproducible
+    across engines (no float comparison in the ORDER BY); the float
+    tfidf score is emitted rounded, never compared."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        d.select("doc_id", F.size(_toks()).alias("n_tokens"),
+                 F.explode(_toks()).alias("term"))
+        .groupBy("doc_id", "n_tokens", "term")
+        .agg(F.count(F.lit(1)).alias("tf_cnt"))
+    )
+    df_dim = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf_cnt").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df_dim), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "term",
+            "rk",
+            "tf_cnt",
+            "df",
+            F.round(
+                (F.col("tf_cnt") / F.col("n_tokens"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking for training-sequence prep: overlapping
+    64-token windows at a 48-token stride (16-token overlap), emitted
+    as (doc_id, chunk_idx, n_chunk_tokens, chunk md5). Pure map-side
+    explode — zero shuffle at any corpus size; output cardinality is
+    ~n_tokens/stride per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    chunk = F.slice(_toks(), F.col("start") + 1, CHUNK_TOKENS)
+    return (
+        d.select("doc_id", "text", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+        )
+    )
+
+
+def q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking: plant a deterministic email + phone-shaped token
+    per document (synthetic corpus carries none), then redact with the
+    same RE2-compatible regexes on both engines. Map-side only. The
+    count columns come from regexp_extract_all BEFORE replacement, so
+    a production corpus with real hits reports true redaction counts,
+    not the planted ones."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit("contact user"), F.col("doc_id"), F.lit("@example.com ph 555-"),
+        (F.col("doc_id") * 7).cast("string"), F.lit(" "), F.col("text")
+    )
+    email_re = "[a-z0-9]+@[a-z]+[.][a-z]+"
+    phone_re = "[0-9]{3}-[0-9]+"
+    redacted = F.regexp_replace(
+        F.regexp_replace(planted, email_re, "<EMAIL>"), phone_re, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(concat('contact user', doc_id, '@example.com ph 555-', doc_id * 7, ' ', text), '{email_re}', 0)")).alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(concat('contact user', doc_id, '@example.com ph 555-', doc_id * 7, ' ', text), '{phone_re}', 0)")).alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).alias("redacted_len"),
+    )
+
+
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level unigram language-model scoring: build the global
+    token frequency table (one shuffle; |vocab| rows), broadcast it
+    back, and score every document by its mean token log-probability —
+    the cheap perplexity proxy used to quality-rank web corpora
+    (CCNet-style). The per-doc aggregation shuffles pre-combined
+    (doc_id, partial-sum) rows only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_rows = d.select("doc_id", F.explode(_toks()).alias("term"))
+    freq = toks_rows.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.groupBy().agg(F.sum("cnt").alias("total"))
+    scored = toks_rows.join(F.broadcast(freq), "term").join(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_tfidf": f"""
+        WITH tf AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tfc AS (
+            SELECT doc_id, n_tokens, term, count(*) AS tf_cnt
+            FROM tf GROUP BY 1, 2, 3
+        ), dfd AS (
+            SELECT term, count(*) AS df FROM tfc GROUP BY term
+        ), nd AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, term,
+               row_number() OVER w AS rk,
+               tf_cnt, df,
+               round((tf_cnt * 1.0 / n_tokens) * ln(n_docs * 1.0 / df), 6)
+                   AS tfidf
+        FROM tfc JOIN dfd USING (term), nd
+        WINDOW w AS (PARTITION BY doc_id
+                     ORDER BY tf_cnt DESC, df ASC, term ASC)
+        QUALIFY rk <= {TFIDF_TOPK}
+    """,
+    "q_chunk": f"""
+        SELECT doc_id,
+               s // {CHUNK_STRIDE} AS chunk_idx,
+               len(list_slice(string_split(text, ' '), s + 1,
+                              s + {CHUNK_TOKENS})) AS n_chunk_tokens,
+               md5(array_to_string(
+                   list_slice(string_split(text, ' '), s + 1,
+                              s + {CHUNK_TOKENS}), ' ')) AS chunk_md5
+        FROM (
+            SELECT doc_id, text,
+                   unnest(range(0, greatest(len(string_split(text, ' ')), 1),
+                                {CHUNK_STRIDE})) AS s
+            FROM documents
+        )
+    """,
+    "q_redact": """
+        WITH planted AS (
+            SELECT doc_id,
+                   'contact user' || doc_id || '@example.com ph 555-'
+                       || (doc_id * 7) || ' ' || text AS ptext
+            FROM documents
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(ptext, '[a-z0-9]+@[a-z]+[.][a-z]+'))
+                   AS n_emails,
+               len(regexp_extract_all(ptext, '[0-9]{3}-[0-9]+')) AS n_phones,
+               md5(regexp_replace(
+                   regexp_replace(ptext, '[a-z0-9]+@[a-z]+[.][a-z]+',
+                                  '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]+', '<PHONE>', 'g')) AS redacted_md5,
+               length(regexp_replace(
+                   regexp_replace(ptext, '[a-z0-9]+@[a-z]+[.][a-z]+',
+                                  '<EMAIL>', 'g'),
+                   '[0-9]{3}-[0-9]+', '<PHONE>', 'g')) AS redacted_len
+        FROM planted
+    """,
+    "q_unigram_lm": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), freq AS (
+            SELECT term, count(*) AS cnt FROM toks GROUP BY term
+        ), tot AS (SELECT sum(cnt) AS total FROM freq)
+        SELECT doc_id, count(*) AS n_tokens,
+               round(avg(ln(cnt * 1.0 / total)), 6) AS avg_logprob
+        FROM toks JOIN freq USING (term), tot
+        GROUP BY doc_id ORDER BY doc_id
+    """,
     "q_textstats": """
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,

@@ -19,11 +19,11 @@ _MODULES = []
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from . import metrics
     from .operators import relational, timeseries
-    from .streaming import rollup, sessionize
+    from .streaming import joins, rollup, sessionize
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    mods = [relational, timeseries, metrics, sessionize, rollup]
+    mods = [relational, timeseries, metrics, sessionize, rollup, joins]
     for extra in ("dedup", "similarity", "textops", "timerdomain", "multimodal", "streamops", "analytics", "sampling"):
         try:
             mods.append(__import__(f"timer_pulsar_spark.operators.{extra}", fromlist=[extra]))

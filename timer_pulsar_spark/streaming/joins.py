@@ -1,0 +1,118 @@
+"""Stream-stream interval join: click -> purchase attribution within a
+6-hour window, both sides watermarked so join state is bounded.
+
+This is the streaming operator class the reference's trigger/scheduler
+pair approximates with its 1-minute slice replay (gotimer_trigger/
+service/trigger/worker.go polling a time range per partition): two
+unbounded inputs correlated on key + event-time range. Structured
+Streaming holds each side's rows in state only until the other side's
+watermark passes the end of the range condition — state is
+O(events per attribution horizon), independent of stream length.
+
+Unlike most streaming operators, the inner interval join's result is
+deterministic and SQL-expressible, so the registered query is fully
+ORACLE-checked (not rows-only): the replay through real micro-batch
+execution must byte-match the ANSI self-join.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# 6 h attribution horizon: wide enough that the synthetic event stream
+# (sparse per-user activity) produces non-trivial matches at every SF
+ATTRIB_WINDOW_MIN = 360
+
+
+def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """clicks(click_user, click_id, click_ts) x purchases(purchase_user,
+    purchase_id, purchase_ts) -> matches within [0, 10 min]. Works on
+    both batch and streaming DataFrames (the streaming case needs
+    watermarks set by the caller)."""
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""click_user = purchase_user
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTES"""
+        ),
+    ).select(
+        F.col("click_user").alias("user_id"),
+        F.col("click_id").alias("click_event_id"),
+        F.col("purchase_id").alias("purchase_event_id"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+
+
+def _side(spark: SparkSession, sf_dir: str, event_type: str, prefix: str,
+          work: str) -> DataFrame:
+    from ..catalog import load_table
+
+    path = os.path.join(work, prefix)
+    load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == event_type)
+        & (F.col("ts") >= "2024-01-01")
+        & (F.col("ts") < "2024-01-08")
+    ).select(
+        F.col("user_id").alias(f"{prefix}_user"),
+        F.col("event_id").alias(f"{prefix}_id"),
+        F.col("ts").alias(f"{prefix}_ts"),
+    ).write.mode("overwrite").parquet(path)
+    return (
+        spark.readStream.schema(
+            f"{prefix}_user long, {prefix}_id long, {prefix}_ts timestamp"
+        )
+        .parquet(path)
+        .withWatermark(f"{prefix}_ts", "1 minute")
+    )
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: replay the first week of clicks and purchases
+    as two file streams through the watermarked interval join; the
+    parquet sink then holds exactly the batch self-join's rows."""
+    work = tempfile.mkdtemp(prefix="stream_join_")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+
+    joined = attribution_join(
+        _side(spark, sf_dir, "click", "click", work),
+        _side(spark, sf_dir, "purchase", "purchase", work),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(out_dir)
+
+
+QUERIES = {"q_stream_join": q_stream_join}
+ORACLES: dict[str, str] = {
+    "q_stream_join": f"""
+        SELECT c.user_id,
+               c.event_id AS click_event_id,
+               p.event_id AS purchase_event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          AND c.ts >= '2024-01-01' AND c.ts < '2024-01-08'
+          AND p.ts >= '2024-01-01' AND p.ts < '2024-01-08'
+    """,
+}
