@@ -128,3 +128,28 @@ def test_dedup_near_single_scan(spark):
     in-group pair generation design)."""
     plan = _plan(spark, "q_dedup_near")
     assert plan.count("Scan parquet") == 1
+
+
+def test_chunking_is_map_side_only(spark):
+    """Document chunking must be a pure explode-projection: zero
+    exchanges of any kind — the operator streams through a corpus
+    without shuffling a single row."""
+    plan = _plan(spark, "q_chunk")
+    assert "Exchange" not in plan
+
+
+def test_centroid_assign_broadcasts_codebook(spark):
+    """Vector quantization: the 16-row codebook must broadcast (never
+    shuffle the corpus side for the cross join); the only exchange is
+    the per-vector argmax window."""
+    plan = _plan(spark, "q_centroid_assign")
+    assert "BroadcastExchange" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_tfidf_broadcasts_vocab_dims(spark):
+    """TF-IDF joins its document-frequency and corpus-size dims by
+    broadcast — the corpus-side term rows never shuffle for a join."""
+    plan = _plan(spark, "q_tfidf")
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan

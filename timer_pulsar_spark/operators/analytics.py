@@ -235,7 +235,44 @@ def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[SCD2 change capture] compress each user's event-type stream
+    into type-2 validity intervals: keep only CHANGE rows (type differs
+    from the previous event), then close each interval with the next
+    change's timestamp — valid_to NULL marks the current state. Two
+    window passes over the SAME (user_id, ts) partitioning, so
+    Catalyst plans one shuffle + one sort for both."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = e.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from")
+
+
 ORACLES: dict[str, str] = {
+    "q_scd2": """
+        WITH changes AS (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, valid_from
+    """,
     "q_funnel": """
         WITH t_view AS (
             SELECT user_id, min(ts) AS t_view FROM events

@@ -226,6 +226,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector quantization, oracle-checked: assign EVERY corpus vector
+    to its nearest of the 16 fixed centroids (the same codebook rows
+    q_ann_ivf uses) with the exact cosine. Unlike q_ann_ivf's
+    pandas-UDF kernel this stays JVM-side: broadcast the 16-row
+    codebook, nested-loop every vector against it inside codegen, and
+    keep the argmax with one row_number per vec_id — so the whole
+    assignment is a map-side pass plus a shuffle of N pre-ranked rows.
+    At 100 TB the broadcast side is still 16 rows; the window
+    partitions by vec_id (perfectly uniform).
+
+    This is one Lloyd half-step (the E-step of k-means); iterating
+    M-steps would recompute the codebook as groupBy(cell) avg — same
+    primitive, driver-side loop like q_dup_clusters."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + _N_CENTROIDS)
+    ).select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent_emb"))
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cosine", F.round(cosine_sim(F.col("embedding"), F.col("cent_emb")), 6)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cell_id", "cosine")
+    )
+
+
 _COS = (
     "round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
     " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
@@ -245,6 +274,20 @@ ORACLES: dict[str, str] = {
     """,
     # q_ann_lsh: recall-bounded by design → no SQL oracle (rows-only);
     # tests/test_similarity.py asserts recall >= 0.6 vs q_ann_topk.
+    "q_centroid_assign": f"""
+        SELECT vec_id, cell_id, cosine FROM (
+            SELECT q.vec_id, cent.vec_id AS cell_id,
+                   {_COS.replace('c.embedding', 'cent.embedding')} AS cosine,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_COS.replace('c.embedding', 'cent.embedding')} DESC,
+                                cent.vec_id) AS rnk
+            FROM embeddings q
+            JOIN embeddings cent
+              ON cent.vec_id >= {N_QUERIES}
+             AND cent.vec_id < {N_QUERIES + _N_CENTROIDS}
+        ) WHERE rnk = 1
+    """,
 }
 
 QUERIES = {
