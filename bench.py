@@ -106,11 +106,20 @@ def bench_pipeline(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def bench_delay_slo(spark, waves: int = 10, timers_n: int = 50) -> dict:
+def bench_delay_slo(spark, waves: int = 10, timers_n: int = 50,
+                    _warm: bool = True) -> dict:
     """Live 1-second-trigger latency (BASELINE delay SLO): one wave of
     due tasks scheduled at 'now' lands per second; delay_ms = executor
     pickup - scheduled, reported at the reference's summary quantiles
-    {.5,.9,.99} (promethus/reporter.go:74-83)."""
+    {.5,.9,.99} (promethus/reporter.go:74-83).
+
+    A short unmeasured warm-up pass runs first: the first live query
+    pays one-time JVM JIT + codegen + state-store setup (~2s spread
+    over its first batches), which is deployment cold-start, not
+    steady-state scheduling delay — the SLO the reference's reporter
+    tracks is steady-state."""
+    if _warm:
+        bench_delay_slo(spark, waves=3, timers_n=timers_n, _warm=False)
     import datetime as dt
     import shutil
     import tempfile
@@ -168,16 +177,30 @@ def bench_delay_slo(spark, waves: int = 10, timers_n: int = 50) -> dict:
         warm_deadline = time.time() + 60
         while q.lastProgress is None and time.time() < warm_deadline:
             time.sleep(0.2)
-        for _ in range(waves):
+        # Waves are produced with pyarrow directly — a Spark write job
+        # per wave would contend with the live stream for driver and
+        # executor slots, charging producer cost to the consumer's SLO
+        # (a real deployment's producer is an external broker).
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        id_vals = list(range(timers_n))
+        for wave in range(waves):
             now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            tbl = pa.table(
+                {
+                    "timer_id": pa.array(id_vals, pa.int64()),
+                    "run_timer": pa.array([now] * timers_n, pa.timestamp("us")),
+                    "status": pa.array([0] * timers_n, pa.int32()),
+                }
+            )
             # one file per wave — the broker-delivery analog is a
             # compact batch, not 32 near-empty shards
-            ids.coalesce(1).select(
-                F.col("id").alias("timer_id"),
-                F.lit(now).cast("timestamp").alias("run_timer"),
-                F.lit(0).alias("status"),
-            ).write.mode("append").parquet(tasks_dir)
-            time.sleep(1)
+            pq.write_table(tbl, os.path.join(tasks_dir, f"wave-{wave}.parquet"))
+            # co-prime with the 1 s trigger so wave arrival phase sweeps
+            # the whole trigger period — a 1 s producer phase-locks to
+            # the trigger and reports only one (lucky or unlucky) phase
+            time.sleep(1.37)
         # drain on the output table (micro-batches can lag under load)
         expected = waves * timers_n
         deadline = time.time() + 180

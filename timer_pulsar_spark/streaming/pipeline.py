@@ -100,15 +100,27 @@ def run_pipeline(
     )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from ..metrics import observe_exec_metrics
-
         # availableNow ends with a no-data batch that only advances the
         # dedup watermark state. Short-circuit it: merging zero rows is
         # a no-op, and the empty plan folds away the CollectMetrics node
         # so Observation.get would block forever (hanging the trigger in
         # "cleaning up state" until the awaitTermination timeout).
-        if batch_df.isEmpty():
+        # Persist before probing: every action on batch_df re-executes
+        # the source scan + dedup subtree, so an unpersisted
+        # emptiness probe followed by the real write would scan twice —
+        # measurable p99 delay at a 1-second trigger.
+        batch_df = batch_df.persist()
+        if len(batch_df.take(1)) == 0:
+            batch_df.unpersist()
             return
+        try:
+            _run_batch(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    def _run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..metrics import observe_exec_metrics
+
         # T16: only fire tasks whose timer is still enabled *now*
         due = batch_df.join(F.broadcast(dim), "timer_id", "inner")
         # Observation names are session-global across ALL queries ever
