@@ -54,6 +54,19 @@ def test_joins_broadcast_small_side(spark):
         assert "CartesianProduct" not in plan, name
 
 
+def test_tpch_tail_queries_broadcast_no_cartesian(spark):
+    """q2/q11/q20/q21 decorrelate subqueries into broadcast dims: the
+    per-group threshold/min side must broadcast, and no decorrelation
+    may degrade to a cartesian product (the q11/q2 scalar cross-joins
+    are 1-row broadcasts, which Spark plans as BroadcastNestedLoopJoin
+    — allowed; an unbroadcast CartesianProduct is not)."""
+    for name in ("tpch_q2", "tpch_q11", "tpch_q20", "tpch_q21"):
+        plan = _plan(spark, name)
+        assert "BroadcastExchange" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "PythonUDF" not in plan, name
+
+
 def test_salted_distinct_is_two_level(spark):
     """The salted distinct must show two HashAggregate levels keyed
     (event_type, salt) then (event_type) — the skew-splitting shape."""

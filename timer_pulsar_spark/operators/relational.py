@@ -886,6 +886,151 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: no partsupp table, so
+    supply cost is derived from lineitem as the cheapest observed unit
+    price per (part, supplier) pair). The correlated MIN subquery is
+    decorrelated into a per-part minimum dim broadcast back onto the
+    candidate rows — the classic argmin-per-group shape with no
+    re-shuffle of the big side. Region restriction flows supplier →
+    nation → region through two broadcast hops."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible_supp = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(p.select("p_partkey", "p_name")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eligible_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("supply_cost"))
+    )
+    min_cost = cost.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("supply_cost").alias("min_cost")
+    )
+    return (
+        cost.join(
+            F.broadcast(min_cost),
+            (cost.p_partkey == F.col("mc_partkey"))
+            & (cost.supply_cost == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "supply_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: part value in a nation is the
+    total lineitem revenue supplied by that nation's suppliers, standing
+    in for supplycost*availqty). The HAVING > scalar-subquery shape:
+    the national total is a 1-row aggregate cross-joined (broadcast)
+    into the per-part HAVING filter, so the heavy aggregation runs once
+    and the global total is derived from a second pass over the same
+    shuffled data (ReusedExchange under AQE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_9")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select("s_suppkey")
+    nat_li = li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+    per_part = nat_li.groupBy("l_partkey").agg(
+        F.sum("l_extendedprice").alias("part_value")
+    )
+    total = per_part.agg((F.sum("part_value") * 0.001).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 4).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted: availability is
+    derived from shipped volume — a supplier qualifies for a part when
+    it shipped more than 20% of that part's 1996 volume). Nested
+    decorrelation: per-(part,supplier) quantity vs a per-part total,
+    both from one aggregation tree; `5*pair > total` keeps the
+    comparison exact for integral quantities. Qualifying suppliers are
+    then a semi-join target (EXISTS), never multiplied out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    pair_qty = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+    )
+    part_total = pair_qty.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("pair_qty").alias("part_qty")
+    )
+    qualifying = (
+        pair_qty.join(F.broadcast(part_total), pair_qty.l_partkey == F.col("pt_partkey"))
+        .filter(F.col("pair_qty") * 5 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(qualifying, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: no
+    receipt/commit dates, so the "late" signal is a returned lineitem —
+    a supplier is blamed for a finished multi-supplier order when it is
+    the ONLY supplier whose lineitem came back 'R'). The EXISTS /
+    NOT-EXISTS pair is decorrelated into per-order distinct-supplier
+    counts (total and returned) computed in one aggregation, then
+    broadcast back onto the returned lineitems."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    f_li = li.join(
+        F.broadcast(o.select("o_orderkey")), li.l_orderkey == F.col("o_orderkey")
+    )
+    order_dim = f_li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_r_supp"),
+    )
+    blamed = (
+        f_li.filter(F.col("l_returnflag") == "R")
+        .join(
+            F.broadcast(
+                order_dim.filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+            ),
+            "l_orderkey",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same aliases, same rounding)
 # ---------------------------------------------------------------------------
@@ -1218,6 +1363,92 @@ ORACLES: dict[str, str] = {
                AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 35
                AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q2": """
+        WITH eligible_supp AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), cost AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                   round(min(l_extendedprice / l_quantity), 4) AS supply_cost
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN eligible_supp ON l_suppkey = s_suppkey
+            WHERE p_size = 15 AND p_type = 'LARGE'
+            GROUP BY ALL
+        ), min_cost AS (
+            SELECT p_partkey AS mc_partkey, min(supply_cost) AS min_cost
+            FROM cost GROUP BY 1
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+        FROM cost JOIN min_cost
+          ON p_partkey = mc_partkey AND supply_cost = min_cost
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "tpch_q11": """
+        WITH per_part AS (
+            SELECT l_partkey, sum(l_extendedprice) AS part_value
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_9'
+            GROUP BY 1
+        )
+        SELECT l_partkey, round(part_value, 4) AS part_value
+        FROM per_part
+        WHERE part_value > (SELECT sum(part_value) * 0.001 FROM per_part)
+        ORDER BY part_value DESC, l_partkey
+    """,
+    "tpch_q20": """
+        WITH pair_qty AS (
+            SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_name LIKE 'small%'
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2
+        ), part_total AS (
+            SELECT l_partkey AS pt_partkey, sum(pair_qty) AS part_qty
+            FROM pair_qty GROUP BY 1
+        ), qualifying AS (
+            SELECT DISTINCT l_suppkey
+            FROM pair_qty JOIN part_total ON l_partkey = pt_partkey
+            WHERE pair_qty * 5 > part_qty
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND s_suppkey IN (SELECT l_suppkey FROM qualifying)
+        ORDER BY s_name
+    """,
+    "tpch_q21": """
+        WITH f_li AS (
+            SELECT l_orderkey, l_suppkey, l_returnflag
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ), order_dim AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                       THEN l_suppkey END) AS n_r_supp
+            FROM f_li GROUP BY 1
+        )
+        SELECT s_name, count(DISTINCT f_li.l_orderkey) AS numwait
+        FROM f_li
+        JOIN order_dim ON f_li.l_orderkey = order_dim.l_orderkey
+        JOIN supplier ON f_li.l_suppkey = s_suppkey
+        WHERE f_li.l_returnflag = 'R' AND n_supp > 1 AND n_r_supp = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
     """,
 }
 
