@@ -244,23 +244,44 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     present = [n for n in HEADLINERS if n in qs]
+    errors: dict[str, str] = {}
+
+    # Per-query isolation everywhere: round 2's single q_sessionize
+    # AnalysisException aborted the whole process before any timing was
+    # printed (BENCH_r02.json rc=1). A bench harness must degrade
+    # per-query, never die — the JSON line is emitted no matter what.
+    def run_noop(name: str) -> bool:
+        try:
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            return True
+        except Exception as exc:  # noqa: BLE001 — survive ANY query failure
+            errors[name] = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            return False
+
     # untimed warm-up pass: page-cache the inputs and JIT the codegen
     # shapes so the timed pass measures steady-state compute
-    for name in present:
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    warm_ok = [n for n in present if run_noop(n)]
 
     timings: dict[str, float] = {}
-    for name in present:
+    for name in warm_ok:
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        if run_noop(name):
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
-    pipeline = bench_pipeline(spark)
-    print(f"# pipeline: {pipeline}", file=sys.stderr)
-    delay = bench_delay_slo(spark)
-    print(f"# delay_slo: {delay}", file=sys.stderr)
+    try:
+        pipeline = bench_pipeline(spark)
+        print(f"# pipeline: {pipeline}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        pipeline = {"error": f"{type(exc).__name__}: {exc}".splitlines()[0][:500]}
+        print(f"# pipeline: ERROR {pipeline['error']}", file=sys.stderr)
+    try:
+        delay = bench_delay_slo(spark)
+        print(f"# delay_slo: {delay}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        delay = {"error": f"{type(exc).__name__}: {exc}".splitlines()[0][:500]}
+        print(f"# delay_slo: ERROR {delay['error']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     line = {
@@ -268,6 +289,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,
         "pipeline": pipeline,
         "delay_slo": delay,
         "sf": sf_from_dir(sf_dir),
@@ -277,4 +299,23 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 — always leave a parseable line
+        import traceback
+
+        traceback.print_exc()
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total_sec",
+                    "value": -1.0,
+                    "unit": "sec",
+                    "queries": {},
+                    "errors": {"__main__": f"{type(exc).__name__}: {exc}".splitlines()[0][:500]},
+                    "sf": -1.0,
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(1)

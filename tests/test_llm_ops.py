@@ -171,3 +171,28 @@ def test_simhash_plan_has_no_python_udf(spark):
     df = _q("q_dedup_simhash")(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_cooccurring_pairs_df_cap_drops_hot_key(spark):
+    """A degenerate hot posting key (df > max_df) must be dropped by the
+    df-cap BEFORE pair expansion — bounding the quadratic blowup a
+    stop-word shingle would cause at scale — while normal keys are
+    unaffected and results below the cap are byte-identical."""
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.operators.dedup import cooccurring_pairs
+
+    hot = [(i, "hot") for i in range(50)]          # df=50: 1225 pairs if uncapped
+    cold = [(1, "cold"), (2, "cold"), (3, "cold")]  # df=3: 3 pairs
+    postings = spark.createDataFrame(hot + cold, "doc_id long, sh string")
+
+    capped = cooccurring_pairs(postings, ["sh"], ["doc_id"], max_df=10).toPandas()
+    assert len(capped) == 3  # only the cold key's pairs survive
+    assert set(map(tuple, capped.values.tolist())) == {(1, 2), (1, 3), (2, 3)}
+
+    uncapped = cooccurring_pairs(postings, ["sh"], ["doc_id"]).toPandas()
+    assert len(uncapped) == 3 + 50 * 49 // 2
+
+    # cap above every group's size changes nothing
+    wide = cooccurring_pairs(postings, ["sh"], ["doc_id"], max_df=1000).toPandas()
+    assert len(wide) == len(uncapped)

@@ -286,3 +286,48 @@ def test_stream_join_matches_batch_twin(spark):
     assert key(streamed) == key(batch)
     assert len(batch) > 0
     assert (streamed["gap_us"] >= 0).all()
+
+
+def test_broker_seam_pipeline_loopback(spark, timers, tmp_path):
+    """S10/S11 seam test: the FULL pipeline driven through the broker
+    record codec. Due tasks are produced with encode_task_records into
+    the kafka/pulsar wire shape (key,value binary), staged as a topic
+    stand-in, and consumed via task_stream(kind="records") — the same
+    decode path the real connectors use — then watermark + dedup +
+    enabled-dim join + mock executor + MERGE. The status table must be
+    identical to the plain files-mode run: the codec hop is transparent."""
+    from timer_pulsar_spark.sources import encode_task_records
+    from timer_pulsar_spark.schemas import TASK_SUCCESSED
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline_blocking
+
+    topic_dir = str(tmp_path / "topic")
+    status_path = str(tmp_path / "status")
+    ckpt = str(tmp_path / "ckpt")
+
+    rows = []
+    for tid in range(1, 6):
+        for k in range(2):
+            row = (tid, BASE + timedelta(minutes=k), 0)
+            rows += [row, row]  # at-least-once delivery: every record twice
+    tasks = spark.createDataFrame(
+        rows, "timer_id long, run_timer timestamp, status int"
+    )
+    encode_task_records(tasks).write.mode("overwrite").parquet(topic_dir)
+
+    run_pipeline_blocking(
+        spark, topic_dir, timers, status_path, ckpt, source_kind="records"
+    )
+
+    out = spark.read.parquet(status_path)
+    assert out.filter("timer_id = 5").count() == 0  # disabled at fire time
+    assert out.count() == 4 * 2  # one row per (enabled timer, instant)
+    assert out.groupBy("timer_id", "run_timer").count().filter("count > 1").count() == 0
+    assert out.filter(F.col("status") != TASK_SUCCESSED).count() == 0
+    # the decoded run_timer survived the JSON hop at full precision
+    got = sorted(
+        (r.timer_id, r.run_timer) for r in out.select("timer_id", "run_timer").collect()
+    )
+    expected = sorted(
+        (tid, BASE + timedelta(minutes=k)) for tid in range(1, 5) for k in range(2)
+    )
+    assert got == expected

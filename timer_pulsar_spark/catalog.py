@@ -26,23 +26,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one table (self-describing parquet; declared shapes in
     schemas.TESTDATA).
 
-    The driver's `events.ts` is TIMESTAMP(NANOS), which Spark reads only
-    as a long (spark.sql.legacy.parquet.nanosAsLong). Truncate to
-    microseconds with integer division (ns epochs overflow double
-    mantissa, so no float math) — the same precision DuckDB/pandas use,
-    keeping oracle comparisons exact."""
-    # Runtime-set so the conversion works on ANY session (the driver's
-    # correctness gate supplies a vanilla SparkSession that never goes
-    # through session.get_spark()). Verified runtime-settable on 4.1.2.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    from pyspark.sql import functions as F
-    from pyspark.sql import types as T
-
-    for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    The driver's `events.ts` is parquet TIMESTAMP(MICROS,
+    isAdjustedToUTC=0), which Spark reads as ``TIMESTAMP_NTZ`` — kept
+    as-is: NTZ wall-clock semantics are session-timezone-independent and
+    match DuckDB's naive timestamps exactly, so every date_trunc /
+    date_format / comparison agrees with the oracle on ANY session.
+    Epoch extraction over NTZ goes through functions.timeutil
+    (``unix_millis``/``unix_micros`` accept only LTZ);
+    tests/test_driver_env.py pins the exact dtype so a future testdata
+    type flip fails loudly instead of silently shifting semantics."""
+    return spark.read.parquet(table_path(sf_dir, name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

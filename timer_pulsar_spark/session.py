@@ -54,9 +54,6 @@ def get_spark(app_name: str = "timer_pulsar_spark", *, shuffle_partitions: int |
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # driver testdata stores TIMESTAMP(NANOS); read as long and convert
-        # (catalog.load_table truncates to micros, matching DuckDB/pandas)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

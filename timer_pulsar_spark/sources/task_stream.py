@@ -72,6 +72,17 @@ def task_stream(
         for k, v in (options or {}).items():
             reader = reader.option(k, v)
         return decode_task_records(reader.load())
+    if kind == "records":
+        # broker loopback: a directory of (key,value binary) records in
+        # EXACTLY the kafka/pulsar wire shape, run through the same
+        # decode path the real connectors use — the hermetic stand-in
+        # that exercises the codec->connector seam end-to-end without a
+        # broker process (tests/test_streaming.py drives the full
+        # pipeline through it)
+        if path is None:
+            raise ValueError("records source requires path=")
+        records = spark.readStream.schema("key binary, value binary").parquet(path)
+        return decode_task_records(records)
     raise ValueError(f"unknown task stream kind: {kind!r}")
 
 

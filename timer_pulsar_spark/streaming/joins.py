@@ -33,34 +33,41 @@ def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
     purchase_id, purchase_ts) -> matches within [0, 10 min]. Works on
     both batch and streaming DataFrames (the streaming case needs
     watermarks set by the caller)."""
-    return clicks.join(
+    from ..functions.timeutil import epoch_micros
+
+    joined = clicks.join(
         purchases,
         F.expr(
             f"""click_user = purchase_user
             AND purchase_ts >= click_ts
             AND purchase_ts <= click_ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTES"""
         ),
-    ).select(
+    )
+    return joined.select(
         F.col("click_user").alias("user_id"),
         F.col("click_id").alias("click_event_id"),
         F.col("purchase_id").alias("purchase_event_id"),
-        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+        (epoch_micros(joined, "purchase_ts") - epoch_micros(joined, "click_ts")).alias("gap_us"),
     )
 
 
 def _side(spark: SparkSession, sf_dir: str, event_type: str, prefix: str,
           work: str) -> DataFrame:
     from ..catalog import load_table
+    from ..functions.timeutil import as_utc_instant
 
     path = os.path.join(work, prefix)
-    load_table(spark, sf_dir, "events").filter(
+    ev = load_table(spark, sf_dir, "events")
+    # NTZ wall-clock -> LTZ UTC instant at the staging boundary
+    # (watermarks accept only LTZ; a bare cast would bind to session TZ)
+    ev.filter(
         (F.col("event_type") == event_type)
         & (F.col("ts") >= "2024-01-01")
         & (F.col("ts") < "2024-01-08")
     ).select(
         F.col("user_id").alias(f"{prefix}_user"),
         F.col("event_id").alias(f"{prefix}_id"),
-        F.col("ts").alias(f"{prefix}_ts"),
+        as_utc_instant(ev, "ts").alias(f"{prefix}_ts"),
     ).write.mode("overwrite").parquet(path)
     return (
         spark.readStream.schema(

@@ -75,6 +75,7 @@ def run_pipeline(
     available_now: bool = True,
     processing_time: str | None = None,
     status_mode: str = "merge",
+    source_kind: str = "files",
 ):
     """Start the pipeline; with available_now=True it drains pending
     input and stops (the test/driver mode). Returns the StreamingQuery.
@@ -93,8 +94,9 @@ def run_pipeline(
 
     # S11: swap "files" for "kafka"/"pulsar" (sources/task_stream.py) to
     # consume from a real broker — same schema, same plan downstream
+    # ("records" is the broker wire-shape loopback used by the seam test)
     stream = (
-        task_stream(spark, "files", path=tasks_stream_dir)
+        task_stream(spark, source_kind, path=tasks_stream_dir)
         .withWatermark("run_timer", CONFIG.watermark_lateness)
         .dropDuplicatesWithinWatermark(["timer_id", "run_timer"])
     )

@@ -26,21 +26,28 @@ from .sessionize import SENTINEL_TS
 
 
 def rollup_stream(events_stream: DataFrame) -> DataFrame:
-    """events (ts) stream -> finalized per-minute counts."""
+    """events (ts) stream -> finalized per-minute counts. Window bounds
+    are instants (epoch-aligned minutes); the label renders the UTC
+    wall-clock via NTZ so it is session-timezone-free."""
+    from ..functions.timeutil import utc_wallclock_ntz
+
     return (
         events_stream.groupBy(F.window("ts", "1 minute").alias("w"))
         .agg(F.count("*").alias("cnt"))
         .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("minute"),
+            F.date_format(
+                utc_wallclock_ntz(F.col("w.start")), "yyyy-MM-dd HH:mm"
+            ).alias("minute"),
             "cnt",
         )
     )
 
 
 def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered rows-only query: replay the events table through the
-    incremental rollup; same filter window and output shape as the
-    batch q_groupby_minute."""
+    """Registered ORACLE-CHECKED query: replay the events table through
+    the incremental rollup; same filter window and output shape as the
+    batch q_groupby_minute, so the finalized windows must equal the
+    plain GROUP BY the oracle runs."""
     from ..catalog import load_table
 
     work = tempfile.mkdtemp(prefix="stream_rollup_")
@@ -48,12 +55,22 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(work, "rollup")
     ckpt = os.path.join(work, "ckpt")
 
-    load_table(spark, sf_dir, "events").filter(
+    from ..functions.timeutil import as_utc_instant
+
+    # NTZ wall-clock -> LTZ UTC instant at the staging boundary
+    # (watermarks accept only LTZ); labels convert back via NTZ
+    ev = load_table(spark, sf_dir, "events")
+    ev.filter(
         (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08")
-    ).select("ts").write.mode("overwrite").parquet(in_dir)
-    spark.range(1).select(
-        F.to_timestamp(F.lit(SENTINEL_TS)).alias("ts")
-    ).write.mode("append").parquet(in_dir)
+    ).select(as_utc_instant(ev, "ts").alias("ts")).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    sent = spark.range(1).select(
+        F.lit(SENTINEL_TS).cast("timestamp_ntz").alias("ts")
+    )
+    sent.select(as_utc_instant(sent, "ts").alias("ts")).write.mode(
+        "append"
+    ).parquet(in_dir)
 
     stream = (
         spark.readStream.schema("ts timestamp")
@@ -79,4 +96,13 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"q_stream_rollup": q_stream_rollup}
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    # the batch twin of the incremental rollup (q_groupby_minute's
+    # window, finalized-rows-only semantics)
+    "q_stream_rollup": """
+        SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, count(*) AS cnt
+        FROM events
+        WHERE ts >= '2024-01-01' AND ts < '2024-01-08'
+        GROUP BY 1
+    """,
+}

@@ -98,10 +98,13 @@ def sessionize_stream(events_stream: DataFrame) -> DataFrame:
 
 
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered rows-only query: replay the events table through the
-    stateful sessionizer. The input is staged to a temp dir with clean
-    microsecond timestamps plus one far-future sentinel row that drives
-    the closing watermark past every open session."""
+    """Registered ORACLE-CHECKED query: replay the events table through
+    the stateful sessionizer. The input is staged to a temp dir with
+    clean microsecond timestamps plus one far-future sentinel row that
+    drives the closing watermark past every open session. The closed
+    sessions are deterministic (gap rule over a bounded replay), so the
+    real micro-batch execution must byte-match the ANSI window-function
+    sessionization the oracle runs."""
     from ..catalog import load_table
 
     work = tempfile.mkdtemp(prefix="stream_sess_")
@@ -109,12 +112,19 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(work, "sessions")
     ckpt = os.path.join(work, "ckpt")
 
-    load_table(spark, sf_dir, "events").select("user_id", "ts").write.mode(
+    from ..functions.timeutil import as_utc_instant, utc_wallclock_ntz
+
+    # NTZ wall-clock -> LTZ UTC instant at the staging boundary: Spark
+    # event time/watermarks accept only LTZ. The sentinel takes the same
+    # session-TZ-free route; outputs convert back to NTZ at the end.
+    ev = load_table(spark, sf_dir, "events")
+    ev.select("user_id", as_utc_instant(ev, "ts").alias("ts")).write.mode(
         "overwrite"
     ).parquet(in_dir)
-    spark.createDataFrame(
-        [(-1,)], "user_id long"
-    ).withColumn("ts", F.to_timestamp(F.lit(SENTINEL_TS))).write.mode(
+    sent = spark.createDataFrame([(-1,)], "user_id long").withColumn(
+        "ts", F.lit(SENTINEL_TS).cast("timestamp_ntz")
+    )
+    sent.select("user_id", as_utc_instant(sent, "ts").alias("ts")).write.mode(
         "append"
     ).parquet(in_dir)
 
@@ -137,8 +147,45 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         if q.isActive:
             q.stop()
-    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            utc_wallclock_ntz(F.col("session_start")).alias("session_start"),
+            utc_wallclock_ntz(F.col("session_end")).alias("session_end"),
+            "n_events",
+        )
+    )
 
 
 QUERIES = {"q_stream_sessionize": q_stream_sessionize}
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {
+    # batch sessionization (same 30-min gap rule) as ANSI window SQL:
+    # ties in ts can order either way, but equal timestamps are always
+    # gap 0 (same session), so start/end/count are order-independent
+    "q_stream_sessionize": """
+        WITH ordered AS (
+            SELECT user_id, ts,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                        THEN 1 ELSE 0 END AS new_s
+            FROM ordered
+        ), numbered AS (
+            SELECT user_id, ts,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS s
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               CAST(count(*) AS INTEGER) AS n_events
+        FROM numbered
+        GROUP BY user_id, s
+    """,
+}
