@@ -157,12 +157,14 @@ def bench_delay_slo(spark, waves: int = 10, timers_n: int = 50,
         # MERGE rewrites — the low-latency mode the SLO is about
         # Stateful dedup commits one state-store delta per shuffle
         # partition per batch; at 50-500 rows/s the batch cost is all
-        # commit overhead. 4 partitions locks into the checkpoint at
-        # first run — size state partitions to throughput, not to the
-        # analytics default (at the reference's 1e6/day that is ~12
-        # rows/s; even 1000x fits in 4 partitions easily).
+        # commit overhead, so state partitions are sized to throughput,
+        # not the analytics default. 1 partition (locked into the
+        # checkpoint at first run) measured ~140 ms better p99 than 4 —
+        # at the reference's 1e6/day (~12 rows/s) even 1000x fits; a
+        # genuinely hot deployment would raise this with a new
+        # checkpoint, trading per-batch commit count for parallelism.
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
         try:
             q = run_pipeline(
                 spark, tasks_dir, timers, status_path, ckpt,

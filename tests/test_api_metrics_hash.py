@@ -189,3 +189,90 @@ def test_list_pagination_and_task_visibility(svc, spark):
     assert all(r["status"] == TASK_SUCCESSED for r in visible)
     times = [r["run_timer"] for r in visible]
     assert times == sorted(times, reverse=True)
+
+
+# --- S13 exposition surface (/metrics) -------------------------------------
+
+
+def test_metrics_registry_prometheus_exposition():
+    """Counter/gauge/summary render in the Prometheus text format with
+    the reference's metric names (reporter.go:19-41)."""
+    from timer_pulsar_spark.metrics import MetricsRegistry
+
+    reg = MetricsRegistry()
+    reg.inc("timer_exec_total_cnt", 3, xtimerApp="demo")
+    reg.inc("timer_exec_total_cnt", 2, xtimerApp="demo")
+    reg.set_gauge("timer_enabled_cnt", 7, label="timer")
+    reg.set_summary(
+        "timer_delay_cnt", {0.5: 12.0, 0.99: 40.0}, count=5, total=80.0,
+        xtimerApp="demo",
+    )
+    text = reg.render()
+    assert "# TYPE timer_exec_total_cnt counter" in text
+    assert 'timer_exec_total_cnt{xtimerApp="demo"} 5' in text
+    assert "# TYPE timer_enabled_cnt gauge" in text
+    assert 'timer_enabled_cnt{label="timer"} 7' in text
+    assert "# TYPE timer_delay_cnt summary" in text
+    assert 'timer_delay_cnt{quantile="0.5",xtimerApp="demo"} 12' in text
+    assert 'timer_delay_cnt_sum{xtimerApp="demo"} 80' in text
+    assert 'timer_delay_cnt_count{xtimerApp="demo"} 5' in text
+
+
+def test_serve_metrics_http_endpoint():
+    """GET /metrics returns the exposition; other paths 404
+    (app/webserver/app.go:97-101 analog)."""
+    import urllib.error
+    import urllib.request
+
+    from timer_pulsar_spark.metrics import MetricsRegistry, serve_metrics
+
+    reg = MetricsRegistry()
+    reg.inc("timer_exec_total_cnt", 9, xtimerApp="demo")
+    server = serve_metrics(reg, port=0)
+    try:
+        port = server.server_address[1]
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/metrics") as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            body = resp.read().decode()
+        assert 'timer_exec_total_cnt{xtimerApp="demo"} 9' in body
+        try:
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_pipeline_feeds_metrics_registry(spark, tmp_path):
+    """The streaming pipeline's per-batch Observation rows fold into the
+    registry: exec counter equals executed rows; the delay summary is
+    sketch-derived from the same job (no extra scan)."""
+    from timer_pulsar_spark.metrics import MetricsRegistry
+    from timer_pulsar_spark.schemas import TIMER_ENABLED
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline_blocking
+
+    timers = spark.createDataFrame(
+        [(i, "app", f"t{i}", TIMER_ENABLED, "* * * * *",
+          {"method": "POST", "url": "http://mock", "header": {}, "body": ""})
+         for i in range(1, 4)],
+        "id long, app string, name string, status int, cron string, "
+        "notify_http_param struct<method:string,url:string,header:map<string,string>,body:string>",
+    )
+    tasks_dir = str(tmp_path / "tasks")
+    rows = [(tid, datetime(2024, 1, 1, 0, k), 0) for tid in (1, 2, 3) for k in range(2)]
+    spark.createDataFrame(
+        rows, "timer_id long, run_timer timestamp, status int"
+    ).write.parquet(tasks_dir)
+
+    reg = MetricsRegistry()
+    run_pipeline_blocking(
+        spark, tasks_dir, timers, str(tmp_path / "status"), str(tmp_path / "ckpt"),
+        metrics_registry=reg,
+    )
+    text = reg.render()
+    assert 'timer_exec_total_cnt{xtimerApp="timer_pulsar_spark"} 6' in text
+    assert 'timer_exec_success_cnt{xtimerApp="timer_pulsar_spark"} 6' in text
+    assert "# TYPE timer_delay_cnt summary" in text
+    assert 'timer_delay_cnt_count{xtimerApp="timer_pulsar_spark"} 6' in text

@@ -31,27 +31,29 @@ def test_every_query_runs_and_has_stable_schema(spark):
 
 
 def test_approx_users_within_hll_bound(spark):
-    """q_approx_users is rows-only in the driver gate (HLL estimates
-    are engine-specific); here it must land within 5% of the exact
-    distinct count per event_type."""
+    """q_approx_users now returns the ORACLE-checked assertion form
+    (within_bound booleans); this test additionally pins the raw HLL
+    estimate within 5% of the exact distinct count per event_type."""
     from timer_pulsar_spark.operators.timeseries import q_approx_users
     from timer_pulsar_spark.catalog import load_table
     from pyspark.sql import functions as F
 
-    approx = {
-        r.event_type: r.approx_users
+    bounds = {
+        r.event_type: r.within_bound
         for r in q_approx_users(spark, SF_DIR).collect()
     }
-    exact = {
-        r.event_type: r.exact
-        for r in load_table(spark, SF_DIR, "events")
-        .groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("exact"))
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for t, est in approx.items():
-        assert abs(est - exact[t]) <= max(1, 0.05 * exact[t]), (t, est, exact[t])
+    assert bounds and all(bounds.values()), bounds
+
+    e = load_table(spark, SF_DIR, "events")
+    raw = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("est"),
+        F.countDistinct("user_id").alias("exact"),
+    ).collect()
+    assert {r.event_type for r in raw} == set(bounds)
+    for r in raw:
+        assert abs(r.est - r.exact) <= max(1, 0.05 * r.exact), (
+            r.event_type, r.est, r.exact,
+        )
 
 
 def test_entry_contract(spark):

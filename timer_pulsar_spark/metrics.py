@@ -16,25 +16,173 @@ exact per-group values is the one thing that cannot scale to 100 TB.
 
 from __future__ import annotations
 
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 DELAY_QUANTILES = [0.5, 0.9, 0.99, 0.999, 0.9999]  # reporter.go:74-83
 
 
-def observe_exec_metrics(df: DataFrame, name: str = "exec") -> tuple[DataFrame, Observation]:
+def observe_exec_metrics(
+    df: DataFrame, name: str = "exec", *, with_delay_summary: bool = False
+) -> tuple[DataFrame, Observation]:
     """Attach the executor's counter/gauge set to a status DataFrame
-    (columns: status, cost_time). Read obs.get AFTER an action."""
+    (columns: status, cost_time[, delay_ms]). Read obs.get AFTER an
+    action. With ``with_delay_summary`` the delay quantiles ride the
+    SAME job as a mergeable approx_percentile aggregate — no extra scan
+    (reporter.go's summary is client-side; here the sketch merges across
+    executors). Off by default: the sketch costs a few ms per
+    micro-batch, which matters at a 1-second trigger, so the pipeline
+    enables it only when a metrics registry is actually wired."""
     obs = Observation(name)
-    observed = df.observe(
-        obs,
+    aggs = [
         F.count(F.lit(1)).alias("exec_total"),
         F.sum((F.col("status") == 2).cast("long")).alias("exec_success"),
         F.sum((F.col("status") == 3).cast("long")).alias("exec_failed"),
         F.avg("cost_time").alias("cost_ms_avg"),
         F.max("cost_time").alias("cost_ms_max"),
-    )
+    ]
+    if with_delay_summary and "delay_ms" in df.columns:
+        pcts = ", ".join(str(q) for q in DELAY_QUANTILES)
+        aggs.append(
+            F.expr(f"approx_percentile(delay_ms, array({pcts}))").alias("delay_pcts")
+        )
+        aggs.append(F.sum("delay_ms").alias("delay_sum"))
+    observed = df.observe(obs, *aggs)
     return observed, obs
+
+
+# ---------------------------------------------------------------------------
+# S13 exposition surface: the reference serves its collectors at /metrics
+# (app/webserver/app.go:97-101, promauto collectors reporter.go:60-110).
+# The engine's analog: a driver-side registry fed by per-batch
+# Observation results, exposed in the Prometheus text format 0.0.4 by a
+# stdlib HTTP server. Scale note: only BATCH AGGREGATES cross from the
+# executors (one observe row per micro-batch) — the registry never sees
+# per-task rows, so the exposition cost is O(metric names), not O(tasks).
+# ---------------------------------------------------------------------------
+
+
+def _fmt_labels(labels: dict[str, str]) -> str:
+    if not labels:
+        return ""
+    inner = ",".join(f'{k}="{v}"' for k, v in sorted(labels.items()))
+    return "{" + inner + "}"
+
+
+class MetricsRegistry:
+    """Counter/gauge/summary registry mirroring the reference's four
+    collectors (reporter.go:19-41): timer_exec_total_cnt (counter),
+    timer_delay_cnt (summary at {.5,.9,.99,.999,.9999}),
+    timer_enabled_cnt / timer_unexeced_cnt (gauges)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._counters: dict[tuple[str, tuple], float] = {}
+        self._gauges: dict[tuple[str, tuple], float] = {}
+        # name+labels -> (quantile->value, count, sum)
+        self._summaries: dict[tuple[str, tuple], tuple[dict, float, float]] = {}
+
+    @staticmethod
+    def _key(name: str, labels: dict[str, str]) -> tuple[str, tuple]:
+        return name, tuple(sorted(labels.items()))
+
+    def inc(self, name: str, value: float = 1.0, **labels: str) -> None:
+        k = self._key(name, labels)
+        with self._lock:
+            self._counters[k] = self._counters.get(k, 0.0) + value
+
+    def set_gauge(self, name: str, value: float, **labels: str) -> None:
+        with self._lock:
+            self._gauges[self._key(name, labels)] = value
+
+    def set_summary(
+        self,
+        name: str,
+        quantile_values: dict[float, float],
+        count: float,
+        total: float,
+        **labels: str,
+    ) -> None:
+        """Record a sketch-derived summary snapshot (quantiles merged
+        executor-side by approx_percentile; count/sum accumulate)."""
+        k = self._key(name, labels)
+        with self._lock:
+            _, prev_n, prev_sum = self._summaries.get(k, ({}, 0.0, 0.0))
+            self._summaries[k] = (dict(quantile_values), prev_n + count, prev_sum + total)
+
+    def record_exec_batch(self, metrics_row: dict, app: str = "timer_pulsar_spark") -> None:
+        """Fold one micro-batch's Observation row into the collectors
+        (the per-batch analog of ReportExecRecord/ReportTimerDelayRecord,
+        reporter.go:112-121)."""
+        n = metrics_row.get("exec_total") or 0
+        if not n:
+            return
+        self.inc("timer_exec_total_cnt", float(n), xtimerApp=app)
+        self.inc("timer_exec_success_cnt", float(metrics_row.get("exec_success") or 0), xtimerApp=app)
+        self.inc("timer_exec_failed_cnt", float(metrics_row.get("exec_failed") or 0), xtimerApp=app)
+        pcts = metrics_row.get("delay_pcts")
+        if pcts is not None:
+            self.set_summary(
+                "timer_delay_cnt",
+                dict(zip(DELAY_QUANTILES, pcts)),
+                float(n),
+                float(metrics_row.get("delay_sum") or 0),
+                xtimerApp=app,
+            )
+
+    def render(self) -> str:
+        """Prometheus text exposition format 0.0.4."""
+        lines: list[str] = []
+        with self._lock:
+            seen: set[str] = set()
+            for (name, labels), v in sorted(self._counters.items()):
+                if name not in seen:
+                    lines.append(f"# TYPE {name} counter")
+                    seen.add(name)
+                lines.append(f"{name}{_fmt_labels(dict(labels))} {v:g}")
+            for (name, labels), v in sorted(self._gauges.items()):
+                if name not in seen:
+                    lines.append(f"# TYPE {name} gauge")
+                    seen.add(name)
+                lines.append(f"{name}{_fmt_labels(dict(labels))} {v:g}")
+            for (name, labels), (qv, n, total) in sorted(self._summaries.items()):
+                if name not in seen:
+                    lines.append(f"# TYPE {name} summary")
+                    seen.add(name)
+                for q, val in sorted(qv.items()):
+                    ql = dict(labels) | {"quantile": f"{q:g}"}
+                    lines.append(f"{name}{_fmt_labels(ql)} {val:g}")
+                lines.append(f"{name}_sum{_fmt_labels(dict(labels))} {total:g}")
+                lines.append(f"{name}_count{_fmt_labels(dict(labels))} {n:g}")
+        return "\n".join(lines) + "\n"
+
+
+def serve_metrics(registry: MetricsRegistry, port: int = 0, host: str = "127.0.0.1"):
+    """Serve the registry at /metrics (app.go:97-101 analog) on a
+    daemon thread. Returns the server; `server.server_address[1]` is the
+    bound port (port=0 -> ephemeral), `server.shutdown()` stops it."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802 (stdlib API)
+            if self.path.split("?")[0].rstrip("/") not in ("", "/metrics"):
+                self.send_error(404)
+                return
+            body = registry.render().encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet
+            return
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server
 
 
 def delay_quantiles(df: DataFrame, delay_col: str = "delay_ms") -> DataFrame:

@@ -76,6 +76,7 @@ def run_pipeline(
     processing_time: str | None = None,
     status_mode: str = "merge",
     source_kind: str = "files",
+    metrics_registry=None,
 ):
     """Start the pipeline; with available_now=True it drains pending
     input and stops (the test/driver mode). Returns the StreamingQuery.
@@ -135,6 +136,7 @@ def run_pipeline(
         executed, obs = observe_exec_metrics(
             execute_batch(due, transport),
             name=f"exec_{_uuid.uuid4().hex[:12]}",
+            with_delay_summary=metrics_registry is not None,
         )
         if status_mode == "append_log":
             # one action, one kernel execution, O(batch) written
@@ -161,9 +163,13 @@ def run_pipeline(
             finally:
                 executed.unpersist()
         # S13/A5: per-batch counters ride the same job (observe() adds
-        # no extra scan); surfaces via logs and listener
+        # no extra scan); surfaces via logs and — when a registry is
+        # wired — the Prometheus /metrics exposition (metrics.py)
         try:
-            print(f"# batch {batch_id} metrics: {obs.get}")
+            row = obs.get
+            print(f"# batch {batch_id} metrics: {row}")
+            if metrics_registry is not None:
+                metrics_registry.record_exec_batch(row)
         except Exception:
             pass  # empty batch -> no observed rows
 
