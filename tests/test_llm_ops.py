@@ -29,8 +29,12 @@ ORACLE_CHECKED = [
     "q_dedup_exact",
     "q_dedup_near",
     "q_dup_clusters",
+    "q_dedup_simhash_check",
     "q_embed_dup",
+    "q_embed_dup_lsh_check",
     "q_ann_topk",
+    "q_ann_lsh_check",
+    "q_ann_ivf_check",
     "q_textstats",
     "q_tokens",
     "q_langid",

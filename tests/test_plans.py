@@ -107,7 +107,8 @@ def test_no_python_eval_in_jvm_queries(spark):
         "q_materialize", "q_hash_bloom", "q_multimodal_features",
         "q_multimodal_frames", "q_stream_execute",
         # IVF cell assignment is an Arrow-batched numpy kernel by design
-        "q_ann_ivf",
+        # (the _check twin composes it against the brute-force truth)
+        "q_ann_ivf", "q_ann_ivf_check",
         # building these queries runs a streaming job; plan is a plain scan
         "q_stream_sessionize", "q_stream_rollup",
     }

@@ -604,12 +604,59 @@ ORACLES: dict[str, str] = {
     # tests/test_dedup.py.
 }
 
+def q_dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract for q_dedup_simhash, one Spark plan:
+    every hamming<=3 SimHash pair must be a true Jaccard>=0.8 near-dup
+    (high-precision subset — both sides deterministic on fixed data),
+    and the strategy must find at least one pair on the planted dups."""
+    near = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b", F.lit(1).alias("m"))
+    sh = q_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    return (
+        sh.join(near, ["doc_a", "doc_b"], "left")
+        .agg(
+            (F.sum(F.when(F.col("m").isNull(), 1).otherwise(0)) == 0).alias("subset_ok"),
+            (F.count("*") > 0).alias("found_pairs"),
+        )
+    )
+
+
+def q_embed_dup_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract for q_embed_dup_lsh, one Spark plan:
+    the LSH-bucketed pairs are a subset of the exact all-pairs result
+    with identical cosines, and recall >= 0.3 (measured: 0.43 at
+    sf0.001, 0.64 at sf0.01 — deterministic on fixed data)."""
+    exact = q_embed_dup(spark, sf_dir).select(
+        "vec_a", "vec_b", F.col("cosine").alias("e_cos")
+    )
+    lsh = q_embed_dup_lsh(spark, sf_dir).select(
+        "vec_a", "vec_b", F.col("cosine").alias("l_cos")
+    )
+    joined = lsh.join(exact, ["vec_a", "vec_b"], "left").agg(
+        (F.sum(F.when(F.col("e_cos").isNull(), 1).otherwise(0)) == 0).alias("subset_ok"),
+        F.count("*").alias("n_lsh"),
+        (F.coalesce(F.max(F.abs(F.col("l_cos") - F.col("e_cos"))), F.lit(0.0)) < 1e-9
+         ).alias("exact_cosine_ok"),
+    )
+    total = exact.agg(F.count("*").alias("n_exact"))
+    return joined.crossJoin(total).select(
+        "subset_ok",
+        "exact_cosine_ok",
+        (F.col("n_lsh") / F.col("n_exact") >= 0.3).alias("recall_ok"),
+    )
+
+
 # MinHash-LSH banding with exact-Jaccard verification returns exactly the
 # exact inverted-index query's pair set (16 bands x 4 rows: P(missing a
 # 0.8-similar pair) ~ 1e-18; tests/test_llm_ops.py asserts set equality),
 # so it shares q_dedup_near's oracle — the scale path is held to the
 # exact semantics, not a weaker rows-only check.
 ORACLES["q_dedup_minhash"] = ORACLES["q_dedup_near"]
+# deterministic quality contracts of the recall-bounded strategies
+# (the pair-set queries themselves stay rows-only by design)
+ORACLES["q_dedup_simhash_check"] = "SELECT true AS subset_ok, true AS found_pairs"
+ORACLES["q_embed_dup_lsh_check"] = (
+    "SELECT true AS subset_ok, true AS exact_cosine_ok, true AS recall_ok"
+)
 
 QUERIES = {
     name: fn
