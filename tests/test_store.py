@@ -98,3 +98,36 @@ def test_merge_update_status_writeback(spark, tmp_path):
     assert after.count() == tasks.count()  # no duplicates created
     assert after.filter("timer_id < 5").filter("status <> 2").count() == 0
     assert after.filter("timer_id >= 5").filter("status <> 0").count() == 0
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Two tables bucketed on the same key and count must join with
+    ZERO exchange — the co-located layout the 100 TB status-MERGE path
+    relies on. Broadcast is disabled for the check so the planner can't
+    sidestep the bucketing; the bucket metadata must carry the
+    co-partitioning."""
+    from timer_pulsar_spark.store import write_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("timer_id"), (F.col("id") * 2).alias("payload")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("timer_id"), (F.col("id") % 7).alias("status")
+    )
+    write_bucketed(left, "bkt_left_test", ["timer_id"], n_buckets=8,
+                   sort_cols=["timer_id"])
+    write_bucketed(right, "bkt_right_test", ["timer_id"], n_buckets=8,
+                   sort_cols=["timer_id"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_left_test").join(
+            spark.table("bkt_right_test"), "timer_id"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_left_test")
+        spark.sql("DROP TABLE IF EXISTS bkt_right_test")

@@ -255,6 +255,87 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMEANS_ITERS = 3
+
+
+def kmeans_train(
+    spark: SparkSession, sf_dir: str, iters: int = _KMEANS_ITERS
+) -> tuple[list[tuple[int, list[float]]], list[float], int]:
+    """Lloyd's k-means over the embeddings table — the iterative-
+    algorithm pattern (q_centroid_assign's docstring promises exactly
+    this M-step loop): driver-side iteration, data-side compute.
+
+    Per iteration: E-step = broadcast the 16-row codebook, JVM-codegen
+    cosine argmax per vector (map-side + one vec_id window shuffle);
+    M-step = per-cell elementwise mean via posexplode -> groupBy
+    (cell, dim) — a (k x dim)-row aggregate, NEVER a per-cell
+    collect_list of members, so cluster size is unbounded at 100 TB.
+    Only the codebook (k x dim floats, model state) crosses to the
+    driver each round, exactly like q_ann_ivf's closure — bounded by k,
+    independent of corpus size.
+
+    Returns (final centroids, per-iteration inertia, corpus count)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_corpus = e.count()
+    cents = [
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + _N_CENTROIDS)
+        ).collect()
+    ]
+    inertias: list[float] = []
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(cid, emb) for cid, emb in cents], "cell_id long, cent_emb array<double>"
+        )
+        scored = e.crossJoin(F.broadcast(cdf)).withColumn(
+            "cos", cosine_sim(F.col("embedding"), F.col("cent_emb"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cell_id"))
+        assign = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "embedding", "cell_id", "cos")
+        )
+        stats = assign.agg(
+            F.sum(1 - F.col("cos")).alias("inertia"), F.count("*").alias("n")
+        ).collect()[0]
+        assert stats.n == n_corpus
+        inertias.append(float(stats.inertia))
+        dim_means = (
+            assign.select("cell_id", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cell_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in dim_means:
+            by_cell.setdefault(int(r.cell_id), {})[int(r.pos)] = float(r.m)
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)]) for cid, dims in sorted(by_cell.items())
+        ]
+    return cents, inertias, n_corpus
+
+
+def q_kmeans_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract of the iterative k-means trainer: the
+    Lloyd update never increases inertia (monotone booleans over 3
+    iterations — deterministic on fixed data and init), and every
+    corpus vector stays assigned each round. The centroid floats
+    themselves are summation-order-sensitive, so the contract — not
+    the raw model — is the driver-checked surface."""
+    _, inertias, _ = kmeans_train(spark, sf_dir)
+    monotone = all(
+        inertias[i + 1] <= inertias[i] + 1e-9 for i in range(len(inertias) - 1)
+    )
+    improved = inertias[-1] < inertias[0]
+    return spark.createDataFrame(
+        [(len(inertias), bool(monotone), bool(improved))],
+        "iters int, inertia_monotone boolean, inertia_improved boolean",
+    )
+
+
 def _ann_check(spark: SparkSession, sf_dir: str, approx_fn, min_recall: float) -> DataFrame:
     """Oracle-checkable contract of a recall-bounded ANN variant,
     computed in ONE Spark plan against the brute-force truth:
@@ -320,6 +401,10 @@ ORACLES: dict[str, str] = {
     # is driver-verified through the *_check twins below.
     "q_ann_lsh_check": _CHECK_ORACLE,
     "q_ann_ivf_check": _CHECK_ORACLE,
+    "q_kmeans_check": (
+        f"SELECT {_KMEANS_ITERS} AS iters, true AS inertia_monotone,"
+        " true AS inertia_improved"
+    ),
     "q_centroid_assign": f"""
         SELECT vec_id, cell_id, cosine FROM (
             SELECT q.vec_id, cent.vec_id AS cell_id,

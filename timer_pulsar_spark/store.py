@@ -89,6 +89,38 @@ def read_tasks_slice(
     return df.filter((F.col("minute") >= minute_start) & (F.col("minute") < minute_end))
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: list[str],
+    n_buckets: int = DEFAULT_BUCKETS,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """S8 co-location variant: persist as a BUCKETED managed table
+    (`bucketBy` on the join/merge key). Two tables bucketed on the same
+    key with the same bucket count join with ZERO exchange — each
+    bucket pair is already co-located, so at 100 TB the recurring
+    status-MERGE / fact-fact join pays no shuffle at all (the one-time
+    bucketing write is the shuffle, amortized over every later join).
+    This is the Spark-native analog of the reference keeping one ZSET
+    per `timer_id % BucketsNum` bucket (dao/task/cache.go:47-50) so
+    same-bucket work never crosses shards.
+
+    Bucketed layout requires the session catalog (`saveAsTable`, file
+    listing + bucket metadata live in the metastore); plain
+    `.parquet(path)` writes cannot carry bucket info. Optional
+    `sort_cols` pre-sorts within buckets, turning later merge joins
+    into streaming zips (no per-task sort)."""
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *keys)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def read_latest(
     spark: SparkSession,
     path: str,
