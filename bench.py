@@ -165,14 +165,25 @@ def bench_delay_slo(spark, waves: int = 10, timers_n: int = 50,
         # checkpoint, trading per-batch commit count for parallelism.
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "1")
+        # single-job batches: with no-data micro-batches off, every
+        # fired batch has rows, so the pipeline may skip its per-batch
+        # emptiness probe (one scheduling-visible job instead of two)
+        prev_ndmb = spark.conf.get(
+            "spark.sql.streaming.noDataMicroBatches.enabled", "true"
+        )
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         try:
             q = run_pipeline(
                 spark, tasks_dir, timers, status_path, ckpt,
                 available_now=False, processing_time="1 second",
                 status_mode="append_log",
+                assume_nonempty_batches=True,
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndmb
+            )
         # steady-state SLO: let the stream finish its startup batch
         # before the clock starts (query planning + Python worker
         # launch otherwise lands on wave 1's delay)

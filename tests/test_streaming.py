@@ -331,3 +331,37 @@ def test_broker_seam_pipeline_loopback(spark, timers, tmp_path):
         (tid, BASE + timedelta(minutes=k)) for tid in range(1, 5) for k in range(2)
     )
     assert got == expected
+
+
+def test_pipeline_fast_path_assume_nonempty(spark, timers, tmp_path):
+    """The probe-less single-job fast path (append_log +
+    assume_nonempty_batches, noDataMicroBatches off) must preserve the
+    exactly-once-effective status semantics — same rows as the default
+    probing path, just one Spark job per batch."""
+    from timer_pulsar_spark.schemas import TASK_SUCCESSED
+    from timer_pulsar_spark.store import read_latest
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline_blocking
+
+    tasks_dir = str(tmp_path / "tasks")
+    status_path = str(tmp_path / "status")
+    rows = []
+    for tid in range(1, 6):
+        for k in range(2):
+            row = (tid, BASE + timedelta(minutes=k), 0)
+            rows += [row, row]
+    _write_tasks(spark, tasks_dir, rows)
+
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        run_pipeline_blocking(
+            spark, tasks_dir, timers, status_path, str(tmp_path / "ckpt"),
+            status_mode="append_log", assume_nonempty_batches=True,
+        )
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+
+    out = read_latest(spark, status_path, ["timer_id", "run_timer"])
+    assert out.filter("timer_id = 5").count() == 0
+    assert out.count() == 4 * 2
+    assert out.filter(F.col("status") != TASK_SUCCESSED).count() == 0

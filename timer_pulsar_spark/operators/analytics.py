@@ -136,6 +136,30 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[join: FULL OUTER] reconcile two event-derived per-user ledgers —
+    click spend vs purchase spend — keeping users present on either
+    side (the reconciliation shape: unmatched rows surface as NULL
+    sides instead of disappearing). One shuffle per side on user_id;
+    at scale AQE handles the skewed-null bucket since the join key is
+    never null here (group keys)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def ledger(t: str, alias: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == t)
+            .groupBy("user_id")
+            .agg(F.round(F.sum("value"), 4).alias(alias))
+        )
+
+    clicks = ledger("click", "click_value")
+    purchases = ledger("purchase", "purchase_value")
+    return (
+        clicks.join(purchases, "user_id", "full_outer")
+        .select("user_id", "click_value", "purchase_value")
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[binning] fixed-width value histogram (50-unit bins) per
     event_type — arithmetic binning expressed identically on both
@@ -261,6 +285,18 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_outer_join": """
+        WITH clicks AS (
+            SELECT user_id, round(sum(value), 4) AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ), purchases AS (
+            SELECT user_id, round(sum(value), 4) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        )
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               c.click_value, p.purchase_value
+        FROM clicks c FULL OUTER JOIN purchases p USING (user_id)
+    """,
     "q_scd2": """
         WITH changes AS (
             SELECT user_id, event_type, ts, event_id,

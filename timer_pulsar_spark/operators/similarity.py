@@ -255,6 +255,27 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalization — the map-side preprocessing step every
+    vector pipeline runs before cosine retrieval (unit vectors turn
+    cosine into a plain dot product). Pure JVM higher-order functions,
+    zero shuffle; verified through scalar projections of the unit
+    vector (head component + component sum) so the oracle compare
+    stays scalar-typed."""
+    e = load_table(spark, sf_dir, "embeddings")
+    demb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(F.transform(demb, lambda x: x * x), F.lit(0.0), lambda a, v: a + v)
+    )
+    total = F.aggregate(demb, F.lit(0.0), lambda a, v: a + v)
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at(demb, 1) / norm, 6).alias("unit_head"),
+        F.round(total / norm, 6).alias("unit_sum"),
+    )
+
+
 _KMEANS_ITERS = 3
 
 
@@ -401,6 +422,15 @@ ORACLES: dict[str, str] = {
     # is driver-verified through the *_check twins below.
     "q_ann_lsh_check": _CHECK_ORACLE,
     "q_ann_ivf_check": _CHECK_ORACLE,
+    "q_embed_norm": """
+        SELECT vec_id,
+               round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm,
+               round((embedding::DOUBLE[])[1]
+                     / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS unit_head,
+               round(list_sum(embedding::DOUBLE[])
+                     / sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS unit_sum
+        FROM embeddings
+    """,
     "q_kmeans_check": (
         f"SELECT {_KMEANS_ITERS} AS iters, true AS inertia_monotone,"
         " true AS inertia_improved"

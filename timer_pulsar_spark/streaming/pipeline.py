@@ -77,6 +77,7 @@ def run_pipeline(
     status_mode: str = "merge",
     source_kind: str = "files",
     metrics_registry=None,
+    assume_nonempty_batches: bool = False,
 ):
     """Start the pipeline; with available_now=True it drains pending
     input and stops (the test/driver mode). Returns the StreamingQuery.
@@ -90,6 +91,17 @@ def run_pipeline(
       status table grows, and the watermarked dedup upstream already
       bounds duplicates to beyond-watermark replays, which the
       compacting read resolves deterministically.
+
+    assume_nonempty_batches (append_log only): skip the per-batch
+    emptiness probe — one Spark job per micro-batch instead of two
+    (probe + write), worth ~200 ms of scheduling delay at a 1-second
+    trigger. ONLY valid when the session disables
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` so Spark never
+    fires a data-less batch (otherwise an empty batch would append an
+    empty file and — if a metrics registry is wired — block on an
+    unresolved Observation). Watermark/state eviction then happens on
+    the next data batch, which for a 1-minute dedup window is
+    indistinguishable.
     """
     dim = timer_dim(spark, timers)
 
@@ -103,6 +115,12 @@ def run_pipeline(
     )
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if assume_nonempty_batches and status_mode == "append_log":
+            # single-pass fast path: the append plan references the
+            # stream subtree exactly once, so no persist and no probe —
+            # valid because noDataMicroBatches=false guarantees data
+            _run_batch(batch_df, batch_id)
+            return
         # availableNow ends with a no-data batch that only advances the
         # dedup watermark state. Short-circuit it: merging zero rows is
         # a no-op, and the empty plan folds away the CollectMetrics node
@@ -164,7 +182,12 @@ def run_pipeline(
                 executed.unpersist()
         # S13/A5: per-batch counters ride the same job (observe() adds
         # no extra scan); surfaces via logs and — when a registry is
-        # wired — the Prometheus /metrics exposition (metrics.py)
+        # wired — the Prometheus /metrics exposition (metrics.py).
+        # In the probe-less fast path only read the observation when a
+        # registry asked for it: obs.get on a (contract-violating)
+        # empty batch would block, not raise.
+        if assume_nonempty_batches and metrics_registry is None:
+            return
         try:
             row = obs.get
             print(f"# batch {batch_id} metrics: {row}")
