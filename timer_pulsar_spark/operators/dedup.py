@@ -393,16 +393,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMBED_DUP_THRESHOLD = 0.45
 
 
+def l2_norm(a: Column) -> Column:
+    """L2 norm of a float array in double, strict left-to-right
+    summation (bit-stable vs DuckDB list_dot_product over DOUBLE[])."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    return F.sqrt(
+        F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Double dot product, strict left-to-right summation."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity between two float arrays, computed in double
     with strict left-to-right summation (matches DuckDB list_dot_product
-    over DOUBLE[] for bit-stable oracle comparison)."""
-    da = F.transform(a, lambda x: x.cast("double"))
-    db = F.transform(b, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    over DOUBLE[] for bit-stable oracle comparison).
+
+    Pairwise-scoring plans should NOT call this directly: it recomputes
+    both norms per PAIR. Precompute each side's norm once per ROW
+    (l2_norm column) and combine with dot_product — identical arithmetic
+    (same expression on the same data), k fewer aggregate() evaluations
+    per scored pair. q_ann_topk / q_centroid_assign / q_embed_dup do
+    exactly that."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -411,11 +431,27 @@ def q_embed_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bucketing in similarity.py (same cosine_sim verify), never from
     a cross join."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # norms once per ROW before the join, not per pair (n vs n² evals)
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        l2_norm(F.col("embedding")).alias("n_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        l2_norm(F.col("embedding")).alias("n_b"),
+    )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", F.round(cosine_sim(F.col("emb_a"), F.col("emb_b")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_product(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ),
+        )
         .filter(F.col("cosine") >= EMBED_DUP_THRESHOLD)
         .select("vec_a", "vec_b", "cosine")
     )

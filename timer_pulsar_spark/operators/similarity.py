@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
-from .dedup import cosine_sim
+from .dedup import cosine_sim, dot_product, l2_norm
 
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -71,13 +71,27 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query via row_number. Ties broken on (rounded cosine, neighbor_id)
     so ranking is engine-stable."""
     e = load_table(spark, sf_dir, "embeddings")
+    # norms once per side (5 query rows + one corpus pass), not per pair
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
     )
-    corpus = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
     scored = (
         corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_sim(F.col("q_emb"), F.col("c_emb")), 6))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_product(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -240,12 +254,23 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is one Lloyd half-step (the E-step of k-means); iterating
     M-steps would recompute the codebook as groupBy(cell) avg — same
     primitive, driver-side loop like q_dup_clusters."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v_norm", l2_norm(F.col("embedding"))  # once per vector, not x16
+    )
     cents = e.filter(
         (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + _N_CENTROIDS)
-    ).select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("cent_emb"))
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("v_norm").alias("c_norm"),
+    )
     scored = e.crossJoin(F.broadcast(cents)).withColumn(
-        "cosine", F.round(cosine_sim(F.col("embedding"), F.col("cent_emb")), 6)
+        "cosine",
+        F.round(
+            dot_product(F.col("embedding"), F.col("cent_emb"))
+            / (F.col("v_norm") * F.col("c_norm")),
+            6,
+        ),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cell_id"))
     return (
