@@ -648,6 +648,72 @@ ORACLES: dict[str, str] = {
     # tests/test_dedup.py.
 }
 
+def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the streaming twin of q_dedup_exact,
+    ORACLE-checked: replay the documents table as a MULTI-batch file
+    stream (maxFilesPerTrigger throttles the replay so several
+    micro-batches really fold state) and maintain the canonical table
+    per batch with an aggregate MERGE: min(doc_id) wins, duplicate
+    counts accumulate. min/sum are commutative+associative, so the
+    final state is batch-split-independent and must equal the one-shot
+    batch aggregation.
+
+    This is how a 100 TB ingest actually deduplicates: each arriving
+    shard folds into the canonical store at O(shard + |distinct|) cost,
+    instead of re-scanning the corpus. The per-batch merge shuffles on
+    text_hash — the same single key the batch twin shuffles on."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    in_dir = os.path.join(work, "docs")
+    state = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        8
+    ).write.mode("overwrite").parquet(in_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.groupBy(F.md5("text").alias("text_hash")).agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("dup_cnt"),
+        )
+        if os.path.exists(state):
+            cur = spark.read.parquet(state)
+            agg = (
+                cur.unionByName(agg)
+                .groupBy("text_hash")
+                .agg(
+                    F.min("canonical_doc_id").alias("canonical_doc_id"),
+                    F.sum("dup_cnt").alias("dup_cnt"),
+                )
+            )
+        tmp = f"{state}.fold-{uuid.uuid4().hex[:8]}"
+        agg.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state):
+            shutil.rmtree(state)
+        os.replace(tmp, state)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real fold steps
+        .parquet(in_dir)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.read.parquet(state)
+
+
 def q_dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked contract for q_dedup_simhash, one Spark plan:
     every hamming<=3 SimHash pair must be a true Jaccard>=0.8 near-dup
@@ -695,6 +761,9 @@ def q_embed_dup_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so it shares q_dedup_near's oracle — the scale path is held to the
 # exact semantics, not a weaker rows-only check.
 ORACLES["q_dedup_minhash"] = ORACLES["q_dedup_near"]
+# the incremental fold is split-independent (min/sum are commutative),
+# so the streamed state must equal the one-shot batch aggregation
+ORACLES["q_stream_dedup_exact"] = ORACLES["q_dedup_exact"]
 # deterministic quality contracts of the recall-bounded strategies
 # (the pair-set queries themselves stay rows-only by design)
 ORACLES["q_dedup_simhash_check"] = "SELECT true AS subset_ok, true AS found_pairs"
