@@ -200,3 +200,26 @@ def test_cooccurring_pairs_df_cap_drops_hot_key(spark):
     # cap above every group's size changes nothing
     wide = cooccurring_pairs(postings, ["sh"], ["doc_id"], max_df=1000).toPandas()
     assert len(wide) == len(uncapped)
+
+
+def test_stream_dedup_folds_across_multiple_batches(spark):
+    """q_stream_dedup_exact must genuinely fold state incrementally:
+    the throttled replay (maxFilesPerTrigger=2 over 8 files) has to
+    commit several micro-batches, and the folded state must equal the
+    one-shot batch aggregation row-for-row."""
+    import glob
+    import re
+
+    from pyspark.sql import functions as F
+
+    out = _q("q_stream_dedup_exact")(spark, SF_DIR)
+    batch_out = _q("q_dedup_exact")(spark, SF_DIR)
+    a = out.orderBy("text_hash").toPandas()
+    b = batch_out.orderBy("text_hash").toPandas()
+    assert a[["text_hash", "canonical_doc_id"]].equals(b[["text_hash", "canonical_doc_id"]])
+    assert (a["dup_cnt"].astype("int64") == b["dup_cnt"].astype("int64")).all()
+    # the checkpoint records one offset file per committed micro-batch —
+    # several must exist, or the "incremental" claim is vacuous
+    ckpts = glob.glob("/tmp/stream_dedup_*/ckpt/offsets/*")
+    batch_ids = {int(m.group(1)) for p in ckpts for m in [re.search(r"/offsets/(\d+)$", p)] if m}
+    assert len(batch_ids) >= 3, f"expected a multi-batch replay, saw {sorted(batch_ids)}"
