@@ -697,20 +697,23 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(state)
         os.replace(tmp, state)
 
-    q = (
-        spark.readStream.schema("doc_id long, text string")
-        .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real fold steps
-        .parquet(in_dir)
-        .writeStream.foreachBatch(fold)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        if q.isActive:
-            q.stop()
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real fold steps
+            .parquet(in_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.read.parquet(state)
 
 

@@ -66,9 +66,12 @@ def q_stream_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tasks.unionAll(tasks).write.mode("overwrite").parquet(tasks_dir)
 
-    run_pipeline_blocking(
-        spark, tasks_dir, demo_timers(spark, sf_dir), status_path, ckpt
-    )
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        run_pipeline_blocking(
+            spark, tasks_dir, demo_timers(spark, sf_dir), status_path, ckpt
+        )
     # run_timer -> NTZ at the boundary (session-TZ-free UTC wall-clock
     # rendering): the pipeline's internal event time is LTZ because
     # watermarks require it; the oracle compares naive timestamps

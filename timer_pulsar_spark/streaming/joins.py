@@ -82,27 +82,30 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: replay the first week of clicks and purchases
     as two file streams through the watermarked interval join; the
     parquet sink then holds exactly the batch self-join's rows."""
+    from . import replay_state_partitions
+
     work = tempfile.mkdtemp(prefix="stream_join_")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
 
-    joined = attribution_join(
-        _side(spark, sf_dir, "click", "click", work),
-        _side(spark, sf_dir, "purchase", "purchase", work),
-    )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        if q.isActive:
-            q.stop()
+    with replay_state_partitions(spark):
+        joined = attribution_join(
+            _side(spark, sf_dir, "click", "click", work),
+            _side(spark, sf_dir, "purchase", "purchase", work),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
     return spark.read.parquet(out_dir)
 
 

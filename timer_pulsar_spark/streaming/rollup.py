@@ -72,25 +72,28 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(in_dir)
 
-    stream = (
-        spark.readStream.schema("ts timestamp")
-        .parquet(in_dir)
-        .withWatermark("ts", "1 minute")
-    )
-    q = (
-        rollup_stream(stream)
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        if q.isActive:
-            q.stop()
+    from . import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        stream = (
+            spark.readStream.schema("ts timestamp")
+            .parquet(in_dir)
+            .withWatermark("ts", "1 minute")
+        )
+        q = (
+            rollup_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
     # drop the sentinel's own window
     return spark.read.parquet(out_dir).filter(F.col("minute") < "2024-01-08")
 

@@ -128,25 +128,28 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(in_dir)
 
-    stream = (
-        spark.readStream.schema("user_id long, ts timestamp")
-        .parquet(in_dir)
-        .withWatermark("ts", "1 minute")
-    )
-    q = (
-        sessionize_stream(stream)
-        .writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(120)
-    finally:
-        if q.isActive:
-            q.stop()
+    from . import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .parquet(in_dir)
+            .withWatermark("ts", "1 minute")
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
     return (
         spark.read.parquet(out_dir)
         .filter(F.col("user_id") >= 0)
