@@ -238,6 +238,25 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[statistical aggregates] second-moment statistics per event_type:
+    sample stddev/variance, correlation and covariance of value vs
+    user_id, and the least-squares regression line (slope/intercept).
+    All are single-pass mergeable aggregates (partial + final hash agg,
+    map-side combine) — the 100 TB shape; rounded on both engines so
+    partial-aggregation summation order cannot flip the hash."""
+    e = load_table(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("double")
+    return e.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr("value", uid), 6).alias("corr_vu"),
+        F.round(F.covar_samp("value", uid), 6).alias("covar_vu"),
+        F.round(F.regr_slope(F.col("value"), uid), 6).alias("slope"),
+        F.round(F.regr_intercept(F.col("value"), uid), 6).alias("intercept"),
+    )
+
+
 def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[resample: OHLC] per event_type x hour candle: open/close via
     min_by/max_by on the event timestamp (deterministic — (event_type,
@@ -285,6 +304,16 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_stats": """
+        SELECT event_type,
+               round(stddev_samp(value), 6) AS sd_value,
+               round(var_samp(value), 6) AS var_value,
+               round(corr(value, user_id), 6) AS corr_vu,
+               round(covar_samp(value, user_id), 6) AS covar_vu,
+               round(regr_slope(value, user_id), 6) AS slope,
+               round(regr_intercept(value, user_id), 6) AS intercept
+        FROM events GROUP BY event_type
+    """,
     "q_outer_join": """
         WITH clicks AS (
             SELECT user_id, round(sum(value), 4) AS click_value
