@@ -34,8 +34,13 @@ HEADLINERS = [
     # LLM-pipeline ops (registered from round 2 on; skipped if absent)
     "q_dedup_exact",
     "q_dedup_near",
+    "q_dedup_minhash",
     "q_ann_topk",
+    "q_centroid_assign",
     "q_textstats",
+    "q_quality",
+    "q_sample_hash",
+    "q_pack_sequences",
     "q_fanout",
 ]
 
