@@ -1,0 +1,136 @@
+"""Round-4 operators: BM25 retrieval scoring, corpus heavy hitters,
+substring-span dedup, large-star/small-star connected components,
+per-domain caps, and stratified fixed-size sampling.
+
+Oracle parity mirrors the driver gate; the star-contraction CC is
+additionally stress-tested on a long chain — the exact topology where
+the diameter-bound min-label loop needs O(n) rounds and the star
+algorithm must stay O(log n)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR, assert_matches_oracle
+
+
+def _q(name):
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()[name]
+
+
+def _sql(name):
+    import __spark_entry__ as entrymod
+
+    return entrymod.oracle_sql()[name]
+
+
+NEW_ORACLE_CHECKED = [
+    "q_bm25",
+    "q_heavy_hitters",
+    "q_dedup_span",
+    "q_dup_clusters_star",
+    "q_domain_cap",
+    "q_sample_stratified",
+]
+
+
+@pytest.mark.parametrize("name", NEW_ORACLE_CHECKED)
+def test_oracle_parity(spark, duck, name):
+    assert_matches_oracle(_q(name)(spark, SF_DIR), duck, _sql(name))
+
+
+def test_star_cc_on_long_chain(spark):
+    """A 40-node path graph has diameter 40: min-label propagation
+    needs ~40 rounds, large/small-star must label it in its 30-round
+    budget (O(log n)) — and every node must get label 0."""
+    from timer_pulsar_spark.operators.dedup import connected_components_star
+
+    edges = spark.range(39).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {(i, 0) for i in range(40)}
+
+
+def test_star_cc_multiple_components_and_orientation(spark):
+    """Components must not merge across gaps, and input edge
+    orientation (u<v vs u>v, duplicates, self-loops) must not matter."""
+    from timer_pulsar_spark.operators.dedup import connected_components_star
+
+    rows = [(1, 2), (2, 1), (3, 2), (5, 5), (10, 11), (12, 11), (20, 20)]
+    edges = spark.createDataFrame(rows, "u long, v long")
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components_star(edges).collect()
+    }
+    # self-loop-only nodes (5, 20) carry no dedup information and drop out
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
+
+
+def test_star_cc_matches_min_label_clusters(spark):
+    """Both CC algorithms must produce the identical labeling on the
+    real near-dup graph."""
+    a = _q("q_dup_clusters")(spark, SF_DIR).toPandas()
+    b = _q("q_dup_clusters_star")(spark, SF_DIR).toPandas()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def test_domain_cap_plan_uses_window_group_limit(spark):
+    """The rank<=N filter must push a map-side WindowGroupLimit below
+    the shuffle: at 100 TB a hot domain would otherwise funnel its
+    entire row set through one reducer before filtering."""
+    for name in ("q_domain_cap", "q_sample_stratified"):
+        df = _q(name)(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, name
+        assert "Partial" in plan, name  # the pre-shuffle local limit
+
+
+def test_bm25_plan_has_no_shuffle_for_tf(spark):
+    """Term frequencies are map-side array expressions; the only
+    exchanges allowed are the single-row stats aggregation and its
+    broadcast back — never a shuffle keyed on terms or doc ids."""
+    df = _q("q_bm25")(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # only the scalar stats agg (SinglePartition) and the presentation
+    # sort (rangepartitioning over result rows) may exchange — never a
+    # shuffle keyed on terms or doc ids
+    import re
+
+    shuffles = re.findall(r"(?<![A-Za-z])Exchange (\w+)", plan)  # not BroadcastExchange
+    assert all(
+        s.rstrip(",") == "SinglePartition" or s.startswith("rangepartitioning")
+        for s in shuffles
+    ), shuffles
+
+
+def test_heavy_hitters_partial_agg_and_takeordered(spark):
+    df = _q("q_heavy_hitters")(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+    assert "partial_count" in plan  # map-side combine bounds token skew
+
+
+def test_dedup_span_positions_are_cuttable(spark, duck):
+    """Every reported (doc, pos) span must reproduce its md5 from the
+    document text — the contract a span-removal pass depends on."""
+    import hashlib
+
+    got = _q("q_dedup_span")(spark, SF_DIR).collect()
+    assert got, "planted duplicates must produce repeated spans"
+    texts = dict(
+        duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    )
+    for r in got[:50]:
+        toks = texts[r["doc_id"]].split(" ")
+        span = " ".join(toks[r["pos"] : r["pos"] + 8])
+        assert hashlib.md5(span.encode()).hexdigest() == r["span_md5"]

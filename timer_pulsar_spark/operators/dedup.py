@@ -560,6 +560,138 @@ def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPAN_TOKENS = 8
+SPAN_MIN_DOCS = 2
+
+
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication detection (the token-span analog of
+    Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better" suffix-array pass): find every 8-token span that occurs in
+    two or more distinct documents, and report each occurrence with its
+    position — the unit a span-removal pass would cut.
+
+    Spans are built with the same shifted-slice arrays_zip trick as
+    with_shingles (referencing the token array n+1 times per ROW, not
+    per span — projection collapse would otherwise re-split the text
+    once per span), hashed to md5, and posexploded to keep positions.
+    The hot-span set (count(distinct doc) >= 2) is the output of one
+    hash aggregation on the span hash; joining it back is a
+    build-side-small join (true repeats are rare in a real corpus), so
+    AQE broadcasts it. At 100 TB the span table is ~tokens-per-corpus
+    rows of (hash, doc, pos) — the same postings volume the MinHash
+    banding path shuffles, and the df-cap argument from
+    cooccurring_pairs applies unchanged."""
+    n = SPAN_TOKENS
+    d = load_table(spark, sf_dir, "documents")
+    d = spread(d, spark).select("doc_id", F.split("text", " ").alias("t"))
+    slices = ", ".join(f"slice(t, {k + 1}, size(t) - {n - 1})" for k in range(n))
+    fields = ", ".join(f"z['{k}']" for k in range(n))
+    spans_arr = F.expr(
+        f"transform(arrays_zip({slices}), z -> md5(concat_ws(' ', {fields})))"
+    )
+    spans = (
+        d.filter(F.size("t") >= n)
+        .select("doc_id", F.posexplode(spans_arr).alias("pos", "span_md5"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "span_md5")
+    )
+    hot = (
+        spans.groupBy("span_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+    )
+    return (
+        spans.join(hot, "span_md5")
+        .select("doc_id", "pos", "span_md5", "n_docs")
+        .orderBy("doc_id", "pos")
+    )
+
+
+def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): converges in O(log n) rounds regardless of
+    component DIAMETER — the web-scale path that q_dup_clusters's
+    min-label loop (rounds = diameter) documents as its 100 TB upgrade.
+
+    Input: one row per undirected edge with columns (u, v). Output:
+    (node, label) where label is the component minimum. Each round is
+    two groupBy-join pairs on node ids; localCheckpoint truncates the
+    lineage so the plan stays constant-size across rounds. Convergence
+    is an exact edge-set fixpoint test (two isEmpty anti-checks); a
+    production run would instead watch the strictly-decreasing
+    sum-of-labels monotone to save the extra pass."""
+    e = (
+        edges.selectExpr("greatest(u, v) AS u", "least(u, v) AS v")
+        .filter("u != v")
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        # large-star: every node attaches its LARGER neighbors to the
+        # minimum of its neighborhood (including itself)
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: every node attaches its smaller neighbors (and
+        # itself) to its minimum neighbor; input edges are (big, small)
+        sm = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(sm, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(sm.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        converged = ss.exceptAll(e).isEmpty() and e.exceptAll(ss).isEmpty()
+        e = ss
+        if converged:
+            break
+    else:  # pragma: no cover - 30 rounds >> log2 of any plausible n
+        raise RuntimeError("large/small-star did not converge")
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = (
+        labels.select(F.col("label").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    return labels.union(roots).groupBy("node").agg(F.min("label").alias("label"))
+
+
+def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution, O(log n)-round scale path: the
+    same near-dup pair graph as q_dup_clusters, labeled by
+    large-star/small-star contraction instead of diameter-bound
+    min-label propagation. Shares q_dup_clusters's recursive-CTE
+    oracle — both must produce the identical component labeling."""
+    pairs = q_dedup_near(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    labels = connected_components_star(pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLES: dict[str, str] = {
     "q_dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
@@ -764,6 +896,27 @@ def q_embed_dup_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so it shares q_dedup_near's oracle — the scale path is held to the
 # exact semantics, not a weaker rows-only check.
 ORACLES["q_dedup_minhash"] = ORACLES["q_dedup_near"]
+# large/small-star computes the same component labeling as the
+# min-label loop — both share the recursive-CTE transitive closure
+ORACLES["q_dup_clusters_star"] = ORACLES["q_dup_clusters"]
+ORACLES["q_dedup_span"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    spans AS (
+        SELECT doc_id, CAST(u.s AS BIGINT) AS pos,
+               md5(array_to_string(
+                   list_slice(toks, u.s + 1, u.s + {SPAN_TOKENS}), ' '))
+                   AS span_md5
+        FROM t, UNNEST(range(0, greatest(len(toks) - {SPAN_TOKENS - 1}, 0)))
+                 AS u(s)
+    ), hot AS (
+        SELECT span_md5, count(DISTINCT doc_id) AS n_docs
+        FROM spans GROUP BY span_md5
+        HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+    )
+    SELECT s.doc_id, s.pos, s.span_md5, h.n_docs
+    FROM spans s JOIN hot h USING (span_md5)
+    ORDER BY s.doc_id, s.pos
+"""
 # the incremental fold is split-independent (min/sum are commutative),
 # so the streamed state must equal the one-shot batch aggregation
 ORACLES["q_stream_dedup_exact"] = ORACLES["q_dedup_exact"]

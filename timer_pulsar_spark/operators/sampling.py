@@ -214,9 +214,75 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_CAP = 10          # q_domain_cap: max docs kept per source/domain
+STRATUM_N = 30           # q_sample_stratified: docs per language stratum
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: per-domain cap] keep at most DOMAIN_CAP documents per
+    source domain, preferring the longest (n_chars DESC, doc_id
+    tiebreak) — the domain-balance guard that stops one crawler host
+    from dominating a training mixture.
+
+    The rank-filter pattern compiles to Spark's WindowGroupLimit: each
+    input partition keeps only its local top-N per source BEFORE the
+    shuffle (asserted by a plan gate), so a 100 TB corpus ships at most
+    N rows per (source, input-partition) — the hot-domain skew that
+    would otherwise melt one reducer is capped at the map side."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .orderBy("source", "rk")
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: stratified fixed-size sample] exactly min(N, |stratum|)
+    documents per language, chosen by content-stable md5 order — the
+    "equal representation" counterpart of q_mix_sources's rate-based
+    mixture (rates keep a fixed FRACTION; this keeps a fixed COUNT, the
+    shape used for eval sets and per-language probes). Deterministic:
+    membership is recomputable from the doc key alone, and adding new
+    documents can only displace hash-later ones, never reshuffle the
+    ordering. Same WindowGroupLimit map-side cap as q_domain_cap."""
+    d = load_table(spark, sf_dir, "documents")
+    order_key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy("order_key", "doc_id")
+    return (
+        d.select("doc_id", "lang", order_key.alias("order_key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= STRATUM_N)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
 _B = _bucket_sql("doc_id")
 
 ORACLES: dict[str, str] = {
+    "q_domain_cap": f"""
+        SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents)
+        WHERE rk <= {DOMAIN_CAP} ORDER BY source, rk
+    """,
+    "q_sample_stratified": f"""
+        SELECT doc_id, lang, CAST(rk AS INT) AS rk FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 12))::BIGINT,
+                                doc_id) AS rk
+            FROM documents)
+        WHERE rk <= {STRATUM_N} ORDER BY lang, rk
+    """,
     "q_sample_hash": f"""
         SELECT doc_id, source, lang, n_chars
         FROM documents WHERE {_B} < {SAMPLE_PCT}

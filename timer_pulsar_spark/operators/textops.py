@@ -286,7 +286,121 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "spark", "window", "customer")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of every document against a fixed query
+    term set (Robertson & Zaragoza's Okapi BM25) — the retrieval-style
+    ranking a curation pipeline uses to pull topic-relevant documents
+    out of a web corpus.
+
+    Because the query is a small fixed term list, per-document term
+    frequencies are pure map-side array expressions (`size(filter(..))`
+    inside whole-stage codegen) — no explode, no per-term shuffle. The
+    only aggregation is ONE scalar row (corpus size, average doc
+    length, per-term document frequencies as conditional sums), which
+    broadcasts back for the scoring pass. Net cost at 100 TB: two
+    corpus scans and zero wide shuffles; a precomputed corpus-stats
+    table would cut it to one."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    tf_cols = [
+        F.size(F.expr(f"filter(split(text, ' '), x -> x = '{q}')")).alias(f"tf_{i}")
+        for i, q in enumerate(BM25_TERMS)
+    ]
+    base = d.select("doc_id", F.size(toks).alias("dl"), *tf_cols)
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    contrib = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5) + 1
+        )
+        term_score = (
+            idf
+            * tf
+            * (BM25_K1 + 1)
+            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")))
+        )
+        contrib = contrib + F.when(tf > 0, term_score).otherwise(F.lit(0.0))
+    any_hit = None
+    for i in range(len(BM25_TERMS)):
+        hit = F.col(f"tf_{i}") > 0
+        any_hit = hit if any_hit is None else (any_hit | hit)
+    return (
+        base.join(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", F.round(contrib, 6).alias("bm25"))
+        .orderBy("doc_id")
+    )
+
+
+TOPK_TOKENS = 20
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: the top-20 most frequent tokens.
+
+    The scale shape is explode → hash aggregate → TakeOrdered: Spark's
+    partial (map-side) aggregation means each task ships at most
+    |local vocab| pre-combined rows — a hot token like 'the' is already
+    one row per partition when it hits the shuffle, so token skew can't
+    concentrate load (this is why no salting is needed for COUNT-class
+    aggregates, unlike distinct-aggregation which q_distinct_salted
+    handles). The final top-k is TakeOrdered over |vocab| rows, never a
+    global sort of token occurrences."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(TOPK_TOKENS)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_bm25": f"""
+        WITH toks AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM toks
+            WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+            GROUP BY 1, 2, 3
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), nd AS (
+            SELECT count(*) AS n_docs,
+                   avg(len(string_split(text, ' '))) AS avgdl
+            FROM documents
+        )
+        SELECT doc_id,
+               round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                          * tf * ({BM25_K1} + 1)
+                          / (tf + {BM25_K1} * (1 - {BM25_B}
+                                               + {BM25_B} * dl / avgdl)) ),
+                     6) AS bm25
+        FROM tf JOIN dfreq USING (term), nd
+        GROUP BY doc_id ORDER BY doc_id
+    """,
+    "q_heavy_hitters": f"""
+        SELECT term, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term ORDER BY cnt DESC, term LIMIT {TOPK_TOKENS}
+    """,
     "q_tfidf": f"""
         WITH tf AS (
             SELECT doc_id,
