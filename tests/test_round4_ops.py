@@ -34,6 +34,10 @@ NEW_ORACLE_CHECKED = [
     "q_dup_clusters_star",
     "q_domain_cap",
     "q_sample_stratified",
+    "q_outliers",
+    "q_zorder",
+    "q_jsonl_roundtrip",
+    "q_csv_roundtrip",
 ]
 
 
@@ -118,6 +122,62 @@ def test_heavy_hitters_partial_agg_and_takeordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
     assert "partial_count" in plan  # map-side combine bounds token skew
+
+
+def test_zorder_layout_shrinks_rowgroup_bounding_boxes(spark, tmp_path):
+    """Writing events sorted by the Morton value must cluster BOTH
+    dimensions: the average per-row-group (zx-range x zy-range)
+    bounding box must shrink vs the unsorted layout — that area is
+    exactly what parquet min/max stats prune on a 2-D range scan."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from timer_pulsar_spark.store import write_zordered
+
+    df = _q("q_zorder")(spark, SF_DIR)
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    df.write.mode("overwrite").parquet(plain)
+    write_zordered(df, zord, "zval", n_files=4)
+
+    def avg_box_area(path):
+        areas, groups = 0.0, 0
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                cols = {
+                    rg.column(c).path_in_schema: rg.column(c).statistics
+                    for c in range(rg.num_columns)
+                }
+                zx, zy = cols["zx"], cols["zy"]
+                areas += (zx.max - zx.min + 1) * (zy.max - zy.min + 1)
+                groups += 1
+        return areas / groups
+
+    assert avg_box_area(zord) < avg_box_area(plain) / 2
+
+
+def test_outlier_rule_flags_planted_extreme(spark):
+    """A value 1000 MADs out must be counted as an outlier."""
+    from timer_pulsar_spark.operators import analytics
+
+    rows = [("a", float(v)) for v in range(100)] + [("a", 1e7)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    import timer_pulsar_spark.catalog as catalog
+
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda s, d, t: df
+        analytics.load_table = catalog.load_table
+        got = analytics.q_outliers(spark, "ignored").collect()
+    finally:
+        catalog.load_table = orig
+        analytics.load_table = orig
+    assert got[0]["n_outliers"] >= 1 and got[0]["n"] == 101
 
 
 def test_dedup_span_positions_are_cuttable(spark, duck):

@@ -303,7 +303,65 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from")
 
 
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[robust outlier detection] per-event-type median, MAD (median
+    absolute deviation), and modified-z-score outlier counts
+    (|0.6745·(x−med)/MAD| > 3.5, the Iglewicz–Hoaglin rule) — the
+    robust counterpart of q_stats's moment statistics, which a single
+    corrupt feed value can drag arbitrarily far.
+
+    Exact medians need a per-group sort, so this is the one stats query
+    that can't be a single-pass mergeable aggregate: two median passes
+    (value, then absolute deviation) with the tiny per-type results
+    broadcast back between passes. The grouping key is bounded
+    (event types), so each median is |types| sorted runs; at 100 TB
+    you'd swap F.median for approx_percentile(0.5, ε) and keep the
+    identical plan shape — the broadcast-back pattern is the point."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.first("med").alias("med"),  # constant within the group
+        F.median("adev").alias("mad"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                (F.col("adev") > (3.5 / 0.6745) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_outliers": """
+        WITH med AS (
+            SELECT event_type, median(value) AS med FROM events GROUP BY 1
+        ), dev AS (
+            SELECT e.event_type, abs(e.value - m.med) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, any_value(med) AS med, median(adev) AS mad
+            FROM (SELECT d.event_type, d.adev, m.med
+                  FROM dev d JOIN med m USING (event_type)) GROUP BY 1
+        )
+        SELECT d.event_type, count(*) AS n,
+               round(any_value(m.med), 6) AS med,
+               round(any_value(m.mad), 6) AS mad,
+               CAST(sum(CASE WHEN d.adev > (3.5 / 0.6745) * m.mad
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY 1 ORDER BY 1
+    """,
     "q_stats": """
         SELECT event_type,
                round(stddev_samp(value), 6) AS sd_value,

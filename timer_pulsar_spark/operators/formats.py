@@ -1,0 +1,106 @@
+"""Source-format breadth: JSONL and CSV ingestion with explicit
+schemas, round-tripped against the canonical parquet tables.
+
+A training-data pipeline's raw inputs arrive as JSONL shards (the
+lingua franca of web-crawl dumps) and CSV exports long before anyone
+converts them to parquet; these operators prove the engine ingests
+both with schema enforcement and produces bit-identical rows.
+
+Scale notes: `spark.read.json/csv` with an EXPLICIT schema skips the
+whole-file inference scan (inference reads every byte once just to
+guess types — a 100 TB no-go); both formats split by line across
+executors, so ingestion parallelism equals input splits, same as
+parquet. The queries write a temp copy at the tested scale factor and
+read it back — the oracle stays on the parquet view, so any encode or
+decode asymmetry (quoting, escapes, unicode, nulls) fails the hash.
+
+Reference note: the reference's only ingest surface is MySQL rows +
+Redis ZSETs (gotimer_web/dao/...); file-format breadth is part of the
+training-data extension mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """Write documents as `fmt` shards, read them back with the
+    explicit schema, and project a digest per row. Fingerprinting with
+    md5(text) makes any serialization loss (newlines, quotes, unicode)
+    flip the oracle hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
+    out = os.path.join(work, fmt)
+    try:
+        writer = docs.repartition(4).write.mode("overwrite")
+        if fmt == "jsonl":
+            writer.json(out)
+            back = spark.read.schema(DOC_SCHEMA).json(out)
+        else:
+            # quote/escape defaults round-trip embedded commas/quotes;
+            # header off because the schema is explicit
+            writer.option("header", "false").csv(out)
+            back = spark.read.schema(DOC_SCHEMA).option("header", "false").csv(out)
+        return (
+            back.select(
+                "doc_id",
+                F.md5("text").alias("text_md5"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+            .orderBy("doc_id")
+            # the temp dir must outlive lazy execution: materialize via
+            # localCheckpoint (small: one digest row per doc), then the
+            # source files can be removed
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingest: documents → line-delimited JSON shards → explicit-
+    schema read-back → per-row digest. Must equal the parquet rows."""
+    return _roundtrip(spark, sf_dir, "jsonl")
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest with quoting/escape round-trip, same contract."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+_ORACLE = """
+    SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+    FROM documents ORDER BY doc_id
+"""
+
+ORACLES: dict[str, str] = {
+    "q_jsonl_roundtrip": _ORACLE,
+    "q_csv_roundtrip": _ORACLE,
+}
+
+QUERIES = {
+    name: fn
+    for name, fn in list(globals().items())
+    if callable(fn) and name.startswith("q_")
+}

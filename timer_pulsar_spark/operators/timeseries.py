@@ -272,7 +272,55 @@ def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZORDER_BITS = 16
+
+
+def zorder_value(x_sql: str, y_sql: str, bits: int = ZORDER_BITS) -> "F.Column":
+    """Morton/Z-order value: interleave the low `bits` bits of two
+    dimension keys, entirely in one JVM fold expression. Sorting a
+    table by this value clusters rows that are close in BOTH
+    dimensions into the same parquet row groups, so min/max row-group
+    stats prune 2-D range scans — the lakehouse layout trick (Delta
+    OPTIMIZE ZORDER BY) expressed as plain columnar math."""
+    return F.expr(
+        f"aggregate(sequence(0, {bits - 1}), 0L, (acc, b) -> acc"
+        f" + shiftleft(({x_sql} >> b) & 1, 2 * b)"
+        f" + shiftleft(({y_sql} >> b) & 1, 2 * b + 1))"
+    )
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over events: interleave (user_id,
+    minute-of-day) — the two dimensions a timer/event workload range-
+    scans together (\"this user, this time window\"). The value is
+    oracle-checked bit-for-bit; store.write_zordered sorts a table by
+    it and the layout test measures the row-group bounding-box
+    shrinkage that makes 100 TB scans prune."""
+    e = load_table(spark, sf_dir, "events")
+    zx = "cast(user_id & 65535 AS BIGINT)"
+    zy = "cast((hour(ts) * 60 + minute(ts)) & 65535 AS BIGINT)"
+    return e.select(
+        "event_id",
+        F.expr(zx).alias("zx"),
+        F.expr(zy).alias("zy"),
+        zorder_value(zx, zy).alias("zval"),
+    ).orderBy("event_id")
+
+
 ORACLES: dict[str, str] = {
+    "q_zorder": f"""
+        SELECT event_id,
+               user_id & 65535 AS zx,
+               (extract(hour FROM ts) * 60 + extract(minute FROM ts)) & 65535
+                   AS zy,
+               CAST(list_sum(list_transform(range(0, {ZORDER_BITS}),
+                   b -> ((((user_id & 65535) >> b) & 1) << (2 * b))
+                      + (((((extract(hour FROM ts) * 60
+                             + extract(minute FROM ts)) & 65535) >> b) & 1)
+                         << (2 * b + 1))
+               )) AS BIGINT) AS zval
+        FROM events ORDER BY event_id
+    """,
     # assertion-form oracle: the deterministic error-bound check must
     # hold for every group (see q_approx_users docstring)
     "q_approx_users": """

@@ -57,7 +57,7 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     mods = [relational, timeseries, metrics, sessionize, rollup, joins]
-    for extra in ("dedup", "similarity", "textops", "timerdomain", "multimodal", "streamops", "analytics", "sampling"):
+    for extra in ("dedup", "similarity", "textops", "timerdomain", "multimodal", "streamops", "analytics", "sampling", "formats"):
         try:
             mods.append(__import__(f"timer_pulsar_spark.operators.{extra}", fromlist=[extra]))
         except ImportError:

@@ -121,6 +121,31 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zval_col: str,
+    n_files: int = 8,
+) -> None:
+    """Z-order-clustered parquet layout: range-partition by the Morton
+    value (operators/timeseries.zorder_value), sort within each file,
+    write. Rows near each other in BOTH interleaved dimensions land in
+    the same row groups, so parquet min/max statistics prune 2-D range
+    scans (user × time window) instead of only the leading sort column
+    — the OPTIMIZE-ZORDER layout pass of a lakehouse, as one
+    repartitionByRange + sortWithinPartitions plan.
+
+    Scale: the range partitioner samples the z-value distribution, so
+    skewed dimensions still split into balanced files; the sort is
+    per-partition (no global sort barrier beyond the range exchange)."""
+    (
+        df.repartitionByRange(n_files, zval_col)
+        .sortWithinPartitions(zval_col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_latest(
     spark: SparkSession,
     path: str,
