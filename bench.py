@@ -35,10 +35,13 @@ HEADLINERS = [
     "q_dedup_exact",
     "q_dedup_near",
     "q_dedup_minhash",
+    "q_dedup_span",
     "q_ann_topk",
     "q_centroid_assign",
     "q_textstats",
     "q_quality",
+    "q_bm25",
+    "q_domain_cap",
     "q_sample_hash",
     "q_pack_sequences",
     "q_fanout",

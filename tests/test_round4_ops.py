@@ -38,7 +38,15 @@ NEW_ORACLE_CHECKED = [
     "q_zorder",
     "q_jsonl_roundtrip",
     "q_csv_roundtrip",
+    "q_pagerank",
 ]
+
+
+def test_pagerank_mass_conservation(spark):
+    """On a symmetric graph with no dangling nodes, total rank mass
+    must stay 1 through every power iteration."""
+    got = _q("q_pagerank")(spark, SF_DIR).agg({"rank": "sum"}).collect()[0][0]
+    assert abs(got - 1.0) < 1e-3
 
 
 @pytest.mark.parametrize("name", NEW_ORACLE_CHECKED)

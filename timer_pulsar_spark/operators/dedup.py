@@ -703,6 +703,99 @@ def q_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 10
+PAGERANK_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-dup graph — power iteration as repeated
+    join + aggregate, the canonical iterative-algorithm shape on Spark
+    (each round: edges ⨝ ranks ⨝ degrees, then a sum-groupBy on the
+    destination; localCheckpoint truncates lineage so round k's plan
+    does not embed rounds 1..k-1). Ranking duplicate-graph authority is
+    how a curation pipeline picks the canonical representative by
+    CENTRALITY rather than min-id: the doc sharing content with the
+    most (and best-connected) others wins.
+
+    The graph is symmetric (undirected near-dup pairs), so there are
+    no dangling nodes and the per-round mass balance is exact. A fixed
+    iteration count (10) keeps both engines bit-comparable after
+    rounding; the oracle unrolls the same 10 rounds as chained CTEs
+    (plain SQL — recursive CTEs cannot aggregate in the recursive
+    member).
+
+    Scale: ranks/degrees are (node, double) tables hash-partitioned on
+    node id; each round shuffles |edges| contribution rows — the same
+    volume a triangle-count or label-propagation round ships. At 100 TB
+    you co-partition edges and ranks once (bucketBy node) so the
+    per-round join is exchange-free, leaving one shuffle (the groupBy)
+    per iteration."""
+    pairs = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("u", "v")
+    deg = edges.groupBy("u").agg(F.count("*").alias("deg")).localCheckpoint()
+    n = deg.count()  # bounded driver scalar: the graph's node count
+    ranks = deg.select("u", F.lit(1.0 / n).alias("rank"))
+    for _ in range(PAGERANK_ITERS):
+        contribs = (
+            edges.join(ranks, "u")
+            .join(deg, "u")
+            .select(F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy("u")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "u",
+                (
+                    F.lit((1 - PAGERANK_DAMPING) / n)
+                    + PAGERANK_DAMPING * F.col("s")
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("u").alias("doc_id"), F.round("rank", 6).alias("rank")
+    ).orderBy("doc_id")
+
+
+def _pagerank_oracle_sql() -> str:
+    """The same 10 power-iteration rounds, unrolled as chained CTEs on
+    the near-dup edge set (aggregates are illegal in a recursive CTE
+    member, so the fixed iteration count is what makes an exact SQL
+    oracle possible at all)."""
+    near_dup = ORACLES["q_dedup_near"]
+    rounds = []
+    prev = "pr0"
+    for k in range(PAGERANK_ITERS):
+        cur = f"pr{k + 1}"
+        rounds.append(
+            f"""{cur} AS (
+            SELECT e.v AS u,
+                   (0.15 / (SELECT n FROM nn))
+                   + 0.85 * sum(p.rank / d.deg) AS rank
+            FROM {prev} p
+            JOIN edges e ON e.u = p.u
+            JOIN deg d ON d.u = p.u
+            GROUP BY e.v
+        )"""
+        )
+        prev = cur
+    return f"""
+        WITH dup AS ({near_dup}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM dup
+            UNION ALL SELECT doc_b, doc_a FROM dup
+        ),
+        deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+        nn AS (SELECT count(*) AS n FROM deg),
+        pr0 AS (SELECT u, 1.0 / (SELECT n FROM nn) AS rank FROM deg),
+        {",".join(rounds)}
+        SELECT u AS doc_id, round(rank, 6) AS rank FROM {prev} ORDER BY u
+    """
+
+
 ORACLES: dict[str, str] = {
     "q_dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
@@ -910,6 +1003,7 @@ ORACLES["q_dedup_minhash"] = ORACLES["q_dedup_near"]
 # large/small-star computes the same component labeling as the
 # min-label loop — both share the recursive-CTE transitive closure
 ORACLES["q_dup_clusters_star"] = ORACLES["q_dup_clusters"]
+ORACLES["q_pagerank"] = _pagerank_oracle_sql()
 ORACLES["q_dedup_span"] = f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     spans AS (
