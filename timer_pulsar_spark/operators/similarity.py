@@ -476,6 +476,87 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+def q_stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding indexing — the streaming twin of
+    q_centroid_assign, ORACLE-checked: replay the embeddings table as a
+    multi-batch file stream (maxFilesPerTrigger forces several real
+    micro-batches) and assign each arriving batch to the broadcast
+    codebook, appending assignments per batch. Assignment is a
+    STATELESS per-row map against a fixed dimension, so the result is
+    batch-split-independent and must equal the one-shot batch
+    quantization — this is how a 100 TB vector store indexes new
+    arrivals: each shard pays O(shard x k), never a corpus re-scan."""
+    import os
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    work = tempfile.mkdtemp(prefix="stream_vq_")
+    in_dir = os.path.join(work, "vecs")
+    out = os.path.join(work, "assigned")
+    ckpt = os.path.join(work, "ckpt")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    e.repartition(8).write.mode("overwrite").parquet(in_dir)
+    cents = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES)
+            & (F.col("vec_id") < N_QUERIES + _N_CENTROIDS)
+        )
+        .select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("cent_emb"),
+            l2_norm(F.col("embedding")).alias("c_norm"),
+        )
+    )
+
+    def assign(batch_df: DataFrame, batch_id: int) -> None:
+        scored = (
+            batch_df.withColumn("v_norm", l2_norm(F.col("embedding")))
+            .crossJoin(F.broadcast(cents))
+            .withColumn(
+                "cosine",
+                F.round(
+                    dot_product(F.col("embedding"), F.col("cent_emb"))
+                    / (F.col("v_norm") * F.col("c_norm")),
+                    6,
+                ),
+            )
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("cell_id"))
+        (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "cell_id", "cosine")
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real batches
+            .parquet(in_dir)
+            .writeStream.foreachBatch(assign)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+    return spark.read.parquet(out)
+
+
+# stateless per-row assignment against a fixed codebook is
+# batch-split-independent: the incremental index must equal the batch one
+ORACLES["q_stream_centroid_assign"] = ORACLES["q_centroid_assign"]
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

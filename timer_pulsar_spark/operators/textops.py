@@ -544,6 +544,77 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus vocabulary statistics — the streaming twin of
+    q_heavy_hitters, ORACLE-checked: replay the documents table as a
+    multi-batch file stream and fold per-batch term counts into a
+    persistent count table with an aggregate MERGE (sum is
+    commutative+associative, so the folded state is batch-split-
+    independent); the top-k is read off the final state. At 100 TB this
+    is how vocabulary/token statistics stay current as shards arrive:
+    each batch costs O(batch + |vocab|), never a corpus re-scan, and
+    the state table is |vocab| rows — millions, not billions."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_hh_")
+    in_dir = os.path.join(work, "docs")
+    state = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        8
+    ).write.mode("overwrite").parquet(in_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        agg = (
+            batch_df.select(F.explode(F.split("text", " ")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        if os.path.exists(state):
+            agg = (
+                spark.read.parquet(state)
+                .unionByName(agg)
+                .groupBy("term")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        tmp = f"{state}.fold-{uuid.uuid4().hex[:8]}"
+        agg.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state):
+            shutil.rmtree(state)
+        os.replace(tmp, state)
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real folds
+            .parquet(in_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+    return (
+        spark.read.parquet(state)
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(TOPK_TOKENS)
+    )
+
+
+# sum-folded counts are split-independent; the incremental top-k must
+# equal the one-shot batch aggregation
+ORACLES["q_stream_heavy_hitters"] = ORACLES["q_heavy_hitters"]
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -48,6 +48,15 @@ PRIORITY: list[str] = [
     "q_asof",
 ]
 
+# Immediately after the PRIORITY window: the newest operator families,
+# so any driver budget beyond 50 verifies them before re-verifying
+# long-green per-family variants. All oracle-backed.
+SECONDARY: list[str] = [
+    "q_pagerank", "q_dup_clusters_star", "q_dedup_span",
+    "q_bm25", "q_heavy_hitters", "q_domain_cap", "q_sample_stratified",
+    "q_outliers", "q_zorder", "q_jsonl_roundtrip", "q_csv_roundtrip",
+]
+
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from . import metrics
@@ -80,10 +89,14 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     # carry an oracle — a no_oracle row inside the window wastes a slot
     no_oracle_prio = [n for n in PRIORITY if n not in oracles]
     assert not no_oracle_prio, f"PRIORITY window must be oracle-backed: {no_oracle_prio}"
-    prio = set(PRIORITY)
+    missing_sec = [n for n in SECONDARY if n not in queries]
+    assert not missing_sec, f"SECONDARY names not registered: {missing_sec}"
+    no_oracle_sec = [n for n in SECONDARY if n not in oracles]
+    assert not no_oracle_sec, f"SECONDARY must be oracle-backed: {no_oracle_sec}"
+    prio = set(PRIORITY) | set(SECONDARY)
     mid = [n for n in queries if n not in prio and not n.startswith("tpch_")]
     tail = [n for n in queries if n.startswith("tpch_")]
-    ordered = {n: queries[n] for n in [*PRIORITY, *mid, *tail]}
+    ordered = {n: queries[n] for n in [*PRIORITY, *SECONDARY, *mid, *tail]}
     return ordered, oracles
 
 
