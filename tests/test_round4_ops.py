@@ -41,7 +41,42 @@ NEW_ORACLE_CHECKED = [
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",
+    "q_chunk_cdc",
 ]
+
+
+def test_cdc_chunks_survive_prefix_edit(spark):
+    """The content-defined property: inserting tokens at the front of
+    a document may change the first chunk(s), but every chunk after
+    the next boundary must keep its hash — fixed-stride chunking
+    (q_chunk) shifts every window instead. This is why CDC chunk
+    hashes stay dedupable across document edits."""
+    import timer_pulsar_spark.catalog as catalog
+    from timer_pulsar_spark.operators import textops
+
+    base = _q("q_textstats")(spark, SF_DIR)  # just to get a session
+    del base
+    doc = " ".join(f"tok{i % 97}" for i in range(400))
+    edited = "zzz qqq " + doc
+    df = spark.createDataFrame(
+        [(1, doc), (2, edited)], "doc_id long, text string"
+    )
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda s, d, t: df
+        textops.load_table = catalog.load_table
+        rows = textops.q_chunk_cdc(spark, "ignored").collect()
+    finally:
+        catalog.load_table = orig
+        textops.load_table = orig
+    h1 = [r["chunk_md5"] for r in rows if r["doc_id"] == 1]
+    h2 = [r["chunk_md5"] for r in rows if r["doc_id"] == 2]
+    assert len(h1) > 3, "need several chunks for the property to bite"
+    # the inserted prefix lands before the first boundary, so chunk 0
+    # changes and every later chunk keeps its exact hash and position
+    assert len(h1) == len(h2)
+    assert h1[0] != h2[0]
+    assert h1[1:] == h2[1:]
 
 
 def test_pagerank_mass_conservation(spark):

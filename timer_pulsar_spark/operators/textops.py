@@ -544,6 +544,86 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+CDC_MODULUS = 8  # ~1/8 of token types start a chunk → avg chunk ≈ 8-16 tokens
+
+
+def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: variable-size chunks whose boundaries
+    are TOKENS with a distinguished hash residue, not fixed offsets —
+    the rsync/LBFS gear-hash idea at token granularity. Unlike
+    q_chunk's fixed 64/48 windows, an insertion near the top of a
+    document shifts only the one chunk it lands in; every later chunk
+    keeps its content hash, which is what makes chunk-level dedup
+    robust to edits (the reason backup systems and near-dup pipelines
+    chunk content-defined).
+
+    Boundary membership uses the same cross-engine md5-prefix integer
+    as sampling.hash_bucket, so the oracle reproduces boundaries
+    bit-for-bit. The whole operator is map-side array math + one
+    posexplode — zero shuffles, like q_chunk (the output sort is
+    presentation only)."""
+    d = load_table(spark, sf_dir, "documents")
+    bpred = f"conv(substring(md5(x), 1, 6), 16, 10) % {CDC_MODULUS} = 0"
+    return (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn(
+            "bounds",
+            F.expr(
+                f"concat(array(0L),"
+                f" transform(filter(transform(toks, (x, i) ->"
+                f"   CASE WHEN i > 0 AND {bpred} THEN i ELSE -1 END),"
+                f"  p -> p >= 0), p -> cast(p AS bigint)),"
+                f" array(cast(size(toks) AS bigint)))"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "posexplode(filter(transform(sequence(1, size(bounds) - 1),"
+                " i -> slice(toks, cast(bounds[i - 1] + 1 AS int),"
+                "            cast(bounds[i] - bounds[i - 1] AS int))),"
+                " c -> size(c) > 0))"
+            ).alias("chunk_idx", "chunk"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.md5(F.concat_ws(" ", "chunk")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+ORACLES["q_chunk_cdc"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+        SELECT doc_id, toks,
+               list_concat(list_concat(
+                 [CAST(0 AS BIGINT)],
+                 list_filter(list_transform(toks, (x, i) ->
+                     CASE WHEN i > 1
+                           AND ('0x' || substr(md5(x), 1, 6))::BIGINT
+                               % {CDC_MODULUS} = 0
+                          THEN CAST(i - 1 AS BIGINT)
+                          ELSE CAST(-1 AS BIGINT) END), p -> p >= 0)),
+                 [CAST(len(toks) AS BIGINT)]) AS bounds
+        FROM t
+    ), cl AS (
+        SELECT doc_id,
+               list_filter(list_transform(range(1, len(bounds)),
+                   i -> list_slice(toks, bounds[i] + 1, bounds[i + 1])),
+                 c -> len(c) > 0) AS chunks
+        FROM b
+    )
+    SELECT doc_id, CAST(u.i - 1 AS INT) AS chunk_idx,
+           len(chunks[u.i]) AS n_chunk_tokens,
+           md5(array_to_string(chunks[u.i], ' ')) AS chunk_md5
+    FROM cl, UNNEST(range(1, len(chunks) + 1)) AS u(i)
+    ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus vocabulary statistics — the streaming twin of
     q_heavy_hitters, ORACLE-checked: replay the documents table as a

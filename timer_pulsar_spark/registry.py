@@ -55,6 +55,7 @@ SECONDARY: list[str] = [
     "q_pagerank", "q_dup_clusters_star", "q_dedup_span",
     "q_bm25", "q_heavy_hitters", "q_domain_cap", "q_sample_stratified",
     "q_outliers", "q_zorder", "q_jsonl_roundtrip", "q_csv_roundtrip",
+    "q_chunk_cdc", "q_stream_centroid_assign", "q_stream_heavy_hitters",
 ]
 
 
@@ -94,9 +95,19 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     no_oracle_sec = [n for n in SECONDARY if n not in oracles]
     assert not no_oracle_sec, f"SECONDARY must be oracle-backed: {no_oracle_sec}"
     prio = set(PRIORITY) | set(SECONDARY)
-    mid = [n for n in queries if n not in prio and not n.startswith("tpch_")]
+    mid = [
+        n for n in queries
+        if n not in prio and not n.startswith("tpch_") and n in oracles
+    ]
     tail = [n for n in queries if n.startswith("tpch_")]
-    ordered = {n: queries[n] for n in [*PRIORITY, *SECONDARY, *mid, *tail]}
+    # rows-only strategies (engine-specific hashes; each has an
+    # oracle-checked *_check twin) go absolute last: every driver
+    # budget verifies oracle-backed queries before spending a slot on a
+    # rows-only row
+    rows_only = [n for n in queries if n not in oracles]
+    ordered = {
+        n: queries[n] for n in [*PRIORITY, *SECONDARY, *mid, *tail, *rows_only]
+    }
     return ordered, oracles
 
 
