@@ -42,7 +42,42 @@ NEW_ORACLE_CHECKED = [
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",
     "q_chunk_cdc",
+    "q_table_checksum",
 ]
+
+
+def test_checksum_is_partition_order_independent(spark, tmp_path):
+    """Rewriting the table with a different partitioning/row order must
+    not move the checksum; flipping one character must."""
+    import timer_pulsar_spark.catalog as catalog
+    from timer_pulsar_spark.operators import formats
+
+    base = formats.q_table_checksum(spark, SF_DIR).collect()[0]
+    shuffled = (
+        catalog.load_table(spark, SF_DIR, "documents")
+        .repartition(7)
+        .sortWithinPartitions("source")
+    )
+    corrupted = catalog.load_table(spark, SF_DIR, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("x"))
+        ).otherwise(F.col("text")),
+    )
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda s, d, t: shuffled
+        formats.load_table = catalog.load_table
+        reordered = formats.q_table_checksum(spark, "ignored").collect()[0]
+        catalog.load_table = lambda s, d, t: corrupted
+        formats.load_table = catalog.load_table
+        bad = formats.q_table_checksum(spark, "ignored").collect()[0]
+    finally:
+        catalog.load_table = orig
+        formats.load_table = orig
+    assert reordered["checksum"] == base["checksum"]
+    assert bad["checksum"] != base["checksum"]
+    assert bad["n_rows"] == base["n_rows"]
 
 
 def test_cdc_chunks_survive_prefix_edit(spark):

@@ -89,6 +89,34 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "csv")
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the anti-entropy audit a
+    100 TB replicated lake runs to prove two copies (or a migration
+    source and target, or an engine swap like this repo vs the
+    reference) hold identical rows without shipping any data: each row
+    is canonically serialized, hashed to a 48-bit md5-prefix integer,
+    and SUMMED — addition commutes, so partitioning, file order, and
+    engine are all irrelevant, and any single-row difference moves the
+    total. One scalar aggregation, zero shuffles beyond the final
+    single-row exchange; the md5 base (not xxhash64) is what lets a
+    non-Spark auditor recompute it."""
+    d = load_table(spark, sf_dir, "documents")
+    row_key = F.concat_ws(
+        "|",
+        F.col("doc_id").cast("string"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("string"),
+    )
+    row_hash = F.conv(F.substring(F.md5(row_key), 1, 12), 16, 10).cast("long")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).alias("checksum"),
+        F.sum(F.length("text")).alias("text_bytes"),
+    )
+
+
 _ORACLE = """
     SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
     FROM documents ORDER BY doc_id
@@ -97,6 +125,15 @@ _ORACLE = """
 ORACLES: dict[str, str] = {
     "q_jsonl_roundtrip": _ORACLE,
     "q_csv_roundtrip": _ORACLE,
+    "q_table_checksum": """
+        SELECT count(*) AS n_rows,
+               CAST(sum(('0x' || substr(md5(
+                   CAST(doc_id AS VARCHAR) || '|' || text || '|' || lang
+                   || '|' || source || '|' || CAST(n_chars AS VARCHAR)
+               ), 1, 12))::BIGINT) AS BIGINT) AS checksum,
+               CAST(sum(length(text)) AS BIGINT) AS text_bytes
+        FROM documents
+    """,
 }
 
 QUERIES = {

@@ -56,6 +56,7 @@ SECONDARY: list[str] = [
     "q_bm25", "q_heavy_hitters", "q_domain_cap", "q_sample_stratified",
     "q_outliers", "q_zorder", "q_jsonl_roundtrip", "q_csv_roundtrip",
     "q_chunk_cdc", "q_stream_centroid_assign", "q_stream_heavy_hitters",
+    "q_table_checksum",
 ]
 
 
