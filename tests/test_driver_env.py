@@ -80,5 +80,10 @@ def test_registry_priority_window():
     assert names[: len(PRIORITY)] == PRIORITY
     missing = [n for n in PRIORITY if n not in oracles]
     assert not missing, f"PRIORITY entries without oracle: {missing}"
+    # rows-only strategies (no oracle; each has an oracle-checked *_check
+    # twin) are absolute last, and the long-green TPC-H suite sits
+    # immediately before them
+    rows_only = [n for n in names if n not in oracles]
+    assert names[-len(rows_only):] == rows_only
     tpch = [n for n in names if n.startswith("tpch_")]
-    assert names[-len(tpch):] == tpch
+    assert names[-len(tpch) - len(rows_only):-len(rows_only)] == tpch

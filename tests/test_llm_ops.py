@@ -41,6 +41,9 @@ ORACLE_CHECKED = [
     "q_fingerprint",
     "q_multimodal_meta",
     "q_multimodal_features",
+    "q_repetition",
+    "q_entropy",
+    "q_semdedup",
 ]
 
 
@@ -223,3 +226,37 @@ def test_stream_dedup_folds_across_multiple_batches(spark):
     ckpts = glob.glob("/tmp/stream_dedup_*/ckpt/offsets/*")
     batch_ids = {int(m.group(1)) for p in ckpts for m in [re.search(r"/offsets/(\d+)$", p)] if m}
     assert len(batch_ids) >= 3, f"expected a multi-batch replay, saw {sorted(batch_ids)}"
+
+
+def test_semdedup_subset_of_corpus_wide_pairs(spark):
+    """SemDeDup prunes the pair space to within-cluster: its pairs must
+    be a subset of the O(n^2) corpus-wide q_embed_dup pairs at the same
+    threshold (the cell restriction can only REMOVE pairs, never score
+    one differently), and the planted dup pairs it does keep must carry
+    identical cosines."""
+    sem = _q("q_semdedup")(spark, SF_DIR).toPandas()
+    full = _q("q_embed_dup")(spark, SF_DIR).toPandas()
+    key = lambda df: set(map(tuple, df[["vec_a", "vec_b"]].values.tolist()))
+    assert key(sem) <= key(full)
+    assert len(sem) > 0, "testdata is expected to contain semantic dups"
+    merged = sem.merge(full, on=["vec_a", "vec_b"], suffixes=("_s", "_f"))
+    assert (merged["cosine_s"] == merged["cosine_f"]).all()
+
+
+def test_repetition_signals_bounded(spark):
+    """Repetition fractions are probabilities; entropy is bounded by
+    log2(n_words)."""
+    import numpy as np
+
+    rep = _q("q_repetition")(spark, SF_DIR).toPandas()
+    for col in ("dup_word_frac", "top_bigram_frac", "dup_trigram_frac"):
+        assert rep[col].between(0.0, 1.0).all(), col
+    ent = _q("q_entropy")(spark, SF_DIR).toPandas()
+    joined = rep.merge(ent, on="doc_id")
+    assert len(joined) == len(rep)
+    assert (joined["word_entropy"] >= 0).all()
+    assert (
+        # +1e-6: the query rounds entropy to 6 decimals, which can tip
+        # an exactly-uniform doc (entropy == log2(n)) over the bound
+        joined["word_entropy"] <= np.log2(joined["n_words"]) + 1e-6
+    ).all()

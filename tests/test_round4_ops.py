@@ -38,6 +38,7 @@ NEW_ORACLE_CHECKED = [
     "q_zorder",
     "q_jsonl_roundtrip",
     "q_csv_roundtrip",
+    "q_orc_roundtrip",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

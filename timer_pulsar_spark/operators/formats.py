@@ -55,6 +55,12 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         if fmt == "jsonl":
             writer.json(out)
             back = spark.read.schema(DOC_SCHEMA).json(out)
+        elif fmt == "orc":
+            # ORC is the other columnar lake format Spark ships a
+            # native vectorized reader for; explicit schema keeps the
+            # read path inference-free like the text formats
+            writer.orc(out)
+            back = spark.read.schema(DOC_SCHEMA).orc(out)
         else:
             # quote/escape defaults round-trip embedded commas/quotes;
             # header off because the schema is explicit
@@ -87,6 +93,14 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV ingest with quoting/escape round-trip, same contract."""
     return _roundtrip(spark, sf_dir, "csv")
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest via Spark's native vectorized ORC reader — the
+    columnar sibling to the parquet path (predicate pushdown, column
+    pruning, and split-based parallelism all apply identically), same
+    digest contract as the text formats."""
+    return _roundtrip(spark, sf_dir, "orc")
 
 
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,6 +139,7 @@ _ORACLE = """
 ORACLES: dict[str, str] = {
     "q_jsonl_roundtrip": _ORACLE,
     "q_csv_roundtrip": _ORACLE,
+    "q_orc_roundtrip": _ORACLE,
     "q_table_checksum": """
         SELECT count(*) AS n_rows,
                CAST(sum(('0x' || substr(md5(

@@ -557,6 +557,108 @@ def q_stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch-split-independent: the incremental index must equal the batch one
 ORACLES["q_stream_centroid_assign"] = ORACLES["q_centroid_assign"]
 
+
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings, then finding near-duplicate
+    pairs only WITHIN each cluster. Assignment is the same broadcast
+    16-row codebook nearest-centroid pass as q_centroid_assign; the
+    pairwise cosine then runs per cell, so the pair space is
+    sum(cell_size^2) instead of corpus^2 — the published trick that
+    makes embedding-level dedup tractable at web scale (k grows with
+    the corpus to keep cells bounded). Compare q_embed_dup, the O(n^2)
+    corpus-wide baseline this replaces at 100 TB.
+
+    Fully deterministic (fixed codebook, exact cosine) → exact DuckDB
+    oracle, unlike the recall-bounded LSH twin q_embed_dup_lsh."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "v_norm", l2_norm(F.col("embedding"))
+    )
+    cents = e.filter(
+        (F.col("vec_id") >= N_QUERIES) & (F.col("vec_id") < N_QUERIES + _N_CENTROIDS)
+    ).select(
+        F.col("vec_id").alias("cell_id"),
+        F.col("embedding").alias("cent_emb"),
+        F.col("v_norm").alias("c_norm"),
+    )
+    scored = e.crossJoin(F.broadcast(cents)).withColumn(
+        "cent_cos",
+        dot_product(F.col("embedding"), F.col("cent_emb"))
+        / (F.col("v_norm") * F.col("c_norm")),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cell_id")
+    )
+    assigned = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("vec_id", "cell_id", "embedding", "v_norm")
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vec_a"),
+        "cell_id",
+        F.col("embedding").alias("emb_a"),
+        F.col("v_norm").alias("n_a"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cell_id").alias("cell_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("v_norm").alias("n_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("cell_id") == F.col("cell_b")) & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_product(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+        .select("vec_a", "vec_b", "cell_id", "cosine")
+    )
+
+
+_CENT_COS_RAW = (
+    "(list_dot_product(q.embedding::DOUBLE[], cent.embedding::DOUBLE[])"
+    " / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))"
+    " * sqrt(list_dot_product(cent.embedding::DOUBLE[], cent.embedding::DOUBLE[]))))"
+)
+
+ORACLES["q_semdedup"] = f"""
+    WITH assigned AS (
+        SELECT vec_id, cell_id, embedding FROM (
+            SELECT q.vec_id, cent.vec_id AS cell_id, q.embedding,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_CENT_COS_RAW} DESC, cent.vec_id) AS rnk
+            FROM embeddings q
+            JOIN embeddings cent
+              ON cent.vec_id >= {N_QUERIES}
+             AND cent.vec_id < {N_QUERIES + _N_CENTROIDS}
+        ) WHERE rnk = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cell_id,
+           round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                 6) AS cosine
+    FROM assigned a
+    JOIN assigned b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                   * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                6) >= {SEMDEDUP_THRESHOLD}
+"""
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

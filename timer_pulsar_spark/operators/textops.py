@@ -695,6 +695,130 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # equal the one-shot batch aggregation
 ORACLES["q_stream_heavy_hitters"] = ORACLES["q_heavy_hitters"]
 
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1, adapted from lines to the corpus's
+    space-separated tokens): per document, the duplicate-word fraction,
+    the fraction of word-bigram occurrences taken by the single most
+    frequent bigram, and the fraction of word-trigram occurrences whose
+    trigram repeats. High values flag boilerplate / spam documents that
+    length-and-stopword gates (q_quality) miss.
+
+    Scale shape: dup_word_frac is a pure map-side array expression;
+    the n-gram fractions explode grams and aggregate keyed on
+    (doc_id, gram) — partial aggregation pre-combines per partition and
+    the key-space is per-document, so no global hot key exists and the
+    shuffle volume is |distinct grams per doc| rows, not occurrences."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = _toks()
+    base = d.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.size(ws).alias("n_words"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws), 6).alias(
+            "dup_word_frac"
+        ),
+    )
+    bigram = (
+        base.select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
+    )
+    trigram = (
+        base.select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(1, size(ws) - 2),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),"
+                " ' ', element_at(ws, i + 2))))"
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+                / F.sum("c"),
+                6,
+            ).alias("dup_trigram_frac")
+        )
+    )
+    return (
+        base.select("doc_id", "n_words", "dup_word_frac")
+        .join(bigram, "doc_id")
+        .join(trigram, "doc_id")
+    )
+
+
+ORACLES["q_repetition"] = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        FROM w, UNNEST(range(1, len(ws))) AS t(i)
+    ), bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    bgf AS (
+        SELECT doc_id, round(max(c) * 1.0 / sum(c), 6) AS top_bigram_frac
+        FROM bgc GROUP BY doc_id
+    ),
+    tg AS (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+    ), tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+    tgf AS (
+        SELECT doc_id,
+               round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c), 6)
+                   AS dup_trigram_frac
+        FROM tgc GROUP BY doc_id
+    )
+    SELECT doc_id, len(ws) AS n_words,
+           round(1.0 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+               AS dup_word_frac,
+           top_bigram_frac, dup_trigram_frac
+    FROM w JOIN bgf USING (doc_id) JOIN tgf USING (doc_id)
+"""
+
+
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-distribution Shannon entropy (bits) — the
+    diversity quality signal: near-zero entropy means one token
+    dominates (generated spam / padding), high entropy tracks natural
+    vocabulary spread. entropy = log2(n) - sum(c*log2(c))/n over the
+    per-document word counts, matching DuckDB's entropy() aggregate
+    bit-for-bit at 6 decimals.
+
+    Scale shape: explode → (doc_id, word) hash aggregate with map-side
+    partial combine, then a per-document fold — shuffle volume is the
+    per-doc vocabulary, key-space per-document (no hot keys)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(_toks()).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        F.round(F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n, 6).alias(
+            "word_entropy"
+        )
+    )
+
+
+ORACLES["q_entropy"] = """
+    SELECT doc_id, round(entropy(w), 6) AS word_entropy
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY doc_id
+"""
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -57,6 +57,7 @@ SECONDARY: list[str] = [
     "q_outliers", "q_zorder", "q_jsonl_roundtrip", "q_csv_roundtrip",
     "q_chunk_cdc", "q_stream_centroid_assign", "q_stream_heavy_hitters",
     "q_table_checksum",
+    "q_repetition", "q_entropy", "q_semdedup", "q_orc_roundtrip",
 ]
 
 
