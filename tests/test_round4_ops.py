@@ -39,6 +39,8 @@ NEW_ORACLE_CHECKED = [
     "q_jsonl_roundtrip",
     "q_csv_roundtrip",
     "q_orc_roundtrip",
+    "q_unpivot",
+    "q_range_window",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

@@ -499,6 +499,83 @@ ORACLES: dict[str, str] = {
     """,
 }
 
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[reshape: wide→long] per-returnflag totals of the four lineitem
+    measures, unpivoted into (measure, total) rows with the native
+    DataFrame.unpivot (Catalyst Expand — one pass, no per-measure
+    rescan, the dual of q_pivot). Aggregate-then-unpivot keeps the
+    reshape on |groups|x|measures| rows, never on the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+        F.round(F.sum("l_tax"), 4).alias("sum_tax"),
+    )
+    return wide.unpivot(
+        ids="l_returnflag",
+        values=["sum_qty", "sum_price", "sum_disc", "sum_tax"],
+        variableColumnName="measure",
+        valueColumnName="total",
+    )
+
+
+ORACLES["q_unpivot"] = """
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_price,
+               round(sum(l_discount), 4) AS sum_disc,
+               round(sum(l_tax), 4) AS sum_tax
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, total
+    FROM (
+        SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS total FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+        UNION ALL
+        SELECT l_returnflag, 'sum_tax', sum_tax FROM wide
+    )
+"""
+
+
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[window: time-RANGE frame] per-user trailing-1-hour event count
+    and value sum at every event — the value-based (not row-based)
+    frame that rate-limit and rolling-exposure queries need. The frame
+    is expressed on exact integer microseconds (rangeBetween over
+    epoch_micros), so both engines bound it identically with no
+    sub-second truncation; partitioning by user keeps frame evaluation
+    shuffle-local per user."""
+    e = load_table(spark, sf_dir, "events")
+    us = epoch_micros(e, "ts")
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-hour_us, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("value_1h"),
+    )
+
+
+ORACLES["q_range_window"] = """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_1h,
+           round(sum(value) OVER w, 4) AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+"""
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
