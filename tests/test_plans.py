@@ -152,6 +152,15 @@ def test_chunking_is_map_side_only(spark):
     assert "Exchange" not in plan
 
 
+def test_repetition_is_map_side_only(spark):
+    """The repetition signals must stay a per-row array fold: zero
+    exchanges (the naive explode→groupBy→join shape would ship every
+    distinct gram through two shuffles)."""
+    plan = _plan(spark, "q_repetition")
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_centroid_assign_broadcasts_codebook(spark):
     """Vector quantization: the 16-row codebook must broadcast (never
     shuffle the corpus side for the cross join); the only exchange is

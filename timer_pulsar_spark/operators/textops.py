@@ -95,15 +95,25 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     token share), character-class ratios (alpha / punctuation), and the
     resulting keep/drop gate — the C4/Gopher-style rule set expressed as
     pure column expressions (map-side only, no shuffle at any scale).
-    top_token_frac is O(distinct x tokens) per row inside codegen; for
-    pathological documents cap the token list upstream."""
+    top_token_frac (the max token multiplicity) is computed as the
+    longest run in the SORTED token array — O(n log n) per row instead
+    of the naive O(distinct x tokens) nested scan, so a pathological
+    100k-token document costs ~1.7M comparisons, not 10^10."""
     d = load_table(spark, sf_dir, "documents")
     toks = _toks()
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
+    # fold over sorted tokens: equal tokens are adjacent, so the max
+    # run length IS the max multiplicity; null initial prev means the
+    # first element always starts a run of 1
     top = F.expr(
-        "array_max(transform(array_distinct(split(text, ' ')),"
-        " u -> size(filter(split(text, ' '), x -> x = u))))"
+        "aggregate(array_sort(split(text, ' ')),"
+        " struct(cast(null AS string) AS prev, 0L AS run, 0L AS best),"
+        " (acc, x) -> struct(x AS prev,"
+        "   CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1L END AS run,"
+        "   greatest(acc.best,"
+        "     CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1L END) AS best),"
+        " acc -> acc.best)"
     )
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
     space = F.length(F.regexp_replace(F.col("text"), "[^ ]", ""))
@@ -705,58 +715,63 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram repeats. High values flag boilerplate / spam documents that
     length-and-stopword gates (q_quality) miss.
 
-    Scale shape: dup_word_frac is a pure map-side array expression;
-    the n-gram fractions explode grams and aggregate keyed on
-    (doc_id, gram) — partial aggregation pre-combines per partition and
-    the key-space is per-document, so no global hot key exists and the
-    shuffle volume is |distinct grams per doc| rows, not occurrences."""
+    Scale shape: ENTIRELY map-side — every signal is a per-row array
+    fold (build grams, array_sort so equal grams are adjacent, one
+    aggregate() pass tracking run lengths), so the operator streams a
+    100 TB corpus with zero shuffles, zero joins, no per-gram key-space
+    at all. The sort costs O(n log n) per row; the naive alternative
+    (explode grams → groupBy (doc_id, gram) → re-join per metric) ships
+    every distinct gram through two shuffles and joins three branches."""
     d = load_table(spark, sf_dir, "documents")
+
+    def grams(width: int) -> str:
+        parts = ", ".join(
+            ["element_at(ws, i)"]
+            + [f"' ', element_at(ws, i + {j})" for j in range(1, width)]
+        )
+        return (
+            f"array_sort(transform(sequence(1, size(ws) - {width - 1}),"
+            f" i -> concat({parts})))"
+        )
+
+    # one fold over the sorted gram array yields both run statistics:
+    # best = max run length (= max gram multiplicity), dup = total
+    # occurrences belonging to runs of length > 1
+    def run_stats(sorted_expr: str) -> str:
+        bump = "CASE WHEN x <=> acc.prev THEN acc.run + 1 ELSE 1L END"
+        flush = "CASE WHEN NOT (x <=> acc.prev) AND acc.run > 1 THEN acc.run ELSE 0L END"
+        return (
+            f"aggregate({sorted_expr},"
+            " struct(cast(null AS string) AS prev, 0L AS run, 0L AS best, 0L AS dup),"
+            f" (acc, x) -> struct(x AS prev, {bump} AS run,"
+            f"   greatest(acc.best, {bump}) AS best, acc.dup + {flush} AS dup),"
+            " acc -> struct(acc.best AS best,"
+            "   acc.dup + CASE WHEN acc.run > 1 THEN acc.run ELSE 0L END AS dup))"
+        )
+
     ws = _toks()
-    base = d.select(
-        "doc_id",
-        ws.alias("ws"),
-        F.size(ws).alias("n_words"),
-        F.round(F.lit(1.0) - F.size(F.array_distinct(ws)) / F.size(ws), 6).alias(
-            "dup_word_frac"
-        ),
-    )
-    bigram = (
-        base.select(
-            "doc_id",
-            F.expr(
-                "explode(transform(sequence(1, size(ws) - 1),"
-                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))))"
-            ).alias("g"),
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.round(F.max("c") / F.sum("c"), 6).alias("top_bigram_frac"))
-    )
-    trigram = (
-        base.select(
-            "doc_id",
-            F.expr(
-                "explode(transform(sequence(1, size(ws) - 2),"
-                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1),"
-                " ' ', element_at(ws, i + 2))))"
-            ).alias("g"),
-        )
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
-                / F.sum("c"),
-                6,
-            ).alias("dup_trigram_frac")
-        )
-    )
     return (
-        base.select("doc_id", "n_words", "dup_word_frac")
-        .join(bigram, "doc_id")
-        .join(trigram, "doc_id")
+        d.select("doc_id", ws.alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").alias("n_words"),
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct("ws")) / F.size("ws"), 6
+            ).alias("dup_word_frac"),
+            F.expr(run_stats(grams(2))).alias("bg"),
+            F.expr(run_stats(grams(3))).alias("tg"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            F.round(F.col("bg.best") / (F.col("n_words") - 1), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.round(F.col("tg.dup") / (F.col("n_words") - 2), 6).alias(
+                "dup_trigram_frac"
+            ),
+        )
     )
 
 
