@@ -706,6 +706,53 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_stream_heavy_hitters"] = ORACLES["q_heavy_hitters"]
 
 
+CMS_EPS = 0.001       # additive error bound: eps * total occurrences
+CMS_CONFIDENCE = 0.99
+CMS_SEED = 20240814
+
+
+def q_heavy_hitters_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch twin of q_heavy_hitters, with its published
+    error contract driver-verified: the sketch (Cormode & Muthukrishnan
+    2005) is a CONSTANT-size (depth x width counters), mergeable
+    aggregate — at 100 TB each partition folds its terms locally and
+    ships one ~100 KB array, where the exact groupBy ships the full
+    distinct vocabulary; this is the memory-bounded path when the
+    vocabulary itself is too large to aggregate exactly.
+
+    The check probes the exact top-20 terms against the sketch and
+    asserts the CMS guarantees: estimate >= true count (always), and
+    estimate <= true + eps*N (w.p. >= confidence; at these sizes the
+    slack is never hit). The 20-probe loop is driver-side by design —
+    the sketch is a scalar, like the IVF codebook collect."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(F.explode(_toks()).alias("term"))
+    row = terms.agg(
+        F.count_min_sketch(
+            "term", F.lit(CMS_EPS), F.lit(CMS_CONFIDENCE), F.lit(CMS_SEED)
+        ).alias("sketch"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).collect()[0]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(row["sketch"])
+    )
+    exact = q_heavy_hitters(spark, sf_dir).collect()
+    slack = CMS_EPS * row["n_total"]
+    lower_ok = all(cms.estimateCount(r["term"]) >= r["cnt"] for r in exact)
+    upper_ok = all(
+        cms.estimateCount(r["term"]) <= r["cnt"] + slack for r in exact
+    )
+    return spark.createDataFrame(
+        [(len(exact), bool(lower_ok), bool(upper_ok))],
+        "n_checked int, lower_ok boolean, upper_ok boolean",
+    )
+
+
+ORACLES["q_heavy_hitters_sketch_check"] = (
+    f"SELECT {TOPK_TOKENS} AS n_checked, true AS lower_ok, true AS upper_ok"
+)
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021,
     arXiv:2112.11446 §A1.1, adapted from lines to the corpus's

@@ -58,7 +58,7 @@ SECONDARY: list[str] = [
     "q_chunk_cdc", "q_stream_centroid_assign", "q_stream_heavy_hitters",
     "q_table_checksum",
     "q_repetition", "q_entropy", "q_semdedup", "q_orc_roundtrip",
-    "q_unpivot", "q_range_window",
+    "q_unpivot", "q_range_window", "q_heavy_hitters_sketch_check",
 ]
 
 
