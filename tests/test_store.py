@@ -131,3 +131,61 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_left_test")
         spark.sql("DROP TABLE IF EXISTS bkt_right_test")
+
+
+def test_compact_table_preserves_content_and_reduces_files(spark, tmp_path):
+    """Compaction is a layout-only rewrite: the order-independent
+    checksum must not move, the file count must drop to the bin-packed
+    target, and a sort_col rewrite must leave files range-disjoint."""
+    from timer_pulsar_spark.store import compact_table
+
+    path = str(tmp_path / "frag")
+    # 64 tiny files — the post-streaming-sink shape
+    spark.range(0, 20_000).select(
+        F.col("id"), (F.col("id") % 13).alias("k")
+    ).repartition(64).write.parquet(path)
+
+    def checksum():
+        return (
+            spark.read.parquet(path)
+            .agg(
+                F.sum(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws("|", "id", "k")), 1, 12
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                )
+            )
+            .collect()[0][0]
+        )
+
+    before = checksum()
+    stats = compact_table(spark, path, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    assert checksum() == before
+
+    # clustered re-compaction: files must be range-disjoint on sort_col
+    spark.read.parquet(path).repartition(16).write.mode("overwrite").parquet(path)
+    compact_table(spark, path, target_file_bytes=1, sort_col="id")
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in _glob.glob(f"{path}/*.parquet"):
+        md = pq.read_metadata(f)
+        if md.num_rows == 0:
+            continue
+        col = md.row_group(0).column(0)
+        lo = col.statistics.min
+        hi = pq.read_metadata(f).row_group(md.num_row_groups - 1).column(0).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) > 1
+    for prev, nxt in zip(ranges, ranges[1:]):
+        assert prev[1] < nxt[0], (prev, nxt)
+    assert checksum() == before

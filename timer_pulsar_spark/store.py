@@ -207,3 +207,56 @@ def merge_table(
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.replace(tmp, path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction — the lakehouse OPTIMIZE bin-packing pass.
+    Streaming sinks and per-batch MERGEs accrete many small files
+    (every micro-batch of the pipeline writes at least one); at 100 TB
+    small files dominate scan cost (per-file open/footer overhead,
+    tiny row groups defeat column-chunk IO, and the driver's file
+    listing itself becomes the bottleneck). This rewrites the directory
+    into ceil(total_bytes / target_file_bytes) files and swaps it in
+    atomically (same swap discipline as merge_table).
+
+    Layout only, never content: callers can assert invariance with the
+    order-independent table checksum (operators/formats.q_table_checksum
+    is exactly that audit). With `sort_col` the rewrite goes through
+    repartitionByRange + sortWithinPartitions, re-establishing a
+    clustered layout (compose with timeseries.zorder_value for 2-D
+    clustering) so min/max pruning survives compaction; without it the
+    rewrite is one round-robin exchange — no sort barrier.
+
+    Returns {"files_before", "files_after", "bytes"} for observability.
+    """
+    import glob as _glob
+    import math
+
+    parts = [
+        p
+        for p in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    ]
+    total = sum(os.path.getsize(p) for p in parts)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    if sort_col is not None:
+        df = df.repartitionByRange(n_files, sort_col).sortWithinPartitions(sort_col)
+    else:
+        df = df.repartition(n_files)
+    tmp = f"{path}.compact-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    after = [
+        p
+        for p in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(p)
+    ]
+    return {"files_before": len(parts), "files_after": len(after), "bytes": total}
