@@ -189,3 +189,40 @@ def test_compact_table_preserves_content_and_reduces_files(spark, tmp_path):
     for prev, nxt in zip(ranges, ranges[1:]):
         assert prev[1] < nxt[0], (prev, nxt)
     assert checksum() == before
+
+
+def test_snapshot_versioning_time_travel_and_rollback(spark, tmp_path):
+    """Snapshot commits are atomic pointer flips: latest follows the
+    newest commit, any old version stays readable (time travel),
+    rollback is O(1) metadata, and vacuum never removes the live
+    version."""
+    from timer_pulsar_spark.store import (
+        read_snapshot,
+        rollback_snapshot,
+        snapshot_versions,
+        vacuum_snapshots,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "snap")
+    v0 = write_snapshot(spark.range(0, 100), path)
+    v1 = write_snapshot(spark.range(0, 150), path)
+    v2 = write_snapshot(spark.range(0, 120), path)
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert snapshot_versions(path) == [0, 1, 2]
+
+    assert read_snapshot(spark, path).count() == 120          # latest
+    assert read_snapshot(spark, path, version=0).count() == 100  # travel
+
+    rollback_snapshot(path, 1)
+    assert read_snapshot(spark, path).count() == 150
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rollback_snapshot(path, 99)
+
+    # vacuum keeps the newest 1 AND the live version (1)
+    removed = vacuum_snapshots(path, keep=1)
+    assert 1 not in removed and 2 not in removed
+    assert removed == [0]
+    assert read_snapshot(spark, path).count() == 150
