@@ -69,3 +69,42 @@ def test_entry_contract(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert set(mod.oracle_sql()) <= set(mod.queries())
+
+
+def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
+    """Planted 10k-row hot key: the salted join must return exactly the
+    plain join's rows, and the hot key's rows must spread across every
+    salt group instead of one reducer."""
+    from timer_pulsar_spark.operators.relational import salted_join
+
+    left = (
+        spark.range(0, 10_000)
+        .selectExpr("0 AS k", "id AS payload")          # one hot key
+        .union(spark.range(0, 100).selectExpr("id + 1 AS k", "id AS payload"))
+    )
+    right = spark.range(0, 101).selectExpr("id AS k", "id * 2 AS rv")
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        got = salted_join(left, right, ["k"], n_salts=8).toPandas()
+        want = left.join(right, "k").toPandas()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    key = lambda df: sorted(map(tuple, df[["k", "payload", "rv"]].values.tolist()))
+    assert key(got) == key(want)
+
+    # the hot key's salt distribution: all 8 salts used, none dominant
+    from pyspark.sql import functions as F
+
+    salts = (
+        left.withColumn(
+            "s", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(8))
+        )
+        .filter("k = 0")
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(salts) == 8
+    assert max(r["count"] for r in salts) < 10_000 * 0.3

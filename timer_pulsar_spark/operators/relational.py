@@ -276,6 +276,39 @@ def q_distinct_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating shuffle equi-join: each left row gets a
+    deterministic salt in [0, n_salts) from its full row hash, the
+    right side is replicated once per salt (explode over a sequence —
+    one map-side pass, no shuffle to replicate), and the join key
+    becomes (key..., salt). A hot left key then spreads across n_salts
+    reducers instead of funnelling through one.
+
+    When to use it instead of AQE's skew-join (on by default,
+    session.py): AQE splits oversized SORT-MERGE partitions at runtime,
+    which covers most cases for free — but it cannot help when the
+    downstream stage must keep the key partitioning (stateful ops,
+    groupBy on the same key fused into the join stage) or when a
+    known-extreme key should never land in one task even transiently.
+    Cost is explicit: right-side bytes x n_salts through the shuffle.
+    Results are exactly the plain join's (salts agree by construction:
+    every left row matches the one right replica carrying its salt)."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    lhs = left.withColumn("__salt", salt.cast("int"))
+    rhs = right.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt"),
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return lhs.join(rhs, [*on, "__salt"], how).drop("__salt")
+
+
 def q_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q-quantile] delay quantiles {.5,.9,.99} per group (Prometheus
     summary, gotimer_web/pkg/promethus/reporter.go:74-83). Exact
