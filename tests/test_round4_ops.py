@@ -42,6 +42,7 @@ NEW_ORACLE_CHECKED = [
     "q_unpivot",
     "q_range_window",
     "q_heavy_hitters_sketch_check",
+    "q_stream_quality",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

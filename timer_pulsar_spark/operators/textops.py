@@ -99,7 +99,14 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest run in the SORTED token array — O(n log n) per row instead
     of the naive O(distinct x tokens) nested scan, so a pathological
     100k-token document costs ~1.7M comparisons, not 10^10."""
-    d = load_table(spark, sf_dir, "documents")
+    return quality_frame(load_table(spark, sf_dir, "documents"))
+
+
+def quality_frame(d: DataFrame) -> DataFrame:
+    """The quality projection applied to any (doc_id, text) frame —
+    shared by the batch query and its streaming twin (a stateless
+    per-row map, so batch and incremental scoring agree by
+    construction)."""
     toks = _toks()
     n = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
@@ -704,6 +711,55 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum-folded counts are split-independent; the incremental top-k must
 # equal the one-shot batch aggregation
 ORACLES["q_stream_heavy_hitters"] = ORACLES["q_heavy_hitters"]
+
+
+def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quality gating — the streaming twin of q_quality,
+    ORACLE-checked: replay the documents table as a multi-batch file
+    stream and score each arriving batch with the SAME quality
+    projection (quality_frame), appending per batch. Scoring is a
+    stateless per-row map, so the result is batch-split-independent
+    and must equal the one-shot batch scoring — this is the ingest
+    gate of a live corpus: each new shard pays O(shard), and rejected
+    documents never enter the lake."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_quality_")
+    in_dir = os.path.join(work, "docs")
+    out = os.path.join(work, "scored")
+    ckpt = os.path.join(work, "ckpt")
+
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        8
+    ).write.mode("overwrite").parquet(in_dir)
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        quality_frame(batch_df).write.mode("append").parquet(out)
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real batches
+            .parquet(in_dir)
+            .writeStream.foreachBatch(score)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+    return spark.read.parquet(out)
+
+
+# a stateless per-row map is batch-split-independent: the incremental
+# scoring must equal the one-shot batch projection
+ORACLES["q_stream_quality"] = ORACLES["q_quality"]
 
 
 CMS_EPS = 0.001       # additive error bound: eps * total occurrences
