@@ -43,6 +43,7 @@ NEW_ORACLE_CHECKED = [
     "q_range_window",
     "q_heavy_hitters_sketch_check",
     "q_stream_quality",
+    "q_stream_scd2",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",
@@ -279,3 +280,22 @@ def test_dedup_span_positions_are_cuttable(spark, duck):
         toks = texts[r["doc_id"]].split(" ")
         span = " ".join(toks[r["pos"] : r["pos"] + 8])
         assert hashlib.md5(span.encode()).hexdigest() == r["span_md5"]
+
+
+def test_stream_scd2_folds_across_multiple_batches(spark):
+    """The incremental SCD2 dimension must be built over several real
+    micro-batches (8 files at maxFilesPerTrigger=2), not one shot —
+    the checkpoint must record multiple committed offsets."""
+    import glob
+    import re
+
+    out = _q("q_stream_scd2")(spark, SF_DIR)
+    assert out.filter("is_current").count() > 0
+    ckpts = glob.glob("/tmp/stream_scd2_*/ckpt/offsets/*")
+    batch_ids = {
+        int(m.group(1))
+        for p in ckpts
+        for m in [re.search(r"/offsets/(\d+)$", p)]
+        if m
+    }
+    assert len(batch_ids) >= 3, f"expected a multi-batch replay, saw {sorted(batch_ids)}"

@@ -500,6 +500,149 @@ ORACLES: dict[str, str] = {
 }
 
 
+def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 dimension maintenance — the streaming twin of
+    q_scd2, ORACLE-checked: replay the events table as a time-ordered
+    multi-batch file stream (the CDC arrival shape) and fold each batch
+    into a persistent type-2 dimension: per user, seed the previous
+    type from the dimension's OPEN row, keep only change rows, close
+    the open interval at the first in-batch change, and append the new
+    intervals. Because arrivals are per-key time-ordered, the folded
+    dimension is batch-split-independent and must equal the one-shot
+    batch compression.
+
+    At 100 TB this is how a warehouse dimension tracks a change stream:
+    each batch costs O(batch + open rows), never a history re-scan;
+    closed intervals are immutable. The per-batch MERGE maps onto
+    Delta/Iceberg MERGE INTO on a real lake (same shape as
+    store.merge_table)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    work = tempfile.mkdtemp(prefix="stream_scd2_")
+    in_dir = os.path.join(work, "events")
+    os.makedirs(in_dir)
+    dim = os.path.join(work, "dim")
+    ckpt = os.path.join(work, "ckpt")
+
+    # time-range-split replay files: CDC feeds arrive per-key ordered,
+    # which is exactly what range-splitting the history reproduces
+    pdf = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    step = (len(pdf) + 7) // 8
+    for i in range(8):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        fp = os.path.join(in_dir, f"part-{i:03d}.parquet")
+        # micros-NTZ, not pandas' default nanos — Spark reads NANOS
+        # parquet as LongType, which would break the stream schema
+        tbl = pa.Table.from_pandas(chunk, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("user_id", pa.int64()),
+                    ("event_type", pa.string()),
+                ]
+            )
+        )
+        pq.write_table(tbl, fp)
+        # the file source orders by mtime: make arrival order explicit
+        # (and tie-proof) rather than trusting write latency
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    dim_schema = (
+        "user_id long, state string, valid_from timestamp_ntz,"
+        " valid_to timestamp_ntz, is_current boolean"
+    )
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        existing = (
+            spark.read.parquet(dim)
+            if os.path.exists(dim)
+            else spark.createDataFrame([], dim_schema)
+        )
+        cur = existing.filter("is_current")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        changes = (
+            batch_df.join(
+                cur.select("user_id", F.col("state").alias("cur_state")),
+                "user_id",
+                "left",
+            )
+            .withColumn(
+                "prev", F.coalesce(F.lag("event_type").over(w), F.col("cur_state"))
+            )
+            .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        )
+        new_rows = changes.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w).alias("valid_to"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+        first_change = changes.groupBy("user_id").agg(
+            F.min("ts").alias("close_ts")
+        )
+        closed = (
+            cur.join(first_change, "user_id")
+            .select(
+                "user_id",
+                "state",
+                "valid_from",
+                F.col("close_ts").alias("valid_to"),
+                F.lit(False).alias("is_current"),
+            )
+        )
+        untouched = cur.join(first_change, "user_id", "left_anti")
+        merged = (
+            existing.filter(~F.col("is_current"))
+            .unionByName(closed)
+            .unionByName(untouched)
+            .unionByName(new_rows)
+        )
+        tmp = f"{dim}.fold-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(dim):
+            shutil.rmtree(dim)
+        os.replace(tmp, dim)
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real folds
+            .parquet(in_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+    return spark.read.parquet(dim)
+
+
+# per-key time-ordered arrivals make the SCD2 fold split-independent:
+# the incremental dimension must equal the one-shot batch compression
+ORACLES["q_stream_scd2"] = ORACLES["q_scd2"]
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[reshape: wide→long] per-returnflag totals of the four lineitem
     measures, unpivoted into (measure, total) rows with the native
