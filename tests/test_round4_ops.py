@@ -44,6 +44,7 @@ NEW_ORACLE_CHECKED = [
     "q_heavy_hitters_sketch_check",
     "q_stream_quality",
     "q_stream_scd2",
+    "q_ann_matmul",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

@@ -101,6 +101,60 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized twin of q_ann_topk: the same brute-force cosine
+    top-k, but scored by an Arrow-batched numpy MATMUL kernel
+    (mapInPandas) instead of JVM higher-order functions — the shape to
+    reach for when profiling shows the per-element lambda dominates
+    (dense linear algebra is where Python-side Arrow batches beat
+    codegen: one BLAS dgemm per batch vs 64 lambda evals per pair).
+
+    Each Arrow batch computes batch_rows x n_queries cosines in one
+    matmul and emits only its LOCAL top-k per query (pre-ranked under
+    the exact (rounded cosine, neighbor_id) global order), so the
+    shuffle carries at most k x n_queries rows per partition — the
+    global row_number then ranks ~partitions x k rows, never the
+    corpus. Same oracle as q_ann_topk: results must be identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qrows = e.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    q_ids = np.array([r["vec_id"] for r in qrows])
+    q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    q_norms = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    out_schema = "query_id long, neighbor_id long, cosine double"
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = (m @ q_mat.T) / (
+                np.sqrt((m * m).sum(axis=1))[:, None] * q_norms[None, :]
+            )
+            sims = np.round(sims, 6)
+            rows = {"query_id": [], "neighbor_id": [], "cosine": []}
+            for j, qid in enumerate(q_ids):
+                mask = ids != qid
+                cand_ids, cand = ids[mask], sims[mask, j]
+                # local pre-rank under the GLOBAL order: (-cosine, id)
+                order = np.lexsort((cand_ids, -cand))[:TOP_K]
+                rows["query_id"] += [qid] * len(order)
+                rows["neighbor_id"] += list(cand_ids[order])
+                rows["cosine"] += list(cand[order])
+            yield pd.DataFrame(rows)
+
+    local_topk = e.select("vec_id", "embedding").mapInPandas(kernel, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        local_topk.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 def signature_bits(emb: Column) -> Column:
     """Sign-LSH signature: one bit per hyperplane (1 iff dot >= 0),
     packed into a long. Hyperplanes ship as literal arrays — evaluated
@@ -556,6 +610,10 @@ def q_stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stateless per-row assignment against a fixed codebook is
 # batch-split-independent: the incremental index must equal the batch one
 ORACLES["q_stream_centroid_assign"] = ORACLES["q_centroid_assign"]
+
+# identical arithmetic contract: the numpy-matmul kernel must reproduce
+# the JVM brute-force result bit-for-bit at 6 decimals
+ORACLES["q_ann_matmul"] = ORACLES["q_ann_topk"]
 
 
 SEMDEDUP_THRESHOLD = 0.45
