@@ -176,3 +176,40 @@ def test_tfidf_broadcasts_vocab_dims(spark):
     plan = _plan(spark, "q_tfidf")
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_runtime_bloom_filter_prunes_smj_probe_side(spark):
+    """At 100 TB, a selective filter on the dim side of a sort-merge
+    join should semi-reduce the fact scan BEFORE the shuffle — Spark's
+    runtime bloom filter does exactly that (bloom_filter_agg on the
+    creation side, might_contain on the probe side). It only engages
+    above size thresholds (creation <= 10 MB-ish dims, probe >= 10 GB
+    scans — i.e. it fires naturally at production scale, not at sf0.1),
+    so this gate lowers the thresholds to prove the mechanism is wired
+    for the plans we ship."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
