@@ -45,6 +45,7 @@ NEW_ORACLE_CHECKED = [
     "q_stream_quality",
     "q_stream_scd2",
     "q_ann_matmul",
+    "q_session_window",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

@@ -307,7 +307,58 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the NATIVE session_window aggregation — the
+    built-in operator Spark ships for exactly what q_sessionize builds
+    from lag + running sum. The native form is the one to prefer at
+    scale: it lowers to a single hash aggregate over merging session
+    states (no window-function sort-per-partition), and the SAME
+    expression works in Structured Streaming with a watermark (late
+    events merge sessions incrementally). Session semantics: an event
+    extends its session while it starts strictly before previous-end
+    (= last ts + gap); equality starts a new session.
+
+    Returns session bounds (start = first event, end = last event +
+    gap) plus per-session aggregates."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_session_window": """
+        WITH g AS (
+            SELECT user_id, ts, value, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                        THEN 1 ELSE 0 END AS ns
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+            SELECT user_id, ts, value,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS seq
+            FROM g
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL '30 minutes' AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 4) AS session_value
+        FROM s GROUP BY user_id, seq
+    """,
     "q_zorder": f"""
         SELECT event_id,
                user_id & 65535 AS zx,
