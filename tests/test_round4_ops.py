@@ -46,6 +46,7 @@ NEW_ORACLE_CHECKED = [
     "q_stream_scd2",
     "q_ann_matmul",
     "q_session_window",
+    "q_stream_session_window",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",
@@ -294,6 +295,24 @@ def test_stream_scd2_folds_across_multiple_batches(spark):
     out = _q("q_stream_scd2")(spark, SF_DIR)
     assert out.filter("is_current").count() > 0
     ckpts = glob.glob("/tmp/stream_scd2_*/ckpt/offsets/*")
+    batch_ids = {
+        int(m.group(1))
+        for p in ckpts
+        for m in [re.search(r"/offsets/(\d+)$", p)]
+        if m
+    }
+    assert len(batch_ids) >= 3, f"expected a multi-batch replay, saw {sorted(batch_ids)}"
+
+
+def test_stream_session_window_folds_across_multiple_batches(spark):
+    """Native streaming session_window must merge open-session state
+    over several real micro-batches (7 files at maxFilesPerTrigger=2)."""
+    import glob
+    import re
+
+    out = _q("q_stream_session_window")(spark, SF_DIR)
+    assert out.count() > 0
+    ckpts = glob.glob("/tmp/stream_sw_*/ckpt/offsets/*")
     batch_ids = {
         int(m.group(1))
         for p in ckpts

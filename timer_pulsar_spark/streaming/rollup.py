@@ -109,3 +109,123 @@ ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
 }
+
+
+def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization with the NATIVE streaming
+    session_window — the streaming twin of timeseries.q_session_window,
+    ORACLE-checked: replay the events table as a time-ordered
+    multi-batch file stream; open sessions live in the state store and
+    MERGE as later batches extend them, and append mode emits each
+    session exactly once when the watermark passes its end (the
+    sentinel row closes the last ones). This is the managed-state
+    alternative to the applyInPandasWithState sessionizer
+    (sessionize.py): no user code holds state, and state size is
+    O(open sessions), not history.
+
+    Arrival is range-split by ts with explicit monotonic file mtimes,
+    so a session extended across batches genuinely exercises the state
+    MERGE instead of finalizing in one batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..catalog import load_table
+    from ..functions.timeutil import as_utc_instant, utc_wallclock_ntz
+
+    work = tempfile.mkdtemp(prefix="stream_sw_")
+    in_dir = os.path.join(work, "events")
+    os.makedirs(in_dir)
+    out_dir = os.path.join(work, "sessions")
+    ckpt = os.path.join(work, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    pdf = (
+        ev.select(
+            "user_id", as_utc_instant(ev, "ts").alias("ts"), "value", "event_id"
+        )
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    step = (len(pdf) + 5) // 6
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us", tz="UTC")),
+            ("value", pa.float64()),
+            ("event_id", pa.int64()),
+        ]
+    )
+    for i in range(6):
+        chunk = pdf.iloc[i * step : (i + 1) * step]
+        fp = os.path.join(in_dir, f"part-{i:03d}.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(chunk, preserve_index=False).cast(schema), fp
+        )
+        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
+    # sentinel: one far-future row pushes the closing watermark past
+    # every real session (dropped from the result by user_id)
+    sent = pa.table(
+        {
+            "user_id": pa.array([-1], pa.int64()),
+            "ts": pa.array([pd.Timestamp(SENTINEL_TS, tz="UTC")], schema[1].type),
+            "value": pa.array([0.0], pa.float64()),
+            "event_id": pa.array([-1], pa.int64()),
+        }
+    )
+    fp = os.path.join(in_dir, "part-zz-sentinel.parquet")
+    pq.write_table(sent, fp)
+    os.utime(fp, (1_700_000_100, 1_700_000_100))
+
+    from . import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        stream = (
+            spark.readStream.schema(
+                "user_id long, ts timestamp, value double, event_id long"
+            )
+            .option("maxFilesPerTrigger", "2")  # 7 files -> 4 real batches
+            .parquet(in_dir)
+            .withWatermark("ts", "1 minute")
+        )
+        sessions = (
+            stream.groupBy("user_id", F.session_window("ts", "30 minutes"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("session_value"),
+            )
+            .select(
+                "user_id",
+                utc_wallclock_ntz(F.col("session_window.start")).alias(
+                    "session_start"
+                ),
+                utc_wallclock_ntz(F.col("session_window.end")).alias(
+                    "session_end"
+                ),
+                "n_events",
+                "session_value",
+            )
+        )
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
+import pandas as pd  # noqa: E402  (used by the replay writer above)
+
+QUERIES["q_stream_session_window"] = q_stream_session_window
+# the streamed sessions must equal the one-shot native session_window
+# aggregation (same semantics, same oracle)
+from ..operators.timeseries import ORACLES as _TS_ORACLES  # noqa: E402
+
+ORACLES["q_stream_session_window"] = _TS_ORACLES["q_session_window"]
