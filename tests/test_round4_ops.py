@@ -47,6 +47,7 @@ NEW_ORACLE_CHECKED = [
     "q_ann_matmul",
     "q_session_window",
     "q_stream_session_window",
+    "q_bpe_check",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

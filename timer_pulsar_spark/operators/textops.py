@@ -937,6 +937,156 @@ ORACLES["q_entropy"] = """
     GROUP BY doc_id
 """
 
+BPE_ROUNDS = 6
+
+
+def bpe_train(
+    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Byte-pair-encoding merge training — the iterative vocabulary-
+    construction step of a tokenizer pipeline, distributed the way BPE
+    actually scales: the corpus collapses to the DISTINCT-WORD table
+    with occurrence weights (one groupBy — all further rounds run on
+    |vocab| rows, never the corpus), each round counts weighted
+    adjacent symbol pairs (explode → hash agg with map-side combine),
+    picks the most frequent pair (ONE collected row — the only thing
+    that crosses to the driver, like kmeans_train's codebook), and
+    merges it left-to-right inside every word via a per-row array fold
+    in codegen.
+
+    Returns (merges [(left, right, weighted_count)...], final
+    distinct-word frame with `syms` symbol arrays and `cnt` weights).
+    Ties break lexicographically so training is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_toks()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("syms", F.expr("split(w, '')"))
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(rounds):
+        pairs = (
+            words.select(
+                "cnt",
+                F.explode(
+                    # guard: sequence(1, 0) is DESCENDING in Spark, so a
+                    # 1-symbol word must short-circuit to no pairs
+                    F.expr(
+                        "CASE WHEN size(syms) < 2 THEN array()::array<struct<a:string,b:string>>"
+                        " ELSE transform(sequence(1, size(syms) - 1),"
+                        " i -> struct(element_at(syms, i) AS a,"
+                        "             element_at(syms, i + 1) AS b)) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.col("n").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        a, b, n = pairs[0]["a"], pairs[0]["b"], pairs[0]["n"]
+        merges.append((a, b, n))
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        # left-to-right non-overlapping merge of (a,b) within each word:
+        # hold one pending symbol; emit merged ab and clear, or flush
+        merge_expr = (
+            "aggregate(syms,"
+            " named_struct('out', array()::array<string>, 'pend', cast(null AS string)),"
+            " (acc, x) -> CASE"
+            "   WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x)"
+            f"   WHEN acc.pend = '{qa}' AND x = '{qb}'"
+            f"     THEN named_struct('out', array_append(acc.out, '{qa}{qb}'),"
+            "                        'pend', cast(null AS string))"
+            "   ELSE named_struct('out', array_append(acc.out, acc.pend), 'pend', x)"
+            " END,"
+            " acc -> CASE WHEN acc.pend IS NULL THEN acc.out"
+            "            ELSE array_append(acc.out, acc.pend) END)"
+        )
+        words = words.withColumn("syms", F.expr(merge_expr)).localCheckpoint()
+    return merges, words
+
+
+def q_bpe_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verified BPE training contract: every round merged a
+    genuinely-occurring pair (count > 0), total symbol mass strictly
+    decreased by exactly the merged pair's weighted count each round
+    (each merge collapses two symbols into one, n times), and replaying
+    the learned merge list from raw characters reproduces the trained
+    symbolization bit-for-bit (the encoder/trainer consistency every
+    tokenizer deployment depends on)."""
+    merges, words = bpe_train(spark, sf_dir)
+
+    d = load_table(spark, sf_dir, "documents")
+    base = (
+        d.select(F.explode(_toks()).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("syms", F.expr("split(w, '')"))
+    )
+    base_mass = base.select(
+        F.sum(F.size("syms") * F.col("cnt")).alias("m")
+    ).collect()[0]["m"]
+    final_mass = words.select(
+        F.sum(F.size("syms") * F.col("cnt")).alias("m")
+    ).collect()[0]["m"]
+    expected_drop = sum(n for _, _, n in merges)
+
+    # replay encode: same fold applied from scratch in merge order
+    replay = bpe_encode(base, merges)
+    diff = (
+        replay.select("w", F.col("syms").alias("r_syms"))
+        .join(words.select("w", "syms"), "w")
+        .filter(F.col("r_syms") != F.col("syms"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(merges),
+                bool(all(n > 0 for _, _, n in merges)),
+                bool(base_mass - final_mass == expected_drop),
+                bool(diff == 0),
+            )
+        ],
+        "n_merges int, merges_occurring boolean, mass_conserved boolean,"
+        " encode_matches_train boolean",
+    )
+
+
+def bpe_encode(
+    words: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Apply a learned merge list to a (w, syms) frame — the encoder
+    half of the tokenizer: one map-side fold per merge rule, no
+    shuffles, usable on any corpus shard independently."""
+    for a, b, _ in merges:
+        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+        merge_expr = (
+            "aggregate(syms,"
+            " named_struct('out', array()::array<string>, 'pend', cast(null AS string)),"
+            " (acc, x) -> CASE"
+            "   WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x)"
+            f"   WHEN acc.pend = '{qa}' AND x = '{qb}'"
+            f"     THEN named_struct('out', array_append(acc.out, '{qa}{qb}'),"
+            "                        'pend', cast(null AS string))"
+            "   ELSE named_struct('out', array_append(acc.out, acc.pend), 'pend', x)"
+            " END,"
+            " acc -> CASE WHEN acc.pend IS NULL THEN acc.out"
+            "            ELSE array_append(acc.out, acc.pend) END)"
+        )
+        words = words.withColumn("syms", F.expr(merge_expr))
+    return words
+
+
+ORACLES["q_bpe_check"] = (
+    f"SELECT {BPE_ROUNDS} AS n_merges, true AS merges_occurring,"
+    " true AS mass_conserved, true AS encode_matches_train"
+)
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
