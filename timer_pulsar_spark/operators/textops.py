@@ -832,9 +832,12 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["element_at(ws, i)"]
             + [f"' ', element_at(ws, i + {j})" for j in range(1, width)]
         )
+        # guard: sequence(1, 0) is DESCENDING in Spark — a doc shorter
+        # than the gram width must yield no grams, not a crash
         return (
-            f"array_sort(transform(sequence(1, size(ws) - {width - 1}),"
-            f" i -> concat({parts})))"
+            f"CASE WHEN size(ws) < {width} THEN array()::array<string>"
+            f" ELSE array_sort(transform(sequence(1, size(ws) - {width - 1}),"
+            f" i -> concat({parts}))) END"
         )
 
     # one fold over the sorted gram array yields both run statistics:
