@@ -48,6 +48,7 @@ NEW_ORACLE_CHECKED = [
     "q_session_window",
     "q_stream_session_window",
     "q_bpe_check",
+    "q_gapfill_interp",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

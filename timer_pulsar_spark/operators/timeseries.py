@@ -248,6 +248,79 @@ def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled minute rollup with LINEAR INTERPOLATION — the
+    hypertable `interpolate()` analog, complementing q_gapfill_locf:
+    empty minutes take the value on the straight line between the
+    nearest observation before and after (LOCF at the day edges where
+    only one side exists). Same bounded shapes as LOCF: the spine and
+    rollup are span-sized and the day partition caps every window at
+    1440 rows.
+
+    The interpolated series is emitted as an EXACT RATIONAL in integer
+    columns — numerator `interp_num` = prev*(next_m - prev_m) +
+    (next - prev)*(m - prev_m), denominator `interp_den` = next_m -
+    prev_m, value = num/den. All inputs are integers (per-minute event
+    counts, integer minute offsets via timestampdiff), so both engines
+    produce bit-identical results; a float output would tie-break
+    differently per engine whenever a midpoint lands exactly on a
+    rounding boundary (each engine rounds doubles by a different rule,
+    measured: 8 flipped rows per 43k at 6 decimals)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    per_min = e.groupBy(F.date_trunc("minute", F.col("ts")).alias("minute")).agg(
+        F.count(F.lit(1)).alias("n"),
+    )
+    bounds = per_min.agg(F.min("minute").alias("lo"), F.max("minute").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 minute"))).alias("minute")
+    )
+    day = F.to_date("minute")
+    wb = (
+        Window.partitionBy(day)
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy(day)
+        .orderBy("minute")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_minute = F.when(F.col("n").isNotNull(), F.col("minute"))
+    joined = (
+        spine.join(per_min, "minute", "left")
+        .withColumn("prev_val", F.last("n", ignorenulls=True).over(wb))
+        .withColumn("prev_min", F.last(obs_minute, ignorenulls=True).over(wb))
+        .withColumn("next_val", F.first("n", ignorenulls=True).over(wf))
+        .withColumn("next_min", F.first(obs_minute, ignorenulls=True).over(wf))
+    )
+    dm = F.expr("timestampdiff(MINUTE, prev_min, minute)")
+    span = F.expr("timestampdiff(MINUTE, prev_min, next_min)")
+    num = (
+        F.when(F.col("n").isNotNull(), F.col("n"))
+        .when(F.col("prev_val").isNull(), F.col("next_val"))
+        .when(F.col("next_val").isNull(), F.col("prev_val"))
+        .otherwise(
+            F.col("prev_val") * span
+            + (F.col("next_val") - F.col("prev_val")) * dm
+        )
+    )
+    den = (
+        F.when(
+            F.col("n").isNotNull()
+            | F.col("prev_val").isNull()
+            | F.col("next_val").isNull(),
+            F.lit(1),
+        ).otherwise(span)
+    )
+    return joined.select(
+        "minute",
+        num.cast("long").alias("interp_num"),
+        den.cast("long").alias("interp_den"),
+    ).orderBy("minute")
+
+
 def q_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event_type — the sketch
     twin of the exact q_distinct: mergeable partial aggregates, fixed
@@ -338,6 +411,42 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_gapfill_interp": """
+        WITH per_min AS (
+            SELECT date_trunc('minute', ts) AS minute, count(*) AS n
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ), bounds AS (SELECT min(minute) AS lo, max(minute) AS hi FROM per_min),
+        spine AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+            FROM bounds
+        ), j AS (
+            SELECT s.minute, p.n,
+                   last_value(p.n IGNORE NULLS) OVER wb AS prev_val,
+                   last_value(CASE WHEN p.n IS NOT NULL THEN s.minute END
+                              IGNORE NULLS) OVER wb AS prev_min,
+                   first_value(p.n IGNORE NULLS) OVER wf AS next_val,
+                   first_value(CASE WHEN p.n IS NOT NULL THEN s.minute END
+                               IGNORE NULLS) OVER wf AS next_min
+            FROM spine s LEFT JOIN per_min p USING (minute)
+            WINDOW wb AS (PARTITION BY CAST(s.minute AS DATE) ORDER BY s.minute
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY CAST(s.minute AS DATE) ORDER BY s.minute
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT minute,
+               CAST(CASE WHEN n IS NOT NULL THEN n
+                         WHEN prev_val IS NULL THEN next_val
+                         WHEN next_val IS NULL THEN prev_val
+                         ELSE prev_val * date_diff('minute', prev_min, next_min)
+                              + (next_val - prev_val)
+                                * date_diff('minute', prev_min, minute)
+                    END AS BIGINT) AS interp_num,
+               CAST(CASE WHEN n IS NOT NULL OR prev_val IS NULL
+                              OR next_val IS NULL THEN 1
+                         ELSE date_diff('minute', prev_min, next_min)
+                    END AS BIGINT) AS interp_den
+        FROM j ORDER BY minute
+    """,
     "q_session_window": """
         WITH g AS (
             SELECT user_id, ts, value, event_id,
