@@ -49,6 +49,7 @@ NEW_ORACLE_CHECKED = [
     "q_stream_session_window",
     "q_bpe_check",
     "q_gapfill_interp",
+    "q_json_variant",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

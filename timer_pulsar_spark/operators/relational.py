@@ -137,6 +137,23 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[Q-json, VariantType] the same extraction as q_json through
+    Spark 4's VARIANT encoding: parse_json builds the binary
+    semi-structured value ONCE per row and variant_get then walks the
+    encoded path — with several extractions per row this beats
+    get_json_object, which re-tokenizes the source string on every
+    call. At 100 TB the variant column is also what you'd persist
+    (parquet VARIANT / shredded subcolumns) so the parse cost is paid
+    at ingest, not per query. Results must equal the string-path
+    twin."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+    )
+
+
 def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[Q-json] both JSON directions (vo/timer.go:79-93 read,
     114-135 write): construct a JSON document from columns (to_json of
@@ -1124,6 +1141,10 @@ ORACLES: dict[str, str] = {
         FROM events
     """,
     "q_json": """
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
+    """,
+    # same truth through the VARIANT path
+    "q_json_variant": """
         SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events
     """,
     "q_json_roundtrip": """
