@@ -50,6 +50,7 @@ NEW_ORACLE_CHECKED = [
     "q_bpe_check",
     "q_gapfill_interp",
     "q_json_variant",
+    "q_sample_weighted",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

@@ -264,7 +264,45 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _B = _bucket_sql("doc_id")
 
+WEIGHTED_N = 50
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: weighted sample without replacement] top-N documents
+    by the Efraimidis-Spirakis exponential key — each doc's inclusion
+    probability is proportional to its weight (n_chars here), chosen in
+    ONE distributed pass: score = ln(u)/w with u a content-stable
+    md5-uniform in (0,1], then global top-N by score (equivalent to
+    ranking u^(1/w), the published A-ES key, under the monotone ln).
+    This is how you draw a length-weighted corpus probe at 100 TB
+    without rand(): membership is recomputable from the key alone and
+    stable under corpus growth. TakeOrdered top-N — no global sort.
+
+    The score is rounded to 9 decimals BEFORE ranking with a doc_id
+    tie-break, so a sub-ulp libm difference between engines cannot
+    flip the rank-N boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    v = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+    u = (v + F.lit(1)) / F.lit(float(1 << 48))
+    score = F.round(F.log(u) / F.col("n_chars"), 9)
+    return (
+        d.select("doc_id", "lang", "n_chars", score.alias("es_score"))
+        .orderBy(F.col("es_score").desc(), "doc_id")
+        .limit(WEIGHTED_N)
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_sample_weighted": f"""
+        SELECT doc_id, lang, n_chars,
+               round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)
+                        / 281474976710656.0) / n_chars, 9) AS es_score
+        FROM documents
+        ORDER BY es_score DESC, doc_id LIMIT {WEIGHTED_N}
+    """,
+
     "q_domain_cap": f"""
         SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
             SELECT doc_id, source, n_chars,
