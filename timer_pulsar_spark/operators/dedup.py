@@ -707,6 +707,37 @@ PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
 
 
+LINKAGE_MAX_EDITS = 2
+
+
+def q_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: candidate customer pairs
+    whose names are within LINKAGE_MAX_EDITS Levenshtein edits, blocked
+    by nation — the field-level fuzzy-matching sibling of the document
+    near-dup family (same blocking-then-verify architecture: a cheap
+    equi-key bounds the pair space, the exact edit distance verifies
+    inside each block). At 100 TB the block key would be a composite
+    (nation, name-prefix/soundex) so block sizes stay bounded exactly
+    like the shingle df-cap; the in-group expansion reuses
+    cooccurring_pairs, so blocking is one corpus scan + one shuffle on
+    the block key, never a table self-join."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("block"),
+        F.col("c_custkey").alias("doc_id"),
+        F.col("c_name").alias("name"),
+    )
+    pairs = cooccurring_pairs(c, ["block"], ["doc_id", "name"])
+    return (
+        pairs.withColumn("edits", F.levenshtein("a_name", "b_name"))
+        .filter(F.col("edits") <= LINKAGE_MAX_EDITS)
+        .select(
+            F.col("a_doc_id").alias("cust_a"),
+            F.col("b_doc_id").alias("cust_b"),
+            "edits",
+        )
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup graph — power iteration as repeated
     join + aggregate, the canonical iterative-algorithm shape on Spark
@@ -999,6 +1030,15 @@ def q_embed_dup_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.8-similar pair) ~ 1e-18; tests/test_llm_ops.py asserts set equality),
 # so it shares q_dedup_near's oracle — the scale path is held to the
 # exact semantics, not a weaker rows-only check.
+ORACLES["q_record_linkage"] = """
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+           levenshtein(a.c_name, b.c_name) AS edits
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
 ORACLES["q_dedup_minhash"] = ORACLES["q_dedup_near"]
 # large/small-star computes the same component labeling as the
 # min-label loop — both share the recursive-CTE transitive closure
