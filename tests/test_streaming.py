@@ -365,3 +365,33 @@ def test_pipeline_fast_path_assume_nonempty(spark, timers, tmp_path):
     assert out.filter("timer_id = 5").count() == 0
     assert out.count() == 4 * 2
     assert out.filter(F.col("status") != TASK_SUCCESSED).count() == 0
+
+
+def test_stream_quality_recovers_from_checkpoint_restart(spark):
+    """Crash-restart recovery with exactly-once output: run the
+    incremental quality gate, stop after the first committed batch
+    (simulated crash), restart with the SAME checkpoint, and the final
+    output must equal the one-shot batch scoring with no duplicate or
+    missing documents — the foreachBatch idempotent-sink contract."""
+    import tempfile
+
+    from timer_pulsar_spark.operators.textops import (
+        q_quality,
+        stream_quality_run,
+    )
+    from .conftest import SF_DIR
+
+    work = tempfile.mkdtemp(prefix="stream_quality_restart_")
+    partial = stream_quality_run(spark, SF_DIR, work, stop_after_batches=1)
+    n_partial = partial.count()
+    batch = q_quality(spark, SF_DIR).toPandas().sort_values("doc_id")
+    assert 0 < n_partial < len(batch), "crash must land mid-stream"
+
+    resumed = (
+        stream_quality_run(spark, SF_DIR, work).toPandas().sort_values("doc_id")
+    )
+    assert len(resumed) == len(batch)  # no duplicates, no losses
+    assert list(resumed["doc_id"]) == list(batch["doc_id"])
+    assert (
+        resumed.reset_index(drop=True)["keep"] == batch.reset_index(drop=True)["keep"]
+    ).all()

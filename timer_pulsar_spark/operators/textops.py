@@ -722,20 +722,42 @@ def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must equal the one-shot batch scoring — this is the ingest
     gate of a live corpus: each new shard pays O(shard), and rejected
     documents never enter the lake."""
-    import os
     import tempfile
 
-    work = tempfile.mkdtemp(prefix="stream_quality_")
+    return stream_quality_run(spark, sf_dir, tempfile.mkdtemp(prefix="stream_quality_"))
+
+
+def stream_quality_run(
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    *,
+    stop_after_batches: int | None = None,
+) -> DataFrame:
+    """The replayable core of q_stream_quality, split out so recovery
+    is testable: calling twice with the SAME work dir resumes from the
+    checkpoint (crash-restart), and the batch-id-keyed overwrite sink
+    makes any retried batch idempotent — together, the exactly-once
+    recipe for foreachBatch sinks."""
+    import os
+    import time
+
     in_dir = os.path.join(work, "docs")
     out = os.path.join(work, "scored")
     ckpt = os.path.join(work, "ckpt")
 
-    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
-        8
-    ).write.mode("overwrite").parquet(in_dir)
+    if not os.path.exists(in_dir):
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+            8
+        ).write.mode("overwrite").parquet(in_dir)
 
     def score(batch_df: DataFrame, batch_id: int) -> None:
-        quality_frame(batch_df).write.mode("append").parquet(out)
+        # batch-id-keyed overwrite = the standard foreachBatch
+        # exactly-once pattern: a batch retried after a partial write
+        # replaces its own directory instead of appending duplicates
+        quality_frame(batch_df).write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
 
     from ..streaming import replay_state_partitions
 
@@ -750,11 +772,36 @@ def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            if stop_after_batches is not None:
+                # simulate a crash partway: stop as soon as the target
+                # number of batches has committed
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    done = len(
+                        [
+                            f
+                            for f in os.listdir(os.path.join(ckpt, "commits"))
+                            if f.isdigit()
+                        ]
+                    ) if os.path.isdir(os.path.join(ckpt, "commits")) else 0
+                    if done >= stop_after_batches:
+                        break
+                    time.sleep(0.1)
+                q.stop()
+            else:
+                q.awaitTermination(120)
         finally:
             if q.isActive:
                 q.stop()
-    return spark.read.parquet(out)
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [],
+            "doc_id long, distinct_ratio double, top_token_frac double,"
+            " alpha_ratio double, punct_ratio double, keep int",
+        )
+    # batch=N is a partition directory; the discovered partition column
+    # is bookkeeping, not part of the scoring contract
+    return spark.read.parquet(out).drop("batch")
 
 
 # a stateless per-row map is batch-split-independent: the incremental
