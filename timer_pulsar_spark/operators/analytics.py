@@ -515,7 +515,11 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     each batch costs O(batch + open rows), never a history re-scan;
     closed intervals are immutable. The per-batch MERGE maps onto
     Delta/Iceberg MERGE INTO on a real lake (same shape as
-    store.merge_table)."""
+    store.merge_table). The fold is also RETRY-IDEMPOTENT by
+    construction: re-processing an already-applied batch finds every
+    event equal to the dimension's open state, yields zero change
+    rows, and rewrites the dimension unchanged — so an at-least-once
+    redelivery cannot corrupt the history."""
     import os
     import shutil
     import tempfile

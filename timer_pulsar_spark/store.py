@@ -234,6 +234,12 @@ def compact_table(
     rewrite is one round-robin exchange — no sort barrier.
 
     Returns {"files_before", "files_after", "bytes"} for observability.
+
+    Scope: flat directories (the streaming-sink / MERGE output shape).
+    A hive-partitioned layout (minute=/bucket= dirs) would be folded
+    flat by this rewrite — compact those per-partition (one call per
+    leaf directory), which is also what bounds the rewrite unit at
+    100 TB.
     """
     import glob as _glob
     import math
