@@ -226,3 +226,31 @@ def test_snapshot_versioning_time_travel_and_rollback(spark, tmp_path):
     assert 1 not in removed and 2 not in removed
     assert removed == [0]
     assert read_snapshot(spark, path).count() == 150
+
+
+def test_compact_partitioned_preserves_layout(spark, tmp_path):
+    """Per-leaf compaction must keep the hive layout (partition dirs
+    intact, partition pruning still works) while shrinking file counts
+    inside each leaf."""
+    import glob as _glob
+
+    from timer_pulsar_spark.store import compact_partitioned
+
+    path = str(tmp_path / "hive")
+    (
+        spark.range(0, 4000)
+        .select(F.col("id"), (F.col("id") % 4).alias("part"))
+        .repartition(8)
+        .write.partitionBy("part")
+        .parquet(path)
+    )
+    before = len(_glob.glob(f"{path}/part=*/*.parquet"))
+    stats = compact_partitioned(spark, path, target_file_bytes=1 << 30)
+    after = len(_glob.glob(f"{path}/part=*/*.parquet"))
+    assert stats["leaves"] == 4
+    assert before > 4 and after == 4  # one bin-packed file per leaf
+    back = spark.read.parquet(path)
+    assert back.count() == 4000
+    assert back.filter("part = 2").count() == 1000
+    plan = back.filter("part = 2")._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

@@ -343,3 +343,33 @@ def _flip_latest(path: str, version: int) -> None:
     with open(tmp, "w") as f:
         f.write(str(version))
     os.replace(tmp, os.path.join(path, _LATEST))
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> dict:
+    """Compaction over a hive-partitioned table: one compact_table per
+    leaf partition directory, preserving the partition layout (the
+    global rewrite would fold it flat). Each leaf is an independent
+    bounded rewrite unit — at 100 TB this is what makes OPTIMIZE
+    incremental and restartable: a failed run leaves every completed
+    leaf compacted and every untouched leaf intact."""
+    leaves = []
+    for dirpath, dirnames, filenames in os.walk(path):
+        if any(f.endswith(".parquet") for f in filenames) and not any(
+            "=" in d for d in dirnames
+        ):
+            leaves.append(dirpath)
+    stats = {"leaves": len(leaves), "files_before": 0, "files_after": 0, "bytes": 0}
+    for leaf in leaves:
+        s = compact_table(
+            spark, leaf, target_file_bytes=target_file_bytes, sort_col=sort_col
+        )
+        stats["files_before"] += s["files_before"]
+        stats["files_after"] += s["files_after"]
+        stats["bytes"] += s["bytes"]
+    return stats
