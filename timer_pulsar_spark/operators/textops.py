@@ -90,6 +90,47 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the (label, prediction)
+    confusion matrix of the lang-ID heuristic against the labelled
+    lang column, with per-cell counts and the cell's share of its
+    label row (recall decomposition). This is the model-eval pattern
+    every curation classifier needs (quality gates, lang filters,
+    toxicity models): one groupBy over the scored corpus — the
+    evaluation costs one aggregation of the predictions you already
+    computed, at any scale."""
+    scored = q_langid(spark, sf_dir)
+    per_label = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("label_n"))
+    return (
+        scored.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(per_label), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            F.round(F.col("n") / F.col("label_n"), 6).alias("label_share"),
+        )
+    )
+
+
+ORACLES_LANGID_EVAL = """
+    WITH scored AS (
+        SELECT lang,
+               CASE WHEN len(list_filter(string_split(text, ' '),
+                                         x -> x = 'the' OR x = 'a')) >= 1
+                    THEN 'en' ELSE 'und' END AS pred_lang
+        FROM documents
+    ), per_label AS (
+        SELECT lang, count(*) AS label_n FROM scored GROUP BY lang
+    )
+    SELECT s.lang, s.pred_lang, count(*) AS n,
+           round(count(*) * 1.0 / max(label_n), 6) AS label_share
+    FROM scored s JOIN per_label USING (lang)
+    GROUP BY s.lang, s.pred_lang
+"""
+
+
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus quality scoring: repetition (distinct-token ratio, top
     token share), character-class ratios (alpha / punctuation), and the
@@ -711,6 +752,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sum-folded counts are split-independent; the incremental top-k must
 # equal the one-shot batch aggregation
 ORACLES["q_stream_heavy_hitters"] = ORACLES["q_heavy_hitters"]
+ORACLES["q_langid_eval"] = ORACLES_LANGID_EVAL
 
 
 def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
