@@ -53,6 +53,7 @@ NEW_ORACLE_CHECKED = [
     "q_sample_weighted",
     "q_record_linkage",
     "q_langid_eval",
+    "q_hopping_window",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

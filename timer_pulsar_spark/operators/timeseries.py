@@ -410,7 +410,34 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation — the native F.window with
+    a slide: 10-minute windows every 5 minutes, so each event lands in
+    exactly two overlapping windows. Catalyst expands the window
+    assignment map-side (an Expand of window/slide rows per event)
+    before ONE hash aggregate — no self-union, no double scan; the
+    same expression runs in Structured Streaming with a watermark.
+    Completes the window-aggregation family: tumbling (q_stream_rollup),
+    session (q_session_window), hopping (here)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "cnt", "sum_value")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_hopping_window": """
+        SELECT make_timestamp(((epoch_us(ts) - o) // 600000000) * 600000000 + o)
+                   AS w_start,
+               count(*) AS cnt, round(sum(value), 4) AS sum_value
+        FROM events, UNNEST([0::BIGINT, 300000000::BIGINT]) AS t(o)
+        GROUP BY 1
+    """,
     "q_gapfill_interp": """
         WITH per_min AS (
             SELECT date_trunc('minute', ts) AS minute, count(*) AS n
