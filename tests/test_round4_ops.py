@@ -54,6 +54,7 @@ NEW_ORACLE_CHECKED = [
     "q_record_linkage",
     "q_langid_eval",
     "q_hopping_window",
+    "q_stream_hopping",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

@@ -22,9 +22,11 @@ Three paths, mirroring how a production vector pipeline is layered:
   cells, exact cosine re-rank. The coarse-quantizer layout every
   billion-vector ANN service uses.
 
-No Python UDFs; at real scale the same plans run unchanged, with the
-cosine verify optionally swapped for a mapInPandas numpy-matmul kernel
-(Arrow-batched) if profiling shows the JVM lambda is the bottleneck.
+The JVM paths use no Python UDFs; `q_ann_matmul` is the deliberate
+exception — the Arrow-batched numpy-matmul twin of the brute-force
+baseline (one BLAS call per batch, per-partition pre-ranked top-k),
+kept oracle-identical so the two execution strategies are
+interchangeable and comparable (0.61 s vs 1.04 s warm at sf0.1).
 """
 
 from __future__ import annotations

@@ -229,3 +229,75 @@ QUERIES["q_stream_session_window"] = q_stream_session_window
 from ..operators.timeseries import ORACLES as _TS_ORACLES  # noqa: E402
 
 ORACLES["q_stream_session_window"] = _TS_ORACLES["q_session_window"]
+
+
+def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental hopping-window aggregation — the streaming twin of
+    timeseries.q_hopping_window, ORACLE-checked: the same native
+    window-with-slide expression under a watermark; every event feeds
+    TWO overlapping open windows in the state store, append mode emits
+    each window exactly once when the watermark passes its end, and
+    the sentinel row closes the last ones. Completes the streaming
+    window family next to the tumbling rollup and the merging session
+    windows."""
+    from ..catalog import load_table
+    from ..functions.timeutil import as_utc_instant, utc_wallclock_ntz
+
+    work = tempfile.mkdtemp(prefix="stream_hop_")
+    in_dir = os.path.join(work, "events")
+    out_dir = os.path.join(work, "hopping")
+    ckpt = os.path.join(work, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        as_utc_instant(ev, "ts").alias("ts"), "value"
+    ).write.mode("overwrite").parquet(in_dir)
+    sent = spark.range(1).select(
+        F.lit(SENTINEL_TS).cast("timestamp_ntz").alias("ts"),
+        F.lit(0.0).alias("value"),
+    )
+    sent.select(as_utc_instant(sent, "ts").alias("ts"), "value").write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    from . import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        stream = (
+            spark.readStream.schema("ts timestamp, value double")
+            .parquet(in_dir)
+            .withWatermark("ts", "1 minute")
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .select(
+                utc_wallclock_ntz(F.col("w.start")).alias("w_start"),
+                "cnt",
+                "sum_value",
+            )
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+    # drop the sentinel's own two windows
+    return spark.read.parquet(out_dir).filter(F.col("w_start") < "2029-01-01")
+
+
+QUERIES["q_stream_hopping"] = q_stream_hopping
+from ..operators.timeseries import ORACLES as _TS_ORACLES2  # noqa: E402
+
+ORACLES["q_stream_hopping"] = _TS_ORACLES2["q_hopping_window"]
