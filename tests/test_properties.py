@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the algorithmic operators
+whose correctness is an invariant, not a fixture: BPE training/encoding
+consistency and salted-join equivalence hold for ALL inputs, so they
+are tested on generated ones, not just the checked-in corpus.
+
+Spark jobs are slow relative to hypothesis's defaults: examples are
+capped and deadlines disabled (the suite's job, not per-example
+latency, is the budget)."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+words = st.text(alphabet="abcde", min_size=1, max_size=6)
+corpora = st.lists(
+    st.lists(words, min_size=1, max_size=8), min_size=1, max_size=12
+)
+
+
+@pytest.fixture(scope="module")
+def sparkmod(spark):
+    return spark
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpora)
+def test_bpe_merge_fold_matches_python_reference(spark, docs):
+    """The codegen left-to-right merge fold must agree with a plain
+    Python reference implementation of non-overlapping pair merging,
+    for an arbitrary merge rule applied to arbitrary words."""
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.operators.textops import bpe_encode
+
+    flat = sorted({w for d in docs for w in d})
+    df = spark.createDataFrame([(w,) for w in flat], "w string").withColumn(
+        "syms", F.expr("split(w, '')")
+    )
+    # merge rule: the first two distinct chars of the first word
+    chars = [c for c in flat[0]]
+    a, b = (chars[0], chars[1]) if len(chars) >= 2 else (chars[0], chars[0])
+    got = {
+        r["w"]: list(r["syms"])
+        for r in bpe_encode(df, [(a, b, 1)]).collect()
+    }
+
+    def ref_merge(symbols, a, b):
+        out, i = [], 0
+        while i < len(symbols):
+            if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(symbols[i])
+                i += 1
+        return out
+
+    for w in flat:
+        assert got[w] == ref_merge(list(w), a, b), (w, a, b)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=0,
+        max_size=30,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100)),
+        min_size=0,
+        max_size=10,
+    ),
+    n_salts=st.integers(2, 5),
+)
+def test_salted_join_equals_plain_join(spark, left, right, n_salts):
+    """salted_join must return exactly the plain inner join's multiset
+    of rows for arbitrary key distributions (duplicates, empty sides,
+    missing keys) and any salt count."""
+    from timer_pulsar_spark.operators.relational import salted_join
+
+    ldf = spark.createDataFrame(left or [(99, 0)], "k long, lv long")
+    rdf = spark.createDataFrame(right or [(98, 0)], "k long, rv long")
+    got = sorted(
+        map(tuple, salted_join(ldf, rdf, ["k"], n_salts=n_salts).collect())
+    )
+    want = sorted(map(tuple, ldf.join(rdf, "k").collect()))
+    assert got == want
