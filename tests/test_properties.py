@@ -19,11 +19,6 @@ corpora = st.lists(
 )
 
 
-@pytest.fixture(scope="module")
-def sparkmod(spark):
-    return spark
-
-
 @settings(
     max_examples=8,
     deadline=None,
