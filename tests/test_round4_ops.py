@@ -55,6 +55,9 @@ NEW_ORACLE_CHECKED = [
     "q_langid_eval",
     "q_hopping_window",
     "q_stream_hopping",
+    "q_dedup_plan",
+    "q_dist_rank",
+    "q_corpus_card",
     "q_pagerank",
     "q_stream_centroid_assign",
     "q_stream_heavy_hitters",

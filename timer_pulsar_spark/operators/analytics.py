@@ -728,3 +728,70 @@ QUERIES = {
     for name, fn in list(globals().items())
     if callable(fn) and name.startswith("q_")
 }
+
+
+def q_dist_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[window: percent_rank / cume_dist] the distribution-position
+    functions completing the ranking family (rank/dense_rank/ntile in
+    q_rank_ntile): per event_type, each event's relative rank and
+    cumulative share by value. Same single-shuffle window shape."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).filter(F.col("pct_rank") <= 0.01)
+
+
+ORACLES["q_dist_rank"] = """
+    SELECT event_id, event_type,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    QUALIFY pct_rank <= 0.01
+"""
+
+
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dataset card] the per-(lang, source) corpus composition table a
+    dataset release publishes: document counts, character mass, share
+    of total, and mean document length. One grouped aggregation plus a
+    broadcast single-row total — the numbers behind every 'data
+    mixture' decision, computable in one pass at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    total = d.agg(F.sum("n_chars").alias("total_chars"))
+    return (
+        d.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+            F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "chars",
+            F.round(F.col("chars") / F.col("total_chars"), 6).alias("share"),
+            "mean_chars",
+        )
+    )
+
+
+ORACLES["q_corpus_card"] = """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           round(sum(n_chars) * 1.0
+                 / (SELECT sum(n_chars) FROM documents), 6) AS share,
+           round(avg(n_chars), 6) AS mean_chars
+    FROM documents GROUP BY lang, source
+"""
+
+QUERIES["q_dist_rank"] = q_dist_rank
+QUERIES["q_corpus_card"] = q_corpus_card

@@ -707,6 +707,27 @@ PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
 
 
+def q_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of the dedup pipeline: the deletion manifest.
+    Joins the duplicate clusters back to the corpus and emits one row
+    per NON-canonical member (what to delete, its cluster, and the
+    bytes reclaimed), plus nothing for canonical survivors — the exact
+    input a storage-reclamation job or a training-set filter consumes.
+    One broadcast-sized join against the cluster labels (clusters are
+    a tiny fraction of the corpus by construction)."""
+    clusters = q_dup_clusters(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        clusters.filter(~F.col("is_canonical"))
+        .join(d, "doc_id")
+        .select(
+            F.col("doc_id").alias("delete_doc_id"),
+            "cluster_id",
+            F.col("n_chars").alias("reclaimed_chars"),
+        )
+    )
+
+
 LINKAGE_MAX_EDITS = 2
 
 
@@ -1030,6 +1051,52 @@ def q_embed_dup_lsh_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 0.8-similar pair) ~ 1e-18; tests/test_llm_ops.py asserts set equality),
 # so it shares q_dedup_near's oracle — the scale path is held to the
 # exact semantics, not a weaker rows-only check.
+ORACLES["q_dedup_plan"] = f"""
+    WITH clustered AS (
+
+        WITH RECURSIVE shingled AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS shingles
+            FROM documents
+        ), sizes AS (
+            SELECT doc_id, len(shingles) AS n_sh FROM shingled
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+            FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled) a
+            JOIN (SELECT doc_id, unnest(shingles) AS sh FROM shingled) b USING (sh)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), dup AS (
+            SELECT doc_a, doc_b
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(shared * 1.0 / (sa.n_sh + sb.n_sh - shared), 6)
+                  >= {NEAR_DUP_THRESHOLD}
+        ), edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM dup
+            UNION SELECT doc_b, doc_a FROM dup
+        ), reach(u, v) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), labeled AS (
+            SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               doc_id = cluster_id AS is_canonical
+        FROM labeled 
+    )
+    SELECT c.doc_id AS delete_doc_id, c.cluster_id,
+           d.n_chars AS reclaimed_chars
+    FROM clustered c JOIN documents d USING (doc_id)
+    WHERE NOT c.is_canonical
+"""
+
 ORACLES["q_record_linkage"] = """
     SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
            levenshtein(a.c_name, b.c_name) AS edits
