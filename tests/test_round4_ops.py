@@ -56,6 +56,7 @@ NEW_ORACLE_CHECKED = [
     "q_hopping_window",
     "q_stream_hopping",
     "q_dedup_plan",
+    "q_dedup_containment",
     "q_dist_rank",
     "q_corpus_card",
     "q_pagerank",

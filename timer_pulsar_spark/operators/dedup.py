@@ -728,6 +728,48 @@ def q_dedup_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (asymmetric Jaccard) dedup: pairs where the SMALLER
+    document's shingle set is >= 90% inside the other's —
+    |A∩B| / min(|A|,|B|). Symmetric Jaccard structurally misses this
+    case (a 50-shingle doc fully quoted inside a 500-shingle doc scores
+    J = 50/500 = 0.1), yet embedded copies are exactly what quote
+    farms, boilerplate wrappers, and aggregator pages produce.
+    Same single-scan inverted-index pipeline as q_dedup_near — the ONLY
+    differences are no size-ratio pruning inside the expansion
+    (containment deliberately pairs very different sizes; the df-cap
+    still bounds hot shingles) and the final filter dividing by the
+    min set size instead of the union."""
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    shingled = with_shingles(d).select("doc_id", "shingles")
+    postings = shingled.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh"),
+    )
+    pairs = cooccurring_pairs(
+        postings, ["sh"], ["doc_id", "n_sh"], max_df=SHINGLE_DF_CAP
+    )
+    return (
+        pairs.groupBy(
+            F.col("a_doc_id").alias("doc_a"),
+            F.col("b_doc_id").alias("doc_b"),
+            F.col("a_n_sh").alias("n_a"),
+            F.col("b_n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn(
+            "containment",
+            F.round(F.col("shared") / F.least("n_a", "n_b"), 6),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 LINKAGE_MAX_EDITS = 2
 
 
@@ -1095,6 +1137,32 @@ ORACLES["q_dedup_plan"] = f"""
            d.n_chars AS reclaimed_chars
     FROM clustered c JOIN documents d USING (doc_id)
     WHERE NOT c.is_canonical
+"""
+
+ORACLES["q_dedup_containment"] = f"""
+    WITH shingled AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2])) AS shingles
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, len(shingles) AS n_sh FROM shingled
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+        FROM (SELECT doc_id, unnest(shingles) AS sh FROM shingled) a
+        JOIN (SELECT doc_id, unnest(shingles) AS sh FROM shingled) b USING (sh)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 6) AS containment
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 6)
+          >= {CONTAINMENT_THRESHOLD}
 """
 
 ORACLES["q_record_linkage"] = """
