@@ -57,6 +57,7 @@ NEW_ORACLE_CHECKED = [
     "q_stream_hopping",
     "q_dedup_plan",
     "q_dedup_containment",
+    "q_asof_tolerance",
     "q_dist_rank",
     "q_corpus_card",
     "q_pagerank",

@@ -207,6 +207,39 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound — pandas merge_asof's
+    `tolerance` semantics: the most recent same-user error at or
+    before each purchase counts ONLY if it is within 1 hour; older
+    state is reported as no-match (NULL) rather than stale data. Same
+    single-window plan as q_asof plus one exact integer-microsecond
+    comparison; this is the variant real feature pipelines need (a
+    features-as-of lookup must not silently serve hours-old state)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    last_error = F.max(
+        F.when(F.col("event_type") == "error", F.col("ts"))
+    ).over(w)
+    within = F.expr(
+        "timestampdiff(MICROSECOND, last_error_ts, ts) <= 3600000000"
+    )
+    return (
+        e.withColumn("last_error_ts", last_error)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(
+                F.col("last_error_ts").isNotNull() & within,
+                F.col("last_error_ts"),
+            ).alias("recent_error_ts"),
+        )
+    )
+
+
 def q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled minute rollup with last-observation-carried-forward —
     the hypertable `time_bucket_gapfill + locf` analog: a dense minute
@@ -431,6 +464,22 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_asof_tolerance": """
+        WITH marked AS (
+            SELECT event_id, user_id, ts, event_type,
+                   max(CASE WHEN event_type = 'error' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_error_ts
+            FROM events
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN last_error_ts IS NOT NULL
+                         AND date_diff('microsecond', last_error_ts, ts)
+                             <= 3600000000
+                    THEN last_error_ts END AS recent_error_ts
+        FROM marked WHERE event_type = 'purchase'
+    """,
     "q_hopping_window": """
         SELECT make_timestamp(((epoch_us(ts) - o) // 600000000) * 600000000 + o)
                    AS w_start,
