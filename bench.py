@@ -305,6 +305,18 @@ def main() -> None:
         print(f"# delay_slo: ERROR {delay['error']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # explicit self-grading vs BASELINE.md's derived targets:
+    # - throughput: sustain >= the reference's 1e6 tasks/day design point
+    #   (11.6 tasks/s) in the pipeline replay;
+    # - latency: delay p99 <= 1 s trigger resolution + 1 s micro-batch
+    #   overhead budget (steady-state, phase-swept measurement).
+    targets = {
+        "throughput_tasks_per_sec_target": 11.6,
+        "throughput_ok": bool(pipeline.get("tasks_per_sec", 0) >= 11.6),
+        "delay_p99_budget_ms": 2000,
+        "delay_ok": bool(delay.get("delay_p99_ms", 10**9) <= 2000),
+        "all_queries_ok": not errors,
+    }
     line = {
         "metric": "headline_total_sec",
         "value": total,
@@ -313,6 +325,7 @@ def main() -> None:
         "errors": errors,
         "pipeline": pipeline,
         "delay_slo": delay,
+        "targets": targets,
         "sf": sf_from_dir(sf_dir),
     }
     print(json.dumps(line), flush=True)
