@@ -58,6 +58,7 @@ NEW_ORACLE_CHECKED = [
     "q_dedup_plan",
     "q_dedup_containment",
     "q_asof_tolerance",
+    "q_stream_dedup_near",
     "q_dist_rank",
     "q_corpus_card",
     "q_pagerank",

@@ -1200,6 +1200,124 @@ ORACLES["q_dedup_span"] = f"""
 # the incremental fold is split-independent (min/sum are commutative),
 # so the streamed state must equal the one-shot batch aggregation
 ORACLES["q_stream_dedup_exact"] = ORACLES["q_dedup_exact"]
+
+
+def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection — the streaming twin of
+    q_dedup_near, ORACLE-checked: replay the corpus as a multi-batch
+    file stream while folding a persistent shingle POSTINGS INDEX.
+    Each arriving batch generates candidate pairs two ways — within
+    the batch (the same in-group expansion as the batch query) and
+    batch-vs-index (one equi-join of the new postings against the
+    accumulated index on the shingle hash) — counts shared shingles,
+    applies the exact Jaccard filter, and appends; the batch's
+    postings then join the index. A pair is emitted exactly once, in
+    the batch where its LATER document arrives, so the union over all
+    batches equals the one-shot batch result row-for-row.
+
+    This is how dedup actually runs at 100 TB: a new shard pays
+    O(shard x overlap) against the index, never a corpus re-scan —
+    the same asymmetry that makes the index the system of record.
+    The per-batch writes are batch-id-keyed (idempotent retries).
+    At production scale the index side would carry the same
+    SHINGLE_DF_CAP the batch query uses (drop hot shingles from the
+    index on append); omitted here so the replay equals the uncapped
+    exact result at test scale."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    work = tempfile.mkdtemp(prefix="stream_near_")
+    in_dir = os.path.join(work, "docs")
+    index = os.path.join(work, "index")
+    out = os.path.join(work, "pairs")
+    ckpt = os.path.join(work, "ckpt")
+
+    load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
+        8
+    ).write.mode("overwrite").parquet(in_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sh = with_shingles(batch_df).select("doc_id", "shingles")
+        postings = sh.select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode(
+                F.transform("shingles", lambda x: F.xxhash64(x))
+            ).alias("sh"),
+        ).localCheckpoint()  # computed once: used for pairs AND the index append
+
+        within = cooccurring_pairs(postings, ["sh"], ["doc_id", "n_sh"]).select(
+            F.col("a_doc_id").alias("doc_a"),
+            F.col("b_doc_id").alias("doc_b"),
+            F.col("a_n_sh").alias("n_a"),
+            F.col("b_n_sh").alias("n_b"),
+        )
+        if os.path.exists(index):
+            old = spark.read.parquet(index)
+            cross = postings.join(
+                old.select(
+                    F.col("sh"),
+                    F.col("doc_id").alias("o_doc_id"),
+                    F.col("n_sh").alias("o_n_sh"),
+                ),
+                "sh",
+            ).select(
+                F.least("doc_id", "o_doc_id").alias("doc_a"),
+                F.greatest("doc_id", "o_doc_id").alias("doc_b"),
+                F.when(F.col("doc_id") < F.col("o_doc_id"), F.col("n_sh"))
+                .otherwise(F.col("o_n_sh"))
+                .alias("n_a"),
+                F.when(F.col("doc_id") < F.col("o_doc_id"), F.col("o_n_sh"))
+                .otherwise(F.col("n_sh"))
+                .alias("n_b"),
+            )
+            cand = within.unionByName(cross)
+        else:
+            cand = within
+        result = (
+            cand.groupBy("doc_a", "doc_b", "n_a", "n_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("shared")
+                    / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+        result.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+        postings.write.mode("append").parquet(index)
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real folds
+            .parquet(in_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+    return spark.read.parquet(out).drop("batch")
+
+
+# a pair is emitted exactly once (in its later document's batch), so the
+# union of batch outputs must equal the one-shot batch near-dup result
+ORACLES["q_stream_dedup_near"] = ORACLES["q_dedup_near"]
 # deterministic quality contracts of the recall-bounded strategies
 # (the pair-set queries themselves stay rows-only by design)
 ORACLES["q_dedup_simhash_check"] = "SELECT true AS subset_ok, true AS found_pairs"

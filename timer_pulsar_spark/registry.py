@@ -60,7 +60,7 @@ SECONDARY: list[str] = [
     "q_repetition", "q_entropy", "q_semdedup", "q_orc_roundtrip",
     "q_unpivot", "q_range_window", "q_heavy_hitters_sketch_check",
     "q_stream_quality", "q_stream_scd2", "q_ann_matmul", "q_session_window", "q_stream_session_window",
-    "q_bpe_check", "q_gapfill_interp", "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance",
+    "q_bpe_check", "q_gapfill_interp", "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance", "q_stream_dedup_near",
 ]
 
 
