@@ -61,6 +61,82 @@ def test_bpe_merge_fold_matches_python_reference(spark, docs):
 
 
 @settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=corpora)
+def test_bpe_pair_counter_uses_nonoverlap_rule(spark, docs):
+    """The trainer's pair counter must count exactly the occurrences
+    the merge fold would collapse: left-to-right non-overlapping —
+    a run of k equal symbols yields floor(k/2) self-pairs, not k-1."""
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.operators.textops import _PAIR_FOLD
+
+    flat = sorted({w for d in docs for w in d})
+    df = spark.createDataFrame([(w,) for w in flat], "w string").withColumn(
+        "syms", F.expr("split(w, '')")
+    )
+    got = {}
+    for r in df.select("w", F.explode(F.expr(_PAIR_FOLD)).alias("p")).collect():
+        got.setdefault(r["w"], []).append((r["p"]["a"], r["p"]["b"]))
+
+    def ref_pairs(symbols):
+        out, i = [], 0
+        # for each candidate pair independently, occurrences are
+        # non-overlapping left-to-right; equivalent single-scan form:
+        # emit (s[i], s[i+1]) unless it is the odd continuation of an
+        # equal-symbol run
+        run = 1
+        for i in range(1, len(symbols)):
+            run = run + 1 if symbols[i] == symbols[i - 1] else 1
+            if symbols[i] != symbols[i - 1] or run % 2 == 0:
+                out.append((symbols[i - 1], symbols[i]))
+        return out
+
+    for w in flat:
+        assert got.get(w, []) == ref_pairs(list(w)), w
+
+
+def test_bpe_mass_exact_with_self_overlapping_winner(spark):
+    """A corpus where a self-adjacent pair (a,a) wins rounds: the mass
+    drop per round must equal the counted pair weight (adjacency
+    counting would claim 2 for 'aaa' and break the invariant)."""
+    from pyspark.sql import functions as F
+
+    import timer_pulsar_spark.operators.textops as textops
+
+    doc = spark.createDataFrame(
+        [(1, "aaa bb aaa"), (2, "aaaa cc")], "doc_id long, text string"
+    )
+    orig = textops.load_table
+    textops.load_table = lambda s, d, t: doc
+    try:
+        merges, words = textops.bpe_train(spark, "ignored", rounds=4)
+        base = doc.select(F.explode(F.expr("split(text, ' ')")).alias("w")) \
+            .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")) \
+            .withColumn("syms", F.expr("split(w, '')"))
+        base_mass = base.select(
+            F.sum(F.size("syms") * F.col("cnt"))).collect()[0][0]
+        final_mass = words.select(
+            F.sum(F.size("syms") * F.col("cnt"))).collect()[0][0]
+        assert merges and any(a == b for a, b, _ in merges)
+        assert base_mass - final_mass == sum(n for _, _, n in merges)
+        # encoder replay parity survives batched training
+        replay = textops.bpe_encode(base, merges)
+        diff = (
+            replay.select("w", F.col("syms").alias("r"))
+            .join(words.select("w", "syms"), "w")
+            .filter(F.col("r") != F.col("syms"))
+            .count()
+        )
+        assert diff == 0
+    finally:
+        textops.load_table = orig
+
+
+@settings(
     max_examples=6,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],

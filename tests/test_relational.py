@@ -108,3 +108,25 @@ def test_salted_join_matches_plain_join_and_spreads_hot_key(spark):
     )
     assert len(salts) == 8
     assert max(r["count"] for r in salts) < 10_000 * 0.3
+
+
+def test_salted_join_left_preserving_only(spark):
+    """Left joins keep unmatched-left semantics exactly; right/full
+    outer are refused (the per-salt right replication would emit every
+    unmatched right row n_salts times)."""
+    import pytest
+
+    from timer_pulsar_spark.operators.relational import salted_join
+
+    left = spark.range(0, 10).selectExpr("id AS k", "id AS payload")
+    right = spark.range(5, 20).selectExpr("id AS k", "id * 2 AS rv")
+
+    got = sorted(
+        map(tuple, salted_join(left, right, ["k"], how="left").collect())
+    )
+    want = sorted(map(tuple, left.join(right, "k", "left").collect()))
+    assert got == want
+
+    for bad in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(left, right, ["k"], how=bad)

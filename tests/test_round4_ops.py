@@ -318,6 +318,49 @@ def test_stream_scd2_folds_across_multiple_batches(spark):
     assert len(batch_ids) >= 3, f"expected a multi-batch replay, saw {sorted(batch_ids)}"
 
 
+def test_scd2_fold_retry_is_noop(spark, tmp_path):
+    """At-least-once safety of the incremental SCD2 fold: replaying an
+    already-applied batch_id (the foreachBatch crash-between-swap-and-
+    checkpoint-commit scenario) must leave the dimension byte-for-byte
+    identical — including a batch that CONTAINED changes, where the
+    fold body alone would re-close the open interval and append
+    duplicate rows."""
+    from timer_pulsar_spark.operators.analytics import scd2_fold_batch
+
+    dim = str(tmp_path / "dim")
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+        ).selectExpr("event_id", "CAST(ts AS timestamp_ntz) ts", "user_id", "event_type")
+
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    b0 = batch([(1, t(0), 7, "view"), (2, t(1), 7, "click")])  # has a change
+    b1 = batch([(3, t(2), 7, "purchase")])
+
+    def snapshot():
+        return sorted(
+            map(tuple, spark.read.parquet(dim).collect())
+        )
+
+    scd2_fold_batch(spark, dim, b0, 0)
+    s0 = snapshot()
+    scd2_fold_batch(spark, dim, b0, 0)  # redelivery of a change batch
+    assert snapshot() == s0, "retry of an applied batch must be a no-op"
+
+    scd2_fold_batch(spark, dim, b1, 1)
+    s1 = snapshot()
+    assert s1 != s0  # genuinely new batch applies
+    scd2_fold_batch(spark, dim, b1, 1)
+    assert snapshot() == s1
+    # the dimension is the expected 3-interval history for user 7
+    cur = [r for r in s1 if r[4]]
+    assert len(cur) == 1 and cur[0][1] == "purchase"
+    assert len(s1) == 3
+
+
 def test_stream_session_window_folds_across_multiple_batches(spark):
     """Native streaming session_window must merge open-session state
     over several real micro-batches (7 files at maxFilesPerTrigger=2)."""

@@ -100,6 +100,59 @@ def test_merge_update_status_writeback(spark, tmp_path):
     assert after.filter("timer_id >= 5").filter("status <> 0").count() == 0
 
 
+def _leaf_inventory(path):
+    """{leaf_dir: sorted [(file, mtime_ns, size)]} for every parquet leaf."""
+    inv = {}
+    for dirpath, _dirs, files in os.walk(path):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            inv[os.path.relpath(dirpath, path)] = sorted(
+                (f, os.stat(os.path.join(dirpath, f)).st_mtime_ns,
+                 os.path.getsize(os.path.join(dirpath, f)))
+                for f in pq
+            )
+    return inv
+
+
+def test_merge_partitioned_touches_only_batch_leaves(spark, tmp_path):
+    """The 100 TB contract of the partition-scoped MERGE: a status
+    write-back batch for one minute must rewrite exactly that minute's
+    (minute, bucket) leaves — every other leaf keeps its very files
+    (same names, mtimes, sizes) — while the merge semantics stay those
+    of the full-table MERGE."""
+    from timer_pulsar_spark.store import merge_table, task_slice_columns, write_tasks_partitioned
+
+    path = str(tmp_path / "scoped")
+    tasks = _tasks(spark)
+    write_tasks_partitioned(tasks, path)
+    before = _leaf_inventory(path)
+    total = spark.read.parquet(path).count()
+
+    # one minute's status batch, slice columns derived like the writer's
+    batch = task_slice_columns(
+        tasks.filter(F.date_format("run_timer", "yyyy-MM-dd HH:mm") == "2024-01-01 00:05")
+    ).withColumn("status", F.lit(2))
+    assert batch.count() > 0
+    merge_table(spark, path, batch, ["timer_id", "run_timer"], update_matched=True)
+
+    after = _leaf_inventory(path)
+    touched = {leaf for leaf in after if before.get(leaf) != after[leaf]}
+    assert touched, "the batch minute's leaves must be rewritten"
+    assert all(leaf.startswith("minute=2024-01-01 00%3A05") for leaf in touched), touched
+    untouched = set(before) - touched
+    assert untouched and all(before[leaf] == after[leaf] for leaf in untouched)
+
+    merged = spark.read.parquet(path)
+    assert merged.count() == total  # no duplicates, no losses
+    assert merged.filter("minute = '2024-01-01 00:05'").filter("status <> 2").count() == 0
+    assert merged.filter("minute <> '2024-01-01 00:05'").filter("status <> 0").count() == 0
+
+    # insert mode: re-merging the same batch is a no-op on row count
+    merge_table(spark, path, batch.withColumn("status", F.lit(0)),
+                ["timer_id", "run_timer"])
+    assert spark.read.parquet(path).count() == total
+
+
 def test_bucketed_tables_join_without_shuffle(spark):
     """Two tables bucketed on the same key and count must join with
     ZERO exchange — the co-located layout the 100 TB status-MERGE path

@@ -500,6 +500,80 @@ ORACLES: dict[str, str] = {
 }
 
 
+SCD2_DIM_SCHEMA = (
+    "user_id long, state string, valid_from timestamp_ntz,"
+    " valid_to timestamp_ntz, is_current boolean"
+)
+_SCD2_MARKER = "_APPLIED_BATCH"  # leading "_": invisible to the parquet reader
+
+
+def scd2_fold_batch(
+    spark: SparkSession, dim: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """One incremental SCD2 fold step (see q_stream_scd2). Idempotent
+    under foreachBatch's at-least-once retries: the applied-batch
+    marker is written inside the tmp dir BEFORE the atomic directory
+    swap, so dimension state and high-water batch id move together —
+    a replayed batch_id is detected and skipped without touching the
+    dimension."""
+    import os
+    import shutil
+    import uuid
+
+    marker = os.path.join(dim, _SCD2_MARKER)
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if int(f.read().strip()) >= batch_id:
+                return  # redelivery of an already-applied batch: no-op
+    existing = (
+        spark.read.parquet(dim)
+        if os.path.exists(dim)
+        else spark.createDataFrame([], SCD2_DIM_SCHEMA)
+    )
+    cur = existing.filter("is_current")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        batch_df.join(
+            cur.select("user_id", F.col("state").alias("cur_state")),
+            "user_id",
+            "left",
+        )
+        .withColumn(
+            "prev", F.coalesce(F.lag("event_type").over(w), F.col("cur_state"))
+        )
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    new_rows = changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+    first_change = changes.groupBy("user_id").agg(F.min("ts").alias("close_ts"))
+    closed = cur.join(first_change, "user_id").select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.col("close_ts").alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    untouched = cur.join(first_change, "user_id", "left_anti")
+    merged = (
+        existing.filter(~F.col("is_current"))
+        .unionByName(closed)
+        .unionByName(untouched)
+        .unionByName(new_rows)
+    )
+    tmp = f"{dim}.fold-{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, _SCD2_MARKER), "w") as f:
+        f.write(str(batch_id))
+    if os.path.exists(dim):
+        shutil.rmtree(dim)
+    os.replace(tmp, dim)
+
+
 def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SCD2 dimension maintenance — the streaming twin of
     q_scd2, ORACLE-checked: replay the events table as a time-ordered
@@ -515,11 +589,16 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     each batch costs O(batch + open rows), never a history re-scan;
     closed intervals are immutable. The per-batch MERGE maps onto
     Delta/Iceberg MERGE INTO on a real lake (same shape as
-    store.merge_table). The fold is also RETRY-IDEMPOTENT by
-    construction: re-processing an already-applied batch finds every
-    event equal to the dimension's open state, yields zero change
-    rows, and rewrites the dimension unchanged — so an at-least-once
-    redelivery cannot corrupt the history."""
+    store.merge_table). RETRY-IDEMPOTENT via an applied-batch marker
+    that swaps atomically WITH the dimension directory: a foreachBatch
+    retry after a crash between the swap and the checkpoint commit
+    sees its own batch_id already applied and no-ops. (The fold alone
+    would NOT be idempotent for a batch that contained changes — the
+    open state then equals the batch's LAST event, so replaying the
+    batch would re-detect its first event as a change and append
+    duplicate intervals; the marker is what makes at-least-once
+    delivery safe. Exercised by
+    tests/test_analytics_stream.py::test_scd2_fold_retry_is_noop.)"""
     import os
     import shutil
     import tempfile
@@ -563,62 +642,8 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (and tie-proof) rather than trusting write latency
         os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
 
-    dim_schema = (
-        "user_id long, state string, valid_from timestamp_ntz,"
-        " valid_to timestamp_ntz, is_current boolean"
-    )
-
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        existing = (
-            spark.read.parquet(dim)
-            if os.path.exists(dim)
-            else spark.createDataFrame([], dim_schema)
-        )
-        cur = existing.filter("is_current")
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        changes = (
-            batch_df.join(
-                cur.select("user_id", F.col("state").alias("cur_state")),
-                "user_id",
-                "left",
-            )
-            .withColumn(
-                "prev", F.coalesce(F.lag("event_type").over(w), F.col("cur_state"))
-            )
-            .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
-        )
-        new_rows = changes.select(
-            "user_id",
-            F.col("event_type").alias("state"),
-            F.col("ts").alias("valid_from"),
-            F.lead("ts").over(w).alias("valid_to"),
-            F.lead("ts").over(w).isNull().alias("is_current"),
-        )
-        first_change = changes.groupBy("user_id").agg(
-            F.min("ts").alias("close_ts")
-        )
-        closed = (
-            cur.join(first_change, "user_id")
-            .select(
-                "user_id",
-                "state",
-                "valid_from",
-                F.col("close_ts").alias("valid_to"),
-                F.lit(False).alias("is_current"),
-            )
-        )
-        untouched = cur.join(first_change, "user_id", "left_anti")
-        merged = (
-            existing.filter(~F.col("is_current"))
-            .unionByName(closed)
-            .unionByName(untouched)
-            .unionByName(new_rows)
-        )
-        tmp = f"{dim}.fold-{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(dim):
-            shutil.rmtree(dim)
-        os.replace(tmp, dim)
+        scd2_fold_batch(spark, dim, batch_df, batch_id)
 
     from ..streaming import replay_state_partitions
 

@@ -1293,7 +1293,14 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         result.write.mode("overwrite").parquet(
             os.path.join(out, f"batch={batch_id}")
         )
-        postings.write.mode("append").parquet(index)
+        # batch-id-keyed + overwrite, like the pairs write: a foreachBatch
+        # retry after a crash between this write and the checkpoint commit
+        # REPLACES the batch's postings instead of re-appending them
+        # (append would double shared-shingle counts for every later
+        # batch, corrupting Jaccard scores)
+        postings.write.mode("overwrite").parquet(
+            os.path.join(index, f"batch={batch_id}")
+        )
 
     from ..streaming import replay_state_partitions
 

@@ -316,7 +316,20 @@ def salted_join(
     known-extreme key should never land in one task even transiently.
     Cost is explicit: right-side bytes x n_salts through the shuffle.
     Results are exactly the plain join's (salts agree by construction:
-    every left row matches the one right replica carrying its salt)."""
+    every left row matches the one right replica carrying its salt) —
+    for LEFT-PRESERVING join types only. right/full outer are refused:
+    the right side is replicated per salt BEFORE the join, so every
+    unmatched right row would surface n_salts times (and right outer
+    additionally has its skew on the un-salted side — salt the swapped
+    join instead)."""
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower().replace("_", "") not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join: join type {how!r} is not equivalence-safe "
+            "(unmatched right rows would be emitted once per salt); "
+            "use a left-preserving type or swap the sides"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     lhs = left.withColumn("__salt", salt.cast("int"))
     rhs = right.select(

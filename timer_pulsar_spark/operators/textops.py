@@ -947,6 +947,11 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = _toks()
     return (
         d.select("doc_id", ws.alias("ws"))
+        # docs shorter than a trigram have no bigram/trigram population
+        # to score: drop them, matching the oracle's inner-join
+        # semantics (nulls from 0-denominator divisions would otherwise
+        # diverge on a corpus with < 3-word documents)
+        .filter(F.size("ws") >= 3)
         .select(
             "doc_id",
             F.size("ws").alias("n_words"),
@@ -1032,19 +1037,74 @@ ORACLES["q_entropy"] = """
 BPE_ROUNDS = 6
 
 
+# weighted pair counts under the SAME left-to-right non-overlap rule the
+# merge fold uses: a run of k equal symbols contributes floor(k/2)
+# occurrences of its self-pair (adjacency counting would say k-1, which
+# over-states the mass a merge round can actually reclaim — the (a,a)
+# in "aaa" merges once, not twice); a!=b pairs cannot overlap, so their
+# count equals plain adjacency
+_PAIR_FOLD = (
+    "CASE WHEN size(syms) < 2 THEN array()::array<struct<a:string,b:string>>"
+    " ELSE aggregate(slice(syms, 2, size(syms) - 1),"
+    "   named_struct('prev', element_at(syms, 1), 'run', 1,"
+    "                'out', array()::array<struct<a:string,b:string>>),"
+    "   (acc, x) -> named_struct("
+    "     'prev', x,"
+    "     'run', CASE WHEN x = acc.prev THEN acc.run + 1 ELSE 1 END,"
+    "     'out', CASE WHEN x != acc.prev OR (acc.run + 1) % 2 = 0"
+    "             THEN array_append(acc.out, named_struct('a', acc.prev, 'b', x))"
+    "             ELSE acc.out END),"
+    "   acc -> acc.out) END"
+)
+
+
+def _merge_fold_expr(a: str, b: str) -> str:
+    """Left-to-right non-overlapping merge of (a,b) within each word:
+    hold one pending symbol; emit merged ab and clear, or flush."""
+    qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
+    return (
+        "aggregate(syms,"
+        " named_struct('out', array()::array<string>, 'pend', cast(null AS string)),"
+        " (acc, x) -> CASE"
+        "   WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x)"
+        f"   WHEN acc.pend = '{qa}' AND x = '{qb}'"
+        f"     THEN named_struct('out', array_append(acc.out, '{qa}{qb}'),"
+        "                        'pend', cast(null AS string))"
+        "   ELSE named_struct('out', array_append(acc.out, acc.pend), 'pend', x)"
+        " END,"
+        " acc -> CASE WHEN acc.pend IS NULL THEN acc.out"
+        "            ELSE array_append(acc.out, acc.pend) END)"
+    )
+
+
 def bpe_train(
-    spark: SparkSession, sf_dir: str, rounds: int = BPE_ROUNDS
+    spark: SparkSession,
+    sf_dir: str,
+    rounds: int = BPE_ROUNDS,
+    batch_pairs: int = 8,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Byte-pair-encoding merge training — the iterative vocabulary-
     construction step of a tokenizer pipeline, distributed the way BPE
     actually scales: the corpus collapses to the DISTINCT-WORD table
     with occurrence weights (one groupBy — all further rounds run on
-    |vocab| rows, never the corpus), each round counts weighted
-    adjacent symbol pairs (explode → hash agg with map-side combine),
-    picks the most frequent pair (ONE collected row — the only thing
-    that crosses to the driver, like kmeans_train's codebook), and
-    merges it left-to-right inside every word via a per-row array fold
-    in codegen.
+    |vocab| rows, never the corpus), each driver round-trip counts
+    weighted adjacent symbol pairs (explode → hash agg with map-side
+    combine) and collects the TOP `batch_pairs` candidates (the only
+    rows that cross to the driver, like kmeans_train's codebook). The
+    driver then greedily accepts the rank-ordered candidates that are
+    pairwise NON-INTERACTING — a candidate is rejected if either of
+    its symbols equals a symbol, or the concatenation, of an
+    already-accepted pair — and applies all accepted merges in rank
+    order as chained per-row array folds before the next recount.
+    Disjointness makes each accepted pair's pre-count exact at its
+    apply time (merging (a,b) only perturbs adjacencies involving a, b
+    or the new token ab), so mass accounting stays exact while driver
+    round-trips drop ~batch_pairs× — the standard batched-BPE trick; a
+    10k-merge tokenizer pays ~1.3k Spark jobs instead of 10k.
+
+    Pair counts use the left-to-right non-overlap rule (see
+    _PAIR_FOLD), so a self-adjacent pair like (a,a) over "aaa" counts
+    1 — exactly the number of merges the fold will perform.
 
     Returns (merges [(left, right, weighted_count)...], final
     distinct-word frame with `syms` symbol arrays and `cnt` weights).
@@ -1057,48 +1117,33 @@ def bpe_train(
         .withColumn("syms", F.expr("split(w, '')"))
     )
     merges: list[tuple[str, str, int]] = []
-    for _ in range(rounds):
-        pairs = (
-            words.select(
-                "cnt",
-                F.explode(
-                    # guard: sequence(1, 0) is DESCENDING in Spark, so a
-                    # 1-symbol word must short-circuit to no pairs
-                    F.expr(
-                        "CASE WHEN size(syms) < 2 THEN array()::array<struct<a:string,b:string>>"
-                        " ELSE transform(sequence(1, size(syms) - 1),"
-                        " i -> struct(element_at(syms, i) AS a,"
-                        "             element_at(syms, i + 1) AS b)) END"
-                    )
-                ).alias("p"),
-            )
+    while len(merges) < rounds:
+        top = (
+            words.select("cnt", F.explode(F.expr(_PAIR_FOLD)).alias("p"))
             .groupBy("p.a", "p.b")
             .agg(F.sum("cnt").alias("n"))
             .orderBy(F.col("n").desc(), "a", "b")
-            .limit(1)
+            .limit(batch_pairs)
             .collect()
         )
-        if not pairs:
+        if not top:
             break
-        a, b, n = pairs[0]["a"], pairs[0]["b"], pairs[0]["n"]
-        merges.append((a, b, n))
-        qa, qb = a.replace("'", "\\'"), b.replace("'", "\\'")
-        # left-to-right non-overlapping merge of (a,b) within each word:
-        # hold one pending symbol; emit merged ab and clear, or flush
-        merge_expr = (
-            "aggregate(syms,"
-            " named_struct('out', array()::array<string>, 'pend', cast(null AS string)),"
-            " (acc, x) -> CASE"
-            "   WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x)"
-            f"   WHEN acc.pend = '{qa}' AND x = '{qb}'"
-            f"     THEN named_struct('out', array_append(acc.out, '{qa}{qb}'),"
-            "                        'pend', cast(null AS string))"
-            "   ELSE named_struct('out', array_append(acc.out, acc.pend), 'pend', x)"
-            " END,"
-            " acc -> CASE WHEN acc.pend IS NULL THEN acc.out"
-            "            ELSE array_append(acc.out, acc.pend) END)"
-        )
-        words = words.withColumn("syms", F.expr(merge_expr)).localCheckpoint()
+        interacting: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for r in top:
+            a, b = r["a"], r["b"]
+            if a in interacting or b in interacting:
+                continue
+            interacting.update({a, b, a + b})
+            accepted.append((a, b, r["n"]))
+            if len(merges) + len(accepted) >= rounds:
+                break
+        for a, b, _n in accepted:
+            words = words.withColumn("syms", F.expr(_merge_fold_expr(a, b)))
+        merges.extend(accepted)
+        # one checkpoint per BATCH: truncates the lineage of the whole
+        # chain of merge folds before the next recount job
+        words = words.localCheckpoint()
     return merges, words
 
 
@@ -1106,10 +1151,13 @@ def q_bpe_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-verified BPE training contract: every round merged a
     genuinely-occurring pair (count > 0), total symbol mass strictly
     decreased by exactly the merged pair's weighted count each round
-    (each merge collapses two symbols into one, n times), and replaying
-    the learned merge list from raw characters reproduces the trained
-    symbolization bit-for-bit (the encoder/trainer consistency every
-    tokenizer deployment depends on)."""
+    (each merge collapses two symbols into one, n times — exact even
+    for self-adjacent pairs like (a,a) in "aaa", because the trainer
+    counts pairs with the same left-to-right non-overlap rule the
+    merge fold applies), and replaying the learned merge list from raw
+    characters reproduces the trained symbolization bit-for-bit (the
+    encoder/trainer consistency every tokenizer deployment depends
+    on)."""
     merges, words = bpe_train(spark, sf_dir)
 
     d = load_table(spark, sf_dir, "documents")

@@ -175,6 +175,25 @@ def read_latest(
     )
 
 
+def table_partition_cols(path: str) -> list[str]:
+    """Infer the hive partition columns of the parquet table at `path`
+    by walking one leaf chain of `col=value` directory names. Empty
+    list for an unpartitioned (flat) table."""
+    cols: list[str] = []
+    cur = path
+    while os.path.isdir(cur):
+        subs = sorted(
+            d
+            for d in os.listdir(cur)
+            if "=" in d and os.path.isdir(os.path.join(cur, d))
+        )
+        if not subs:
+            break
+        cols.append(subs[0].split("=", 1)[0])
+        cur = os.path.join(cur, subs[0])
+    return cols
+
+
 def merge_table(
     spark: SparkSession,
     path: str,
@@ -182,6 +201,7 @@ def merge_table(
     keys: list[str],
     *,
     update_matched: bool = False,
+    partition_by: list[str] | None = None,
 ) -> None:
     """S9/T14: MERGE INTO the parquet table at `path`.
 
@@ -189,24 +209,122 @@ def merge_table(
     existing rows win — duplicate-1062 tolerance).
     update_matched=True: WHEN MATCHED UPDATE + WHEN NOT MATCHED INSERT
     (status write-back — incoming rows win).
+
+    Partition-scoped when it can be: if the target is hive-partitioned
+    (minute=/bucket= leaves from `write_tasks_partitioned`) and
+    `incoming` carries the partition columns, only the leaves whose
+    partition tuples appear in `incoming` are read, merged, and
+    swapped — every other leaf's files are untouched. Per-batch I/O is
+    then O(touched leaves), not O(table): a 1-second status micro-batch
+    over a 100 TB task table rewrites a handful of minute×bucket
+    directories instead of the table (the scale fix for VERDICT r03
+    item 1). CORRECTNESS CONTRACT: partition columns must be
+    functionally dependent on the merge keys (true for the task table:
+    minute = date_format(run_timer), bucket = timer_id % N — reference
+    utils/timer.go:43-45), so a key can never match a row hiding in an
+    untouched leaf. For tables without that dependency, drop the
+    partition columns from `incoming` to force the full-table path.
+
+    Unpartitioned tables keep the documented full-rewrite swap
+    (SURVEY §7.5 risk 4 fallback; maps onto Delta/Iceberg MERGE INTO
+    on a real lake).
     """
     if not os.path.exists(path):
-        incoming.write.mode("overwrite").parquet(path)
+        if partition_by:
+            (
+                incoming.repartition(*partition_by)
+                .write.mode("overwrite")
+                .partitionBy(*partition_by)
+                .parquet(path)
+            )
+        else:
+            incoming.write.mode("overwrite").parquet(path)
+        return
+    part_cols = table_partition_cols(path)
+    if part_cols and all(c in incoming.columns for c in part_cols):
+        _merge_partition_scoped(
+            spark, path, incoming, keys, part_cols, update_matched
+        )
         return
     existing = spark.read.parquet(path)
-    if update_matched:
-        kept = existing.join(incoming.select(*keys), keys, "left_anti")
-        merged = kept.unionByName(incoming.select(*existing.columns))
-    else:
-        fresh = incoming.select(*existing.columns).join(
-            existing.select(*keys), keys, "left_anti"
-        )
-        merged = existing.unionByName(fresh)
+    merged = _plan_merge(existing, incoming, keys, update_matched)
     # parquet swap: write fresh, then replace the live directory
     tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.replace(tmp, path)
+
+
+def _plan_merge(
+    existing: DataFrame, incoming: DataFrame, keys: list[str], update_matched: bool
+) -> DataFrame:
+    """The merge plan shared by both scopes: one key-hash anti-join +
+    union (zero-exchange when both sides are bucketed on the key)."""
+    if update_matched:
+        kept = existing.join(incoming.select(*keys), keys, "left_anti")
+        return kept.unionByName(incoming.select(*existing.columns))
+    fresh = incoming.select(*existing.columns).join(
+        existing.select(*keys), keys, "left_anti"
+    )
+    return existing.unionByName(fresh)
+
+
+def _merge_partition_scoped(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    keys: list[str],
+    part_cols: list[str],
+    update_matched: bool,
+) -> None:
+    """MERGE touching only the partition leaves named by `incoming`.
+
+    1. Collect the distinct partition tuples of the batch (bounded: a
+       micro-batch spans a few minutes × buckets, never the table).
+    2. Read ONLY those leaves — the OR-of-equalities predicate is pure
+       partition-column equality, so Catalyst turns it into partition
+       pruning (PartitionFilters in the scan; no other leaf is listed
+       or read).
+    3. Plan the same anti-join merge, write the result hive-partitioned
+       into a temp dir, then atomically swap each touched leaf
+       directory into place. Untouched leaves keep their very files.
+    """
+    from functools import reduce
+    from operator import and_, or_
+
+    touched = [
+        tuple(r) for r in incoming.select(*part_cols).distinct().collect()
+    ]
+    if not touched:
+        return
+    cond = reduce(
+        or_,
+        (
+            reduce(and_, (F.col(c) == F.lit(v) for c, v in zip(part_cols, t)))
+            for t in touched
+        ),
+    )
+    existing = spark.read.parquet(path).filter(cond)
+    merged = _plan_merge(existing, incoming, keys, update_matched)
+    tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
+    (
+        merged.repartition(*part_cols)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+        .parquet(tmp)
+    )
+    # swap each rewritten leaf; Spark escapes dir names identically on
+    # both writes, so relative paths line up
+    for dirpath, _dirnames, filenames in os.walk(tmp):
+        if not any(f.endswith(".parquet") for f in filenames):
+            continue
+        rel = os.path.relpath(dirpath, tmp)
+        dest = os.path.join(path, rel)
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(dirpath, dest)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def compact_table(

@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 from ..config import CONFIG
 from ..schemas import TIMER_ENABLED
 from ..sources.task_stream import TASK_RECORD_SCHEMA, task_stream
-from ..store import merge_table
+from ..store import merge_table, task_slice_columns
 from .notify import Transport, execute_batch, mock_transport
 
 # schema of the due-task stream (fan-out output + app tag)
@@ -170,13 +170,20 @@ def run_pipeline(
             executed = executed.persist()
             try:
                 executed.count()  # side effects + observation resolve
-                # T12 second layer + S9: effectively-once, incoming wins
+                # T12 second layer + S9: effectively-once, incoming wins.
+                # Slice columns (minute = fmt(run_timer), bucket =
+                # timer_id % N — both functions of the merge key) put the
+                # status table in the minute×bucket hive layout, so the
+                # MERGE is partition-scoped: each micro-batch rewrites
+                # only the leaves its tasks fall in, O(batch) I/O instead
+                # of O(history) (the r03 scale fix for the default path).
                 merge_table(
                     spark,
                     status_path,
-                    executed,
+                    task_slice_columns(executed),
                     ["timer_id", "run_timer"],
                     update_matched=True,
+                    partition_by=["minute", "bucket"],
                 )
             finally:
                 executed.unpersist()
