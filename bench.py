@@ -114,12 +114,18 @@ def bench_pipeline(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def bench_delay_slo(spark, waves: int = 10, timers_n: int = 50,
+def bench_delay_slo(spark, waves: int = 44, timers_n: int = 160,
                     _warm: bool = True) -> dict:
     """Live 1-second-trigger latency (BASELINE delay SLO): one wave of
-    due tasks scheduled at 'now' lands per second; delay_ms = executor
+    due tasks scheduled at 'now' lands per ~1.4 s; delay_ms = executor
     pickup - scheduled, reported at the reference's summary quantiles
     {.5,.9,.99} (promethus/reporter.go:74-83).
+
+    SUSTAINED-load shape (VERDICT r03 item 10): 44 waves × 160 tasks
+    over ~60 s is ~117 tasks/s — ≥10× the reference's 1e6/day design
+    point held for a minute, long enough for state-store growth or
+    checkpoint-commit drift to surface in the p99 (a 500-task probe
+    ends before either can).
 
     A short unmeasured warm-up pass runs first: the first live query
     pays one-time JVM JIT + codegen + state-store setup (~2s spread
@@ -242,13 +248,40 @@ def bench_delay_slo(spark, waves: int = 10, timers_n: int = 50,
         return {
             "executed": pcts["n"],
             "submitted": waves * timers_n,
+            "sustained_sec": round(waves * 1.37, 1),
+            "rate_per_sec": round(timers_n / 1.37, 1),
             "delay_p50_ms": int(pcts["p"][0]),
             "delay_p90_ms": int(pcts["p"][1]),
             "delay_p99_ms": int(pcts["p"][2]),
-            "design_point": "p99 <= 1s trigger resolution + batch overhead",
+            "design_point": "p99 <= 2000 ms at >=10x design rate, 60 s sustained",
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_bpe(spark, sf_dir: str, merges: int = 256) -> dict:
+    """Batched-BPE training throughput at a realistic merge count
+    (VERDICT r03 item 5): 256 merges with top-8 non-interacting batch
+    acceptance — round_trips counts the actual driver↔cluster
+    synchronizations, so the reported batch factor is measured, not
+    assumed. The q_bpe_check contract (mass conservation + encode
+    replay parity) gates correctness separately."""
+    from timer_pulsar_spark.operators.textops import bpe_train
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    ms, _words = bpe_train(spark, sf_dir, rounds=merges, stats=stats)
+    wall = round(time.perf_counter() - t0, 2)
+    rt = stats.get("round_trips", 0)
+    return {
+        "merges_requested": merges,
+        # fewer merges than requested = the corpus vocabulary saturated
+        # (no adjacent pairs left), not an error
+        "merges": len(ms),
+        "wall_sec": wall,
+        "driver_round_trips": rt,
+        "merges_per_round_trip": round(len(ms) / rt, 2) if rt else None,
+    }
 
 
 def main() -> None:
@@ -303,6 +336,12 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         delay = {"error": f"{type(exc).__name__}: {exc}".splitlines()[0][:500]}
         print(f"# delay_slo: ERROR {delay['error']}", file=sys.stderr)
+    try:
+        bpe = bench_bpe(spark, sf_dir)
+        print(f"# bpe_256: {bpe}", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        bpe = {"error": f"{type(exc).__name__}: {exc}".splitlines()[0][:500]}
+        print(f"# bpe_256: ERROR {bpe['error']}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # explicit self-grading vs BASELINE.md's derived targets:
@@ -315,6 +354,9 @@ def main() -> None:
         "throughput_ok": bool(pipeline.get("tasks_per_sec", 0) >= 11.6),
         "delay_p99_budget_ms": 2000,
         "delay_ok": bool(delay.get("delay_p99_ms", 10**9) <= 2000),
+        # sustained-load shape: the SLO must hold over >=5000 executed
+        # tasks (~60 s at >=10x the design rate), not a short probe
+        "sustained_executed_ok": bool(delay.get("executed", 0) >= 5000),
         "all_queries_ok": not errors,
     }
     line = {
@@ -325,6 +367,7 @@ def main() -> None:
         "errors": errors,
         "pipeline": pipeline,
         "delay_slo": delay,
+        "bpe_256": bpe,
         "targets": targets,
         "sf": sf_from_dir(sf_dir),
     }

@@ -31,7 +31,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = "/root/testdata/sf0.1"
 MULTIPLIERS = [1, 4, 16]
-PROBES = ["q_textstats", "q_heavy_hitters", "q_dedup_near", "q_centroid_assign"]
+# q_dedup_near@df256 = dedup_near_pairs with the df-cap tightened to
+# 256: the production bound demonstrated, not asserted — shared-shingle
+# posting groups grow ~16x with the copy count (the corpus's common
+# phrases), and the cap drops exactly those groups before pair
+# expansion; recall vs the uncapped pairs is measured at 16x below.
+# The cap must clear the df a TRUE dup-set's shingles reach
+# (cluster_size × replication — here up to 16×16=256; a cap of 64
+# measured recall 0.0, 128 → 0.58, 192 → 0.98, 256 → 1.0), while
+# sitting below the hot common-phrase df (16×25=400 here) — the gap is
+# narrow in this synthetic and wide in a real corpus (stop-phrase df ≫
+# any dup-cluster size). q_dedup_minhash is the candidate generator
+# that sidesteps the trade entirely: banded signatures never grow with
+# shared-phrase df — the default above a df-volume threshold.
+# q_semdedup_scaled shows k growing with the corpus keeps the
+# within-cell pair volume (and runtime) near-linear (two-level IVF
+# assignment above SEMDEDUP_FLAT_K).
+PROBES = [
+    "q_textstats",
+    "q_heavy_hitters",
+    "q_dedup_near",
+    "q_dedup_near@df256",
+    "q_dedup_minhash",
+    "q_centroid_assign",
+    "q_semdedup_scaled",
+]
 
 
 def build_replica(spark, mult: int, work: str) -> str:
@@ -74,10 +98,24 @@ def build_replica(spark, mult: int, work: str) -> str:
     (
         emb.crossJoin(copies)
         # copy 0 keeps original ids so the query/centroid rows
-        # (vec_id < 21) exist exactly once
+        # (vec_id < 21) exist exactly once. Each copy's embeddings are
+        # CIRCULARLY SHIFTED by the copy id: a shift is an orthogonal
+        # transform, so within-copy pairwise dot products (the planted
+        # dup structure) are preserved exactly, while a vector vs its
+        # shifted replica decorrelates — no planted quadratic
+        # cross-copy pair space (the embedding analog of the text
+        # perturbation above).
         .select(
             (F.col("vec_id") + F.col("copy") * n_emb).alias("vec_id"),
-            "embedding",
+            F.when(F.col("copy") == 0, F.col("embedding"))
+            .otherwise(
+                F.expr(
+                    "transform(sequence(1, size(embedding)),"
+                    " i -> element_at(embedding,"
+                    " cast((i - 1 + copy) % size(embedding) AS INT) + 1))"
+                )
+            )
+            .alias("embedding"),
             "label",
         )
         .repartition(max(8, mult * 4))
@@ -93,14 +131,25 @@ def main() -> None:
     spark = get_spark("scale_probe")
     import __spark_entry__ as entry
 
+    from timer_pulsar_spark.operators.dedup import dedup_near_pairs
+
     qs = entry.queries()
+    fns = {
+        name: (
+            qs[name]
+            if name in qs
+            else (lambda s, d: dedup_near_pairs(s, d, max_df=256))
+        )
+        for name in PROBES
+    }
     work = tempfile.mkdtemp(prefix="scale_probe_")
     results: dict[str, dict[int, float]] = {p: {} for p in PROBES}
+    recall_16x = None
     try:
         for mult in MULTIPLIERS:
             sf_dir = build_replica(spark, mult, work)
             for name in PROBES:
-                qs[name](spark, sf_dir).write.format("noop").mode(
+                fns[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()  # warm: page cache + codegen
                 # min of 3: the standard robust wall-clock estimator —
@@ -109,12 +158,28 @@ def main() -> None:
                 best = float("inf")
                 for _ in range(3):
                     t0 = time.perf_counter()
-                    qs[name](spark, sf_dir).write.format("noop").mode(
+                    fns[name](spark, sf_dir).write.format("noop").mode(
                         "overwrite"
                     ).save()
                     best = min(best, time.perf_counter() - t0)
                 results[name][mult] = round(best, 3)
                 print(f"x{mult} {name}: {results[name][mult]}s", flush=True)
+            if mult == MULTIPLIERS[-1]:
+                # measured (not asserted) recall of the df-capped path
+                # vs the uncapped exact pairs at the stress scale
+                exact = qs["q_dedup_near"](spark, sf_dir).select(
+                    "doc_a", "doc_b"
+                )
+                capped = fns["q_dedup_near@df256"](spark, sf_dir).select(
+                    "doc_a", "doc_b"
+                )
+                n_exact = exact.count()
+                n_hit = exact.join(capped, ["doc_a", "doc_b"]).count()
+                recall_16x = round(n_hit / n_exact, 4) if n_exact else 1.0
+                print(
+                    f"x{mult} df256 recall: {n_hit}/{n_exact} = {recall_16x}",
+                    flush=True,
+                )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -150,6 +215,33 @@ def main() -> None:
         "with the copy count and candidate expansion pays for it — the",
         "documented SHINGLE_DF_CAP is the bound that keeps the worst",
         "group from going quadratic at production scale.",
+        "",
+        "q_dedup_near@df256 is that bound DEMONSTRATED: the cap drops the",
+        "grown shared-shingle groups before pair expansion. Its cost:",
+        "measured recall vs the uncapped exact pairs at",
+        f"16x = **{recall_16x if recall_16x is not None else 'n/a'}**.",
+        "The cap placement is the whole game: it must clear the df a true",
+        "dup-set's shingles reach (cluster_size × replication — up to 256",
+        "here; caps 64/128/192/256 measured recall 0.0/0.58/0.98/1.0) and",
+        "sit below hot common-phrase df (400 here). That gap is narrow in",
+        "this synthetic and wide in a real corpus, where stop-phrase df",
+        "exceeds any dup-cluster size by orders of magnitude.",
+        "",
+        "q_dedup_minhash is the candidate generator that sidesteps the",
+        "trade entirely — banded signatures are fixed-size per document,",
+        "so candidate volume never grows with shared-phrase df; its ratio",
+        "row above is the evidence for making banding the default above a",
+        "df-volume threshold (VERDICT r03 item 4's alternative).",
+        "",
+        "q_semdedup_scaled is the k-grows-with-n SemDeDup: cells stay",
+        "~32 vectors as the corpus replicates (k = ceil(n/32)), so the",
+        "within-cell pair volume scales with n, not n². Above",
+        "SEMDEDUP_FLAT_K the assignment itself goes two-level IVF",
+        "(coarse sqrt(k) probe → fine scoring in the probed groups),",
+        "keeping the E-step O(n·sqrt(k)) instead of the flat scan's",
+        "O(n·k) = O(n²/cell) — the flat form measured 16.6x wall at 16x",
+        "data; embedding replicas are circularly shifted so no cross-copy",
+        "pair space is planted.",
         "",
     ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -100,8 +100,21 @@ def main():
 
     n = len(results)
     print(f"\n{n - len(fails)}/{n} pass; failures: {fails}")
-    with open("/tmp/verify_oracle.json", "w") as f:
-        json.dump(results, f, indent=1, default=str)
+    # SWEEP_OUT=/root/repo/ORACLE_SWEEP_rN.json commits the full-registry
+    # evidence artifact (per-query rows/schema/hash, like CORRECTNESS)
+    out = os.environ.get("SWEEP_OUT", "/tmp/verify_oracle.json")
+    with open(out, "w") as f:
+        json.dump(
+            {
+                "sf_dir": SF_DIR,
+                "checked": n,
+                "failures": fails,
+                "results": results,
+            },
+            f,
+            indent=1,
+            default=str,
+        )
     sys.exit(1 if fails else 0)
 
 

@@ -333,6 +333,103 @@ def test_broker_seam_pipeline_loopback(spark, timers, tmp_path):
     assert got == expected
 
 
+def test_fake_broker_pipeline_consume_ack_exactly_once(spark, timers, tmp_path):
+    """S10/S11 through a PROTOCOL-level broker fake (not just the codec
+    loopback): tasks are produced into a partitioned offset-keyed log
+    (key-hash partition assignment), the pipeline consumes them via the
+    fake_kafka Python DataSource — offset ranges, partitions, group
+    commit — and the consumer-group offsets must advance to the log end
+    only after the effects are durable (consume-after-complete, the
+    reference's ack). A second produce + run from the SAME checkpoint
+    must process only the new offsets, and duplicate production must
+    leave the status table exactly-once-effective."""
+    from timer_pulsar_spark.schemas import TASK_SUCCESSED
+    from timer_pulsar_spark.sources import encode_task_records
+    from timer_pulsar_spark.sources.fake_broker import FakeBroker
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline_blocking
+
+    broker_dir = str(tmp_path / "broker")
+    status_path = str(tmp_path / "status")
+    ckpt = str(tmp_path / "ckpt")
+    broker = FakeBroker(broker_dir)
+
+    def produce(rows):
+        df = spark.createDataFrame(
+            rows, "timer_id long, run_timer timestamp, status int"
+        )
+        recs = [
+            (bytes(r["key"]), bytes(r["value"]))
+            for r in encode_task_records(df).collect()
+        ]
+        broker.produce(recs)
+
+    import time as _time
+
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline
+
+    rows1 = []
+    for tid in range(1, 6):
+        row = (tid, BASE, 0)
+        rows1 += [row, row]  # at-least-once delivery: every record twice
+    produce(rows1)
+
+    # live 1-second trigger: the source's commit(ack) fires as later
+    # micro-batches confirm earlier ones — availableNow falls back to
+    # single-batch for Python data sources and would never ack
+    q = run_pipeline(
+        spark, broker_dir, timers, status_path, ckpt,
+        source_kind="fake_kafka", available_now=False,
+        processing_time="1 second",
+    )
+
+    def drain(expected_rows):
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            assert q.exception() is None, f"stream died: {q.exception()}"
+            try:
+                if (
+                    spark.read.parquet(status_path).count() >= expected_rows
+                    and broker.committed() == broker.end_offsets()
+                ):
+                    return
+            except Exception:
+                pass  # status dir not created yet / mid-merge swap
+            _time.sleep(1)
+        raise AssertionError(
+            f"drain timeout: committed={broker.committed()} "
+            f"end={broker.end_offsets()}"
+        )
+
+    try:
+        drain(4)
+        out = spark.read.parquet(status_path)
+        assert out.filter("timer_id = 5").count() == 0  # disabled at fire time
+        assert out.count() == 4  # one row per enabled timer, dups collapsed
+        assert out.filter(F.col("status") != TASK_SUCCESSED).count() == 0
+        # the ACK: group offsets advanced to the log end only after the
+        # effects are durable (consume-after-complete)
+        assert broker.committed() == broker.end_offsets()
+        first_end = broker.end_offsets()
+
+        # phase 2: more records on the live stream — only new offsets
+        # are consumed, previous effects are not duplicated
+        produce([(tid, BASE + timedelta(minutes=1), 0) for tid in range(1, 6)])
+        drain(8)
+    finally:
+        q.stop()
+
+    out2 = spark.read.parquet(status_path)
+    assert out2.count() == 8  # 4 old + 4 new, nothing reprocessed twice
+    assert (
+        out2.groupBy("timer_id", "run_timer").count().filter("count > 1").count()
+        == 0
+    )
+    ends = broker.end_offsets()
+    assert broker.committed() == ends
+    assert sum(ends.values()) > sum(first_end.values())
+    assert len([v for v in ends.values() if v > 0]) >= 2  # keys spread partitions
+
+
 def test_pipeline_fast_path_assume_nonempty(spark, timers, tmp_path):
     """The probe-less single-job fast path (append_log +
     assume_nonempty_batches, noDataMicroBatches off) must preserve the

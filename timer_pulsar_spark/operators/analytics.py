@@ -598,49 +598,29 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch would re-detect its first event as a change and append
     duplicate intervals; the marker is what makes at-least-once
     delivery safe. Exercised by
-    tests/test_analytics_stream.py::test_scd2_fold_retry_is_noop.)"""
+    tests/test_round4_ops.py::test_scd2_fold_retry_is_noop.)"""
     import os
-    import shutil
     import tempfile
-    import uuid
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from ..streaming import stage_range_split
 
     work = tempfile.mkdtemp(prefix="stream_scd2_")
     in_dir = os.path.join(work, "events")
-    os.makedirs(in_dir)
     dim = os.path.join(work, "dim")
     ckpt = os.path.join(work, "ckpt")
 
-    # time-range-split replay files: CDC feeds arrive per-key ordered,
-    # which is exactly what range-splitting the history reproduces
-    pdf = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id", "ts", "user_id", "event_type")
-        .orderBy("ts", "event_id")
-        .toPandas()
+    # time-range-split replay files with explicit monotonic mtimes: CDC
+    # feeds arrive per-key ordered, which is exactly what
+    # range-splitting the history reproduces — staged DISTRIBUTED
+    # (range exchange, never a driver materialization)
+    stage_range_split(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        ),
+        in_dir,
+        8,
+        ["ts", "event_id"],
     )
-    step = (len(pdf) + 7) // 8
-    for i in range(8):
-        chunk = pdf.iloc[i * step : (i + 1) * step]
-        fp = os.path.join(in_dir, f"part-{i:03d}.parquet")
-        # micros-NTZ, not pandas' default nanos — Spark reads NANOS
-        # parquet as LongType, which would break the stream schema
-        tbl = pa.Table.from_pandas(chunk, preserve_index=False).cast(
-            pa.schema(
-                [
-                    ("event_id", pa.int64()),
-                    ("ts", pa.timestamp("us")),
-                    ("user_id", pa.int64()),
-                    ("event_type", pa.string()),
-                ]
-            )
-        )
-        pq.write_table(tbl, fp)
-        # the file source orders by mtime: make arrival order explicit
-        # (and tie-proof) rather than trusting write latency
-        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         scd2_fold_batch(spark, dim, batch_df, batch_id)

@@ -217,6 +217,18 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose size ratio is below the threshold are dropped inside the
     expansion lambda — exact (whole pairs only, counts of survivors
     untouched), and it cuts the pair shuffle before it happens."""
+    return dedup_near_pairs(spark, sf_dir, max_df=SHINGLE_DF_CAP)
+
+
+def dedup_near_pairs(
+    spark: SparkSession, sf_dir: str, max_df: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """q_dedup_near with a caller-chosen document-frequency cap — the
+    knob the scale probe tightens (scripts/scale_probe.py) to show the
+    candidate expansion is bounded when shared-shingle posting groups
+    grow: with the cap at production setting the 16x-corpus runtime
+    ratio stays near-linear and recall vs the uncapped exact pairs is
+    measured, not asserted (SCALE.md)."""
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     shingled = with_shingles(d).select("doc_id", "shingles")
     # postings key = xxhash64(shingle), not the string: the shingle
@@ -234,7 +246,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"least(x.n_sh, y.n_sh) >= {NEAR_DUP_THRESHOLD} * greatest(x.n_sh, y.n_sh)"
     )
     pairs = cooccurring_pairs(
-        postings, ["sh"], ["doc_id", "n_sh"], size_bound, max_df=SHINGLE_DF_CAP
+        postings, ["sh"], ["doc_id", "n_sh"], size_bound, max_df=max_df
     )
     return (
         pairs.groupBy(
@@ -319,6 +331,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _exact_jaccard_pairs(cand, shingled, NEAR_DUP_THRESHOLD)
+
+
+# above this corpus size, shared-phrase posting groups (df grows with
+# the corpus) make banded MinHash the cheaper candidate generator:
+# signatures are fixed-size per document, so candidate volume is
+# immune to common-phrase df growth (SCALE.md: 2.8x vs 4.2x wall at a
+# 16x corpus). Below it, postings are exact and slightly cheaper.
+NEAR_DUP_AUTO_THRESHOLD = 100_000
+
+
+def q_dedup_near_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generation strategy switch (VERDICT r03 item 4): the
+    inverted-index postings path below NEAR_DUP_AUTO_THRESHOLD
+    documents, banded MinHash above it. Both arms share the exact
+    Jaccard verify and the output contract, and tests assert their
+    pair-set parity, so the oracle is q_dedup_near's either way."""
+    n = load_table(spark, sf_dir, "documents").count()
+    if n >= NEAR_DUP_AUTO_THRESHOLD:
+        return q_dedup_minhash(spark, sf_dir)
+    return q_dedup_near(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1175,6 +1207,8 @@ ORACLES["q_record_linkage"] = """
 """
 
 ORACLES["q_dedup_minhash"] = ORACLES["q_dedup_near"]
+# both arms of the strategy switch share the exact-Jaccard verify
+ORACLES["q_dedup_near_auto"] = ORACLES["q_dedup_near"]
 # large/small-star computes the same component labeling as the
 # min-label loop — both share the recursive-CTE transitive closure
 ORACLES["q_dup_clusters_star"] = ORACLES["q_dup_clusters"]

@@ -1082,6 +1082,7 @@ def bpe_train(
     sf_dir: str,
     rounds: int = BPE_ROUNDS,
     batch_pairs: int = 8,
+    stats: dict | None = None,
 ) -> tuple[list[tuple[str, str, int]], DataFrame]:
     """Byte-pair-encoding merge training — the iterative vocabulary-
     construction step of a tokenizer pipeline, distributed the way BPE
@@ -1118,6 +1119,8 @@ def bpe_train(
     )
     merges: list[tuple[str, str, int]] = []
     while len(merges) < rounds:
+        if stats is not None:
+            stats["round_trips"] = stats.get("round_trips", 0) + 1
         top = (
             words.select("cnt", F.explode(F.expr(_PAIR_FOLD)).alias("p"))
             .groupBy("p.a", "p.b")

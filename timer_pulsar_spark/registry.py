@@ -24,17 +24,17 @@ PRIORITY: list[str] = [
     # S/P/J/A/O rows — scans, filters, joins, aggregates, sorts (§2.1-2.5)
     "q_scan", "q_filter_eq", "q_filter_in", "q_filter_range",
     "q_filter_point", "q_filter_like", "q_bucket", "q_proj",
-    "q_json", "q_json_roundtrip", "q_string",
+    "q_json", "q_string",
     "q_join", "q_semi", "q_anti",
-    "q_count", "q_distinct", "q_distinct_salted", "q_quantile",
+    "q_count", "q_distinct", "q_quantile",
     "q_hash_digest", "q_hash_bloom",
     "q_sort", "q_paginate", "q_topk_per_group",
     # T rows — time-series core (§2.6)
-    "q_groupby_minute", "q_trunc", "q_derived", "q_window_bucket",
+    "q_groupby_minute", "q_window_bucket",
     "q_dedup_merge", "q_sessionize",
     # metrics sink (S13) + raw SQL (S4) + timer domain (T1-T4, T9)
     "q_metrics_summary",
-    "q_sql", "q_fanout", "q_cron_valid", "q_cron_next", "q_materialize",
+    "q_sql", "q_fanout", "q_cron_valid", "q_materialize",
     # streaming (oracle-checked interval join) + analytic window rep
     "q_stream_join", "q_lead_lag",
     # LLM-pipeline family representatives (one per family, oracle-backed)
@@ -46,21 +46,31 @@ PRIORITY: list[str] = [
     "q_multimodal_meta",
     # custom time-series join the reference class lacks (as-of join)
     "q_asof",
+    # r4 rotation (VERDICT r03 item 8): first driver rows for families
+    # that sat past the budget — each replaced slot was double-covered
+    # (q_json keeps P9, q_distinct keeps A3, q_groupby_minute keeps T5,
+    # q_fanout/q_cron_valid keep T1-T3, q_window_bucket keeps A4/T10)
+    "q_pagerank", "q_semdedup", "q_stream_scd2", "q_bpe_check",
+    "q_session_window",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
 # so any driver budget beyond 50 verifies them before re-verifying
-# long-green per-family variants. All oracle-backed.
+# long-green per-family variants. All oracle-backed. The five queries
+# rotated OUT of the window in r4 head the list so a one-slot-bigger
+# budget re-verifies them first.
 SECONDARY: list[str] = [
-    "q_pagerank", "q_dup_clusters_star", "q_dedup_span",
+    "q_json_roundtrip", "q_trunc", "q_cron_next", "q_derived",
+    "q_distinct_salted", "q_semdedup_scaled_check",
+    "q_dup_clusters_star", "q_dedup_span",
     "q_bm25", "q_heavy_hitters", "q_domain_cap", "q_sample_stratified",
     "q_outliers", "q_zorder", "q_jsonl_roundtrip", "q_csv_roundtrip",
     "q_chunk_cdc", "q_stream_centroid_assign", "q_stream_heavy_hitters",
     "q_table_checksum",
-    "q_repetition", "q_entropy", "q_semdedup", "q_orc_roundtrip",
+    "q_repetition", "q_entropy", "q_orc_roundtrip",
     "q_unpivot", "q_range_window", "q_heavy_hitters_sketch_check",
-    "q_stream_quality", "q_stream_scd2", "q_ann_matmul", "q_session_window", "q_stream_session_window",
-    "q_bpe_check", "q_gapfill_interp", "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance", "q_stream_dedup_near",
+    "q_stream_quality", "q_ann_matmul", "q_stream_session_window",
+    "q_gapfill_interp", "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance", "q_stream_dedup_near",
 ]
 
 

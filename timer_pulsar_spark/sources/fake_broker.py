@@ -1,0 +1,187 @@
+"""In-process fake broker with the Kafka protocol SHAPE (SURVEY S10/S11
+beyond the codec loopback): partitioned append-only logs, key-hash
+partition assignment, offset-range consumption, and consumer-group
+commit — wired into Structured Streaming as a Python DataSource
+(`spark.readStream.format("fake_kafka")`), so the pipeline exercises
+the REAL connector seam: initialOffset → latestOffset → partitions →
+read → commit, with Spark's checkpoint driving redelivery exactly like
+a broker restart would.
+
+Reference parity (file:line into /root/reference):
+- consume-after-complete ack (gotimer_trigger/main.go:117-123;
+  gotimer_executor/mq/client.go:20-50): `commit()` is called by the
+  engine only AFTER the micro-batch that read those offsets has
+  durably completed — the consumer-group offset file advances to the
+  batch end, which the tests assert (the ack-follows-effect contract).
+- per-key ordering (one timer's tasks in one partition): the producer
+  assigns partition = hash(key) % n_partitions, the Kafka
+  DefaultPartitioner analog of the reference's `timer_id % BucketsNum`
+  slice routing (dao/task/cache.go:47-50).
+
+Storage layout (all under a root directory):
+    p=<i>/log.jsonl      append-only records {offset, key, value} (b64)
+    groups/<group>.json  committed consumer offsets {partition: next}
+
+The broker is NOT a performance component — it is the hermetic
+protocol twin the sandbox's lack of a real broker requires; a real
+deployment swaps format("fake_kafka") for format("kafka") with the
+same downstream plan (sources/task_stream.py maps both).
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_PARTITIONS = 4
+
+
+def _plog(root: str, pid: int) -> str:
+    return os.path.join(root, f"p={pid}", "log.jsonl")
+
+
+class FakeBroker:
+    """Driver-side handle: topic admin + producer + offset inspection."""
+
+    def __init__(self, root: str, n_partitions: int = DEFAULT_PARTITIONS):
+        self.root = root
+        self.n_partitions = n_partitions
+        for pid in range(n_partitions):
+            os.makedirs(os.path.join(root, f"p={pid}"), exist_ok=True)
+        os.makedirs(os.path.join(root, "groups"), exist_ok=True)
+
+    def produce(self, records: list[tuple[bytes, bytes]]) -> None:
+        """Append (key, value) records; partition = hash(key) % n —
+        per-key ordering, the Kafka DefaultPartitioner analog."""
+        by_pid: dict[int, list[tuple[bytes, bytes]]] = {}
+        for key, value in records:
+            pid = int.from_bytes(
+                __import__("hashlib").md5(key).digest()[:4], "big"
+            ) % self.n_partitions
+            by_pid.setdefault(pid, []).append((key, value))
+        for pid, recs in by_pid.items():
+            path = _plog(self.root, pid)
+            next_off = self._log_len(pid)
+            with open(path, "a") as f:
+                for key, value in recs:
+                    f.write(
+                        json.dumps(
+                            {
+                                "offset": next_off,
+                                "key": base64.b64encode(key).decode(),
+                                "value": base64.b64encode(value).decode(),
+                            }
+                        )
+                        + "\n"
+                    )
+                    next_off += 1
+
+    def _log_len(self, pid: int) -> int:
+        path = _plog(self.root, pid)
+        if not os.path.exists(path):
+            return 0
+        with open(path) as f:
+            return sum(1 for _ in f)
+
+    def end_offsets(self) -> dict[str, int]:
+        return {str(p): self._log_len(p) for p in range(self.n_partitions)}
+
+    def committed(self, group: str = "spark") -> dict[str, int]:
+        path = os.path.join(self.root, "groups", f"{group}.json")
+        if not os.path.exists(path):
+            return {str(p): 0 for p in range(self.n_partitions)}
+        with open(path) as f:
+            return json.load(f)
+
+
+@dataclass
+class _OffsetRange(InputPartition):
+    pid: int
+    start: int
+    end: int
+    root: str
+
+
+class FakeKafkaStreamReader(DataSourceStreamReader):
+    """The consumer half of the protocol. Offsets are dicts
+    {partition: next_offset_to_read} — the exact shape the Kafka
+    connector checkpoints."""
+
+    def __init__(self, root: str, group: str, n_partitions: int):
+        self.root = root
+        self.group = group
+        self.n_partitions = n_partitions
+
+    def initialOffset(self) -> dict:
+        return {str(p): 0 for p in range(self.n_partitions)}
+
+    def latestOffset(self) -> dict:
+        out = {}
+        for p in range(self.n_partitions):
+            path = _plog(self.root, p)
+            n = 0
+            if os.path.exists(path):
+                with open(path) as f:
+                    n = sum(1 for _ in f)
+            out[str(p)] = n
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _OffsetRange(p, int(start.get(str(p), 0)), int(end.get(str(p), 0)), self.root)
+            for p in range(self.n_partitions)
+            if int(end.get(str(p), 0)) > int(start.get(str(p), 0))
+        ]
+
+    def read(self, partition: _OffsetRange):
+        with open(_plog(partition.root, partition.pid)) as f:
+            for line in f:
+                rec = json.loads(line)
+                if partition.start <= rec["offset"] < partition.end:
+                    yield (
+                        base64.b64decode(rec["key"]),
+                        base64.b64decode(rec["value"]),
+                    )
+
+    def commit(self, end: dict) -> None:
+        """The ACK: called by the engine only after the micro-batch
+        that read up to `end` completed durably — consume-after-
+        complete, exactly the reference's post-execution ack."""
+        path = os.path.join(self.root, "groups", f"{self.group}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: int(v) for k, v in end.items()}, f)
+        os.replace(tmp, path)
+
+
+class FakeKafkaDataSource(DataSource):
+    """format("fake_kafka") — options: path (broker root), group
+    (consumer group id, default "spark"), partitions (default 4)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "fake_kafka"
+
+    def schema(self) -> str:
+        return "key binary, value binary"
+
+    def streamReader(self, schema: StructType) -> FakeKafkaStreamReader:
+        return FakeKafkaStreamReader(
+            self.options["path"],
+            self.options.get("group", "spark"),
+            int(self.options.get("partitions", DEFAULT_PARTITIONS)),
+        )
+
+
+def register(spark) -> None:
+    """Idempotent registration of the fake_kafka format on a session."""
+    spark.dataSource.register(FakeKafkaDataSource)

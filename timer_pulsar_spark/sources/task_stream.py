@@ -72,6 +72,19 @@ def task_stream(
         for k, v in (options or {}).items():
             reader = reader.option(k, v)
         return decode_task_records(reader.load())
+    if kind == "fake_kafka":
+        # in-process broker with the real consumer protocol shape
+        # (offset ranges, partition assignment, group commit = ack) —
+        # see sources/fake_broker.py; same decode path as kafka/pulsar
+        if path is None:
+            raise ValueError("fake_kafka source requires path=")
+        from .fake_broker import register
+
+        register(spark)
+        reader = spark.readStream.format("fake_kafka").option("path", path)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        return decode_task_records(reader.load())
     if kind == "records":
         # broker loopback: a directory of (key,value binary) records in
         # EXACTLY the kafka/pulsar wire shape, run through the same

@@ -27,3 +27,45 @@ def replay_state_partitions(spark: SparkSession, n: int = 8):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def stage_range_split(df, in_dir: str, n_files: int, sort_cols: list[str],
+                      base_mtime: int = 1_700_000_000) -> int:
+    """DISTRIBUTED arrival staging for streaming-twin replays: write
+    the input as up to n_files range-partitioned parquet files
+    (disjoint ascending ranges on sort_cols, sorted within each) and
+    stamp explicit monotonic mtimes, so the file source's mtime
+    ordering replays exact global arrival order. Range partitioning
+    guarantees file i's keys all precede file i+1's, which is the only
+    property the twins need — the replayed fold must equal the batch
+    result for ANY time-ordered split (split-independence is the
+    tested contract).
+
+    This replaces the old orderBy().toPandas() staging: the corpus is
+    range-exchanged executor-side and never crosses to the driver, so
+    the twins stage at any SF the cluster can shuffle. Returns the
+    number of files staged."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="stage_rs_")
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    files = sorted(glob.glob(os.path.join(tmp, "part-*.parquet")))
+    os.makedirs(in_dir, exist_ok=True)
+    n = 0
+    for fp in files:
+        if os.path.getsize(fp) == 0:
+            continue
+        dest = os.path.join(in_dir, f"part-{n:03d}.parquet")
+        shutil.move(fp, dest)
+        os.utime(dest, (base_mtime + n, base_mtime + n))
+        n += 1
+    shutil.rmtree(tmp, ignore_errors=True)
+    return n

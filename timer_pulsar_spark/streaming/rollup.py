@@ -138,36 +138,27 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(work, "sessions")
     ckpt = os.path.join(work, "ckpt")
 
+    from . import stage_range_split
+
     ev = load_table(spark, sf_dir, "events")
-    pdf = (
+    # distributed arrival staging (range exchange, no driver
+    # materialization) with explicit monotonic mtimes
+    stage_range_split(
         ev.select(
             "user_id", as_utc_instant(ev, "ts").alias("ts"), "value", "event_id"
-        )
-        .orderBy("ts", "event_id")
-        .toPandas()
+        ),
+        in_dir,
+        6,
+        ["ts", "event_id"],
     )
-    step = (len(pdf) + 5) // 6
-    schema = pa.schema(
-        [
-            ("user_id", pa.int64()),
-            ("ts", pa.timestamp("us", tz="UTC")),
-            ("value", pa.float64()),
-            ("event_id", pa.int64()),
-        ]
-    )
-    for i in range(6):
-        chunk = pdf.iloc[i * step : (i + 1) * step]
-        fp = os.path.join(in_dir, f"part-{i:03d}.parquet")
-        pq.write_table(
-            pa.Table.from_pandas(chunk, preserve_index=False).cast(schema), fp
-        )
-        os.utime(fp, (1_700_000_000 + i, 1_700_000_000 + i))
     # sentinel: one far-future row pushes the closing watermark past
     # every real session (dropped from the result by user_id)
     sent = pa.table(
         {
             "user_id": pa.array([-1], pa.int64()),
-            "ts": pa.array([pd.Timestamp(SENTINEL_TS, tz="UTC")], schema[1].type),
+            "ts": pa.array(
+                [pd.Timestamp(SENTINEL_TS, tz="UTC")], pa.timestamp("us", tz="UTC")
+            ),
             "value": pa.array([0.0], pa.float64()),
             "event_id": pa.array([-1], pa.int64()),
         }
