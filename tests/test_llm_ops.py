@@ -260,3 +260,41 @@ def test_repetition_signals_bounded(spark):
         # an exactly-uniform doc (entropy == log2(n)) over the bound
         joined["word_entropy"] <= np.log2(joined["n_words"]) + 1e-6
     ).all()
+
+
+def test_bigram_lm_and_pmi_semantics(spark):
+    """Bigram-LM scores are negative log-probs over a doc's bigram
+    population (inner-join: sub-2-word docs absent); PMI collocations
+    respect the min-count guard and the reported pmi reproduces from
+    the reported counts and corpus totals."""
+    import numpy as np
+
+    lm = _q("q_bigram_lm")(spark, SF_DIR).toPandas()
+    assert len(lm) > 0
+    assert (lm["avg_logprob"] < 0).all()  # probabilities < 1
+    assert (lm["n_bigrams"] >= 1).all()
+
+    pmi = _q("q_pmi_collocations")(spark, SF_DIR).toPandas()
+    from timer_pulsar_spark.operators.textops import PMI_MIN_COUNT, PMI_TOP
+
+    assert 0 < len(pmi) <= PMI_TOP
+    assert (pmi["c_bg"] >= PMI_MIN_COUNT).all()
+    # ranked descending on the rounded pmi
+    assert (np.diff(pmi["pmi"].values) <= 1e-9).all()
+
+
+def test_dedup_near_auto_switches_strategy(spark, monkeypatch):
+    """Below the threshold the auto query IS the postings path; above
+    it, the banded-MinHash path — and both return the same pair set on
+    the fixture (the parity that makes them interchangeable)."""
+    import timer_pulsar_spark.operators.dedup as dedup
+
+    small = _q("q_dedup_near_auto")(spark, SF_DIR).toPandas()
+    base = _q("q_dedup_near")(spark, SF_DIR).toPandas()
+    key = lambda df: sorted(map(tuple, df[["doc_a", "doc_b"]].values.tolist()))
+    assert key(small) == key(base)
+
+    monkeypatch.setattr(dedup, "NEAR_DUP_AUTO_THRESHOLD", 1)
+    big = dedup.q_dedup_near_auto(spark, SF_DIR).toPandas()
+    mh = _q("q_dedup_minhash")(spark, SF_DIR).toPandas()
+    assert key(big) == key(mh) == key(base)

@@ -344,6 +344,121 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LM_LAMBDA = 0.75  # interpolation weight on the bigram term
+
+
+def _bigram_rows(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(per-doc bigram rows, per-doc token arrays) — shared by the
+    bigram LM and PMI collocations. Guard: sequence(1, 0) is DESCENDING
+    in Spark, so 1-word docs must short-circuit to no bigrams."""
+    bg_expr = (
+        "CASE WHEN size(ws) < 2 THEN array()::array<struct<w1:string,w2:string>>"
+        " ELSE transform(sequence(1, size(ws) - 1),"
+        " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)) END"
+    )
+    toks = d.select("doc_id", _toks().alias("ws"))
+    bg = toks.select("doc_id", F.explode(F.expr(bg_expr)).alias("b")).select(
+        "doc_id", "b.w1", "b.w2"
+    )
+    return bg, toks
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram language-model scoring — the perplexity-
+    style quality filter LLM pipelines run after the unigram proxy
+    (q_unigram_lm): per document, the mean log2 of
+    p(w2|w1) = λ·c(w1w2)/c(w1) + (1−λ)·c(w2)/T over its bigrams.
+    Low scores flag incoherent/boilerplate text a unigram model cannot
+    (every token individually common, transitions nonsensical).
+
+    Scale shape: two corpus hash aggregates (bigram + unigram counts —
+    |vocab| rows each, map-side combined), then keyed joins of the
+    exploded bigrams against both count tables. The count tables scale
+    with vocabulary, not corpus, and are NEVER forced broadcast (AQE
+    picks BHJ while they fit); shuffle volume is O(corpus bigrams) —
+    linear. Docs with < 2 words have no bigram population and are
+    dropped (inner-join semantics, matching the oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    bg, toks = _bigram_rows(d)
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    total = uni.groupBy().agg(F.sum("c_w").alias("t"))
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2")), "w2")
+        .join(F.broadcast(total))
+    )
+    p = F.lit(LM_LAMBDA) * F.col("c_bg") / F.col("c_w1") + F.lit(
+        1 - LM_LAMBDA
+    ) * F.col("c_w2") / F.col("t")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log2(p)), 6).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP = 100
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation extraction — the corpus-statistics pass behind
+    tokenizer vocabulary curation and phrase mining:
+    pmi(w1,w2) = log2( (c_bg/T_bg) / ((c_w1/T)·(c_w2/T)) ), reported
+    for the top PMI_TOP bigrams with count ≥ PMI_MIN_COUNT (the
+    standard low-count guard — PMI of a hapax pair is pure noise).
+
+    Scale shape: after the two hash aggregates every further step runs
+    on the |bigram vocab| table, never corpus rows; scalar totals ride
+    a broadcast literal; ordering is a TakeOrdered top-k on the
+    ROUNDED pmi (both engines rank the same value, so float tie order
+    cannot diverge) with (w1, w2) tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    bg, toks = _bigram_rows(d)
+    uni = (
+        toks.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    total = uni.groupBy().agg(F.sum("c_w").alias("t"))
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_bg"))
+        .filter(F.col("c_bg") >= PMI_MIN_COUNT)
+    )
+    t_bg = bg.groupBy().agg(F.count(F.lit(1)).alias("t_bg"))
+    scored = (
+        bgc.join(
+            uni.select(F.col("w").alias("w1"), F.col("c_w").alias("c_w1")), "w1"
+        )
+        .join(uni.select(F.col("w").alias("w2"), F.col("c_w").alias("c_w2")), "w2")
+        .join(F.broadcast(total))
+        .join(F.broadcast(t_bg))
+        .select(
+            "w1",
+            "w2",
+            "c_bg",
+            F.round(
+                F.log2(
+                    (F.col("c_bg") / F.col("t_bg"))
+                    / ((F.col("c_w1") / F.col("t")) * (F.col("c_w2") / F.col("t")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(PMI_TOP)
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TERMS = ("join", "spark", "window", "customer")
@@ -896,6 +1011,54 @@ def q_heavy_hitters_sketch_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_heavy_hitters_sketch_check"] = (
     f"SELECT {TOPK_TOKENS} AS n_checked, true AS lower_ok, true AS upper_ok"
 )
+
+ORACLES["q_bigram_lm"] = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM w, UNNEST(range(1, len(ws))) t(i)
+    ),
+    unic AS (
+        SELECT w, count(*) AS c_w
+        FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w
+    ),
+    tot AS (SELECT sum(c_w) AS t FROM unic),
+    bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(log2({LM_LAMBDA} * c_bg / u1.c_w
+                          + {1 - LM_LAMBDA} * u2.c_w / t)), 6) AS avg_logprob
+    FROM bg
+    JOIN bgc USING (w1, w2)
+    JOIN unic u1 ON u1.w = bg.w1
+    JOIN unic u2 ON u2.w = bg.w2, tot
+    GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["q_pmi_collocations"] = f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (
+        SELECT ws[i] AS w1, ws[i+1] AS w2
+        FROM w, UNNEST(range(1, len(ws))) t(i)
+    ),
+    unic AS (
+        SELECT w, count(*) AS c_w
+        FROM (SELECT unnest(ws) AS w FROM w) GROUP BY w
+    ),
+    tot AS (SELECT sum(c_w) AS t FROM unic),
+    tbg AS (SELECT count(*) AS t_bg FROM bg),
+    bgc AS (
+        SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY 1, 2
+        HAVING count(*) >= {PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, c_bg,
+           round(log2((c_bg * 1.0 / t_bg)
+                      / ((u1.c_w * 1.0 / t) * (u2.c_w * 1.0 / t))), 6) AS pmi
+    FROM bgc
+    JOIN unic u1 ON u1.w = bgc.w1
+    JOIN unic u2 ON u2.w = bgc.w2, tot, tbg
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {PMI_TOP}
+"""
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
