@@ -41,6 +41,7 @@ HEADLINERS = [
     "q_textstats",
     "q_quality",
     "q_bm25",
+    "q_bigram_lm",
     "q_domain_cap",
     "q_sample_hash",
     "q_pack_sequences",

@@ -430,6 +430,77 @@ def test_fake_broker_pipeline_consume_ack_exactly_once(spark, timers, tmp_path):
     assert len([v for v in ends.values() if v > 0]) >= 2  # keys spread partitions
 
 
+def test_fake_broker_two_hop_topology(spark, timers, tmp_path):
+    """The reference's ACTUAL topology — producer service → topic →
+    consumer pipeline (gotimer_web scheduler → Pulsar →
+    trigger/executor, main.go:110-124) — end-to-end through the
+    protocol fake: one live streaming query produces fanned-out due
+    tasks into the broker (task_sink kind=fake_kafka, per-batch
+    producer idempotency marker), a second consumes them
+    (source_kind=fake_kafka) and MERGEs status. Duplicate production
+    upstream must still yield exactly-once effects downstream."""
+    import time as _time
+
+    from timer_pulsar_spark.schemas import TASK_SUCCESSED
+    from timer_pulsar_spark.sources.fake_broker import FakeBroker
+    from timer_pulsar_spark.sources.task_stream import task_sink, task_stream
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline
+
+    src_dir = str(tmp_path / "scheduler_out")
+    broker_dir = str(tmp_path / "broker")
+    status_path = str(tmp_path / "status")
+    broker = FakeBroker(broker_dir)
+
+    rows = []
+    for tid in range(1, 6):
+        for k in range(2):
+            row = (tid, BASE + timedelta(minutes=k), 0)
+            rows += [row, row]  # at-least-once delivery: every record twice
+    _write_tasks(spark, src_dir, rows)
+
+    producer = task_sink(
+        task_stream(spark, "files", path=src_dir),
+        "fake_kafka",
+        path=broker_dir,
+        checkpoint=str(tmp_path / "ckpt_prod"),
+    )
+    consumer = run_pipeline(
+        spark, broker_dir, timers, status_path, str(tmp_path / "ckpt_cons"),
+        source_kind="fake_kafka", available_now=False,
+        processing_time="1 second",
+    )
+    try:
+        deadline = _time.time() + 240
+        while _time.time() < deadline:
+            assert producer.exception() is None, producer.exception()
+            assert consumer.exception() is None, consumer.exception()
+            try:
+                if (
+                    spark.read.parquet(status_path).count() >= 8
+                    and broker.committed() == broker.end_offsets()
+                ):
+                    break
+            except Exception:
+                pass
+            _time.sleep(1)
+    finally:
+        producer.stop()
+        consumer.stop()
+
+    out = spark.read.parquet(status_path)
+    assert out.filter("timer_id = 5").count() == 0  # disabled at fire time
+    assert out.count() == 4 * 2  # one row per (enabled timer, instant)
+    assert (
+        out.groupBy("timer_id", "run_timer").count().filter("count > 1").count()
+        == 0
+    )
+    assert out.filter(F.col("status") != TASK_SUCCESSED).count() == 0
+    # both seams acked: producer wrote all 20 records once; consumer
+    # committed to the log end
+    assert sum(broker.end_offsets().values()) == len(rows)
+    assert broker.committed() == broker.end_offsets()
+
+
 def test_pipeline_fast_path_assume_nonempty(spark, timers, tmp_path):
     """The probe-less single-job fast path (append_log +
     assume_nonempty_batches, noDataMicroBatches off) must preserve the

@@ -38,7 +38,9 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -163,6 +165,57 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
         os.replace(tmp, path)
 
 
+@dataclass
+class _StagedRecords(WriterCommitMessage):
+    records: list  # [(key_b64, value_b64), ...] staged by one task
+
+
+class FakeKafkaStreamWriter(DataSourceStreamWriter):
+    """The producer half (S10): tasks stage their records into commit
+    messages; the driver-side commit() appends them to the partition
+    logs exactly once per batchId (a producer high-water marker makes
+    foreachBatch/sink retries idempotent — the transactional-producer
+    analog). A real connector writes from executors with broker-side
+    transaction markers; the staging hop is the hermetic stand-in,
+    bounded by batch size."""
+
+    def __init__(self, root: str, n_partitions: int):
+        self.root = root
+        self.n_partitions = n_partitions
+
+    def write(self, iterator):
+        staged = [
+            (
+                base64.b64encode(bytes(row.key)).decode(),
+                base64.b64encode(bytes(row.value)).decode(),
+            )
+            for row in iterator
+        ]
+        return _StagedRecords(records=staged)
+
+    def commit(self, messages, batchId: int) -> None:
+        marker = os.path.join(self.root, "groups", "_producer_batch")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                if int(f.read().strip()) >= batchId:
+                    return  # retried batch: already produced
+        broker = FakeBroker(self.root, self.n_partitions)
+        recs = [
+            (base64.b64decode(k), base64.b64decode(v))
+            for m in messages
+            if m is not None
+            for (k, v) in m.records
+        ]
+        broker.produce(recs)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batchId))
+        os.replace(tmp, marker)
+
+    def abort(self, messages, batchId: int) -> None:
+        pass  # nothing durable happens before commit()
+
+
 class FakeKafkaDataSource(DataSource):
     """format("fake_kafka") — options: path (broker root), group
     (consumer group id, default "spark"), partitions (default 4)."""
@@ -178,6 +231,12 @@ class FakeKafkaDataSource(DataSource):
         return FakeKafkaStreamReader(
             self.options["path"],
             self.options.get("group", "spark"),
+            int(self.options.get("partitions", DEFAULT_PARTITIONS)),
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> FakeKafkaStreamWriter:
+        return FakeKafkaStreamWriter(
+            self.options["path"],
             int(self.options.get("partitions", DEFAULT_PARTITIONS)),
         )
 

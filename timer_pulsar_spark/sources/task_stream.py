@@ -105,6 +105,19 @@ def task_sink(tasks_stream: DataFrame, kind: str, *, path: str | None = None,
     started StreamingQuery."""
     if kind == "files":
         writer = tasks_stream.writeStream.format("parquet").option("path", path)
+    elif kind == "fake_kafka":
+        # protocol-level produce seam: records land in the fake broker's
+        # partitioned logs with per-batch producer idempotency
+        from .fake_broker import register
+
+        register(tasks_stream.sparkSession)
+        writer = (
+            encode_task_records(tasks_stream)
+            .writeStream.format("fake_kafka")
+            .option("path", path)
+        )
+        for k, v in (options or {}).items():
+            writer = writer.option(k, v)
     elif kind in ("kafka", "pulsar"):
         writer = encode_task_records(tasks_stream).writeStream.format(kind)
         for k, v in (options or {}).items():
