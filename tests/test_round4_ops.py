@@ -66,6 +66,13 @@ NEW_ORACLE_CHECKED = [
     "q_stream_heavy_hitters",
     "q_chunk_cdc",
     "q_table_checksum",
+    "q_semdedup_scaled_check",
+    "q_bigram_lm",
+    "q_pmi_collocations",
+    "q_dedup_near_auto",
+    "q_binaryfile_ingest",
+    "q_scd2_lookup",
+    "q_stream_join_outer",
 ]
 
 
@@ -377,3 +384,64 @@ def test_stream_session_window_folds_across_multiple_batches(spark):
         if m
     }
     assert len(batch_ids) >= 3, f"expected a multi-batch replay, saw {sorted(batch_ids)}"
+
+
+def test_binaryfile_metadata_projection_skips_content(spark, tmp_path):
+    """binaryFile's content column must be pruned away for
+    metadata-only projections (ReadSchema excludes it) — at 100 TB a
+    listing/length query must never read payload bytes."""
+    for i in range(3):
+        (tmp_path / f"doc_{i}.bin").write_bytes(b"x" * (100 + i))
+    meta_only = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .select("path", "length")
+    )
+    plan = meta_only._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema")[1][:200] if "ReadSchema" in plan else plan
+    assert "content" not in read_schema, read_schema
+    assert meta_only.count() == 3
+
+
+def test_scd2_lookup_tie_semantics_planted(spark):
+    """The window fold must reproduce the interval algebra on the hard
+    cases the fixture may not contain: a probe AT a transition instant
+    sees the new state, a zero-length interval (two same-instant
+    changes) matches nothing, and a probe before the first change has
+    no state."""
+    import datetime as dt
+
+    import timer_pulsar_spark.catalog as catalog
+    from timer_pulsar_spark.operators import analytics
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    # states come from the event types; clicks are probes AND changes
+    # (like real event data). The same-instant signup+purchase pair
+    # plants a zero-length [2,2) interval.
+    df = spark.createDataFrame(
+        [
+            (1, t(0), 1, "view"),
+            (10, t(2), 1, "signup"),     # same-instant pair ->
+            (11, t(2), 1, "purchase"),   # [2,2) signup is zero-length
+            (20, t(5), 1, "click"),      # probe at 5: state 'click'
+                                         # (the click itself is a change)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string",
+    )
+    orig = catalog.load_table
+    try:
+        catalog.load_table = lambda s, d, t_: df
+        analytics.load_table = catalog.load_table
+        got = {
+            (r["event_id"], r["state"])
+            for r in analytics.q_scd2_lookup(spark, "ignored").collect()
+        }
+        dim = analytics.q_scd2(spark, "ignored").collect()
+    finally:
+        catalog.load_table = orig
+        analytics.load_table = orig
+    # the zero-length interval exists in the dim...
+    zero = [r for r in dim if r["valid_from"] == r["valid_to"]]
+    assert len(zero) == 1 and zero[0]["state"] == "signup"
+    # ...and the probe at its instant resolves to the surviving state
+    assert got == {(20, "click")}

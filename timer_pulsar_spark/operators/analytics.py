@@ -303,6 +303,64 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from")
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[point-in-time dimension lookup] the query that makes an SCD2
+    dimension useful: for every probe event (clicks here), the state
+    that was valid AT ITS TIMESTAMP — the temporal-correctness join a
+    training pipeline needs so features never leak future state.
+
+    Plan shape: NOT the BETWEEN inequality join (Catalyst can only run
+    a theta join as broadcast nested loop — O(probes × intervals) and
+    a broadcast of a corpus-scaled side at 100 TB). Instead the
+    merge-fold: union the dimension's change points with the probe
+    rows, ONE window per user ordered by event time, and
+    last(state, ignorenulls) carries the open state onto each probe —
+    one hash shuffle on user_id + one sort, linear at any scale. Tie
+    semantics match the interval algebra exactly: a probe at a
+    transition instant sees the NEW state (valid_from <= ts), and a
+    zero-length interval (two changes at the same instant) matches
+    nothing — the change rows at equal timestamps are ordered by
+    valid_to so the surviving interval folds last."""
+    e = load_table(spark, sf_dir, "events")
+    dim = q_scd2(spark, sf_dir)
+    changes = dim.select(
+        "user_id",
+        F.col("valid_from").alias("at_ts"),
+        F.lit(0).alias("kind"),
+        F.coalesce(
+            F.col("valid_to"), F.lit("9999-01-01").cast("timestamp_ntz")
+        ).alias("vt_order"),
+        "state",
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    probes = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("at_ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("timestamp_ntz").alias("vt_order"),
+        F.lit(None).cast("string").alias("state"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("at_ts", "kind", F.col("vt_order").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        changes.unionByName(probes)
+        .withColumn("state_at", F.last("state", ignorenulls=True).over(w))
+        .filter(F.col("kind") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("at_ts").alias("ts"),
+            F.col("state_at").alias("state"),
+        )
+        .filter(F.col("state").isNotNull())
+        .orderBy("event_id")
+    )
+
+
 def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[robust outlier detection] per-event-type median, MAD (median
     absolute deviation), and modified-z-score outlier counts
@@ -650,6 +708,20 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-key time-ordered arrivals make the SCD2 fold split-independent:
 # the incremental dimension must equal the one-shot batch compression
 ORACLES["q_stream_scd2"] = ORACLES["q_scd2"]
+# the lookup oracle IS the declarative BETWEEN join over the dim — the
+# window fold must reproduce it row-for-row (interval tie semantics and
+# zero-length intervals included)
+ORACLES["q_scd2_lookup"] = f"""
+    WITH dim AS ({ORACLES["q_scd2"]})
+    SELECT e.event_id, e.user_id, e.ts, d.state
+    FROM events e
+    JOIN dim d
+      ON d.user_id = e.user_id
+     AND d.valid_from <= e.ts
+     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    WHERE e.event_type = 'click'
+    ORDER BY e.event_id
+"""
 
 
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:

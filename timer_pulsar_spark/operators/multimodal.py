@@ -222,7 +222,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-FILE ingestion via Spark's binaryFile source — the real
+    path raw images/audio enter the lake as binary columns (path,
+    modificationTime, length, content) before any kernel touches
+    bytes. Files are staged deterministically from documents.text, so
+    the full round-trip (bytes → files on disk → binaryFile scan →
+    digest) is oracle-checkable: the oracle recomputes length + md5
+    from the source table, and any serialization loss flips the hash.
+
+    Scale notes: binaryFile assigns files to tasks by size
+    (spark.sql.files.maxPartitionBytes bounds per-task byte volume);
+    content is a lazily-read column, so a metadata-only projection
+    (path/length) never reads file bytes — pytest asserts ReadSchema
+    excludes `content` for that shape. The 16-file staging collect is
+    fixture plumbing, not the operator."""
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 16)
+    rows = d.select("doc_id", "text").collect()  # bounded: 16 staged files
+    work = tempfile.mkdtemp(prefix="binfiles_")
+    for r in rows:
+        with open(os.path.join(work, f"doc_{r.doc_id}.bin"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    files = spark.read.format("binaryFile").load(work)
+    return files.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
 ORACLES: dict[str, str] = {
+    "q_binaryfile_ingest": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents WHERE doc_id < 16 ORDER BY doc_id
+    """,
     "q_multimodal_frames": """
         SELECT doc_id,
                CAST(f AS INTEGER) AS frame_idx,

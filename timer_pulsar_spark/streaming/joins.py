@@ -52,7 +52,7 @@ def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
 
 
 def _side(spark: SparkSession, sf_dir: str, event_type: str, prefix: str,
-          work: str) -> DataFrame:
+          work: str, sentinel: bool = False) -> DataFrame:
     from ..catalog import load_table
     from ..functions.timeutil import as_utc_instant
 
@@ -60,7 +60,7 @@ def _side(spark: SparkSession, sf_dir: str, event_type: str, prefix: str,
     ev = load_table(spark, sf_dir, "events")
     # NTZ wall-clock -> LTZ UTC instant at the staging boundary
     # (watermarks accept only LTZ; a bare cast would bind to session TZ)
-    ev.filter(
+    staged = ev.filter(
         (F.col("event_type") == event_type)
         & (F.col("ts") >= "2024-01-01")
         & (F.col("ts") < "2024-01-08")
@@ -68,14 +68,57 @@ def _side(spark: SparkSession, sf_dir: str, event_type: str, prefix: str,
         F.col("user_id").alias(f"{prefix}_user"),
         F.col("event_id").alias(f"{prefix}_id"),
         as_utc_instant(ev, "ts").alias(f"{prefix}_ts"),
-    ).write.mode("overwrite").parquet(path)
-    return (
-        spark.readStream.schema(
-            f"{prefix}_user long, {prefix}_id long, {prefix}_ts timestamp"
-        )
-        .parquet(path)
-        .withWatermark(f"{prefix}_ts", "1 minute")
     )
+    if sentinel:
+        # ONE real file: with maxFilesPerTrigger=1 each file is its own
+        # batch, and real rows split across batches would be dropped by
+        # the watermark the earlier real batch advanced
+        staged = staged.coalesce(1)
+    staged.write.mode("overwrite").parquet(path)
+    if sentinel:
+        # TWO far-future rows (user -1) in their own successive batches
+        # (explicit mtimes + maxFilesPerTrigger=1 below): outer interval
+        # joins emit a null row only when the watermark proves no match
+        # can still arrive, and the watermark advanced by batch K's data
+        # is APPLIED in batch K+1 — so the first sentinel pushes the
+        # watermark past every real window and the second provides the
+        # data batch in which the eviction actually runs (stream-stream
+        # joins get no final no-data cleanup batch, unlike windowed
+        # aggregations). Sentinels drop from the result by user filter.
+        import glob
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for fp in glob.glob(os.path.join(path, "part-*.parquet")):
+            os.utime(fp, (1_700_000_000, 1_700_000_000))
+        for j, year in enumerate((2098, 2099)):
+            tbl = pa.table(
+                {
+                    f"{prefix}_user": pa.array([-1], pa.int64()),
+                    f"{prefix}_id": pa.array([-1], pa.int64()),
+                    f"{prefix}_ts": pa.array(
+                        [pd_timestamp_utc(year)], pa.timestamp("us", tz="UTC")
+                    ),
+                }
+            )
+            fp = os.path.join(path, f"zz-sentinel-{j}.parquet")
+            pq.write_table(tbl, fp)
+            os.utime(fp, (1_700_000_100 + j, 1_700_000_100 + j))
+    reader = spark.readStream.schema(
+        f"{prefix}_user long, {prefix}_id long, {prefix}_ts timestamp"
+    )
+    if sentinel:
+        # real files share one mtime (one batch); each sentinel is a
+        # later batch of its own
+        reader = reader.option("maxFilesPerTrigger", "1")
+    return reader.parquet(path).withWatermark(f"{prefix}_ts", "1 minute")
+
+
+def pd_timestamp_utc(year: int):
+    import pandas as pd
+
+    return pd.Timestamp(f"{year}-01-01", tz="UTC")
 
 
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,7 +152,69 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
-QUERIES = {"q_stream_join": q_stream_join}
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked interval join — the unattributed-clicks
+    shape, and the state-eviction semantics inner joins never exercise:
+    a click is held in state until the purchase-side watermark proves
+    no match can still arrive inside its attribution window, and ONLY
+    THEN emits its null row (emitting earlier would be wrong, never
+    emitting would leak state). Far-future sentinel rows on both sides
+    close the final windows so the replay is complete and
+    deterministic — which makes even the OUTER join fully
+    ORACLE-checked against the ANSI LEFT JOIN."""
+    from ..functions.timeutil import epoch_micros
+    from . import replay_state_partitions
+
+    work = tempfile.mkdtemp(prefix="stream_joino_")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+
+    with replay_state_partitions(spark):
+        clicks = _side(spark, sf_dir, "click", "click", work, sentinel=True)
+        purchases = _side(
+            spark, sf_dir, "purchase", "purchase", work, sentinel=True
+        )
+        joined = clicks.join(
+            purchases,
+            F.expr(
+                f"""click_user = purchase_user
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTES"""
+            ),
+            "left_outer",
+        )
+        # NOTE: the sentinel filter must NOT appear in the streaming
+        # plan — Catalyst pushes `click_user >= 0` below the
+        # EventTimeWatermark node, the sentinel rows then never reach
+        # the watermark accumulator, and the click-side watermark stays
+        # at the real data's max: trailing unmatched clicks would never
+        # emit. Sentinels are dropped on the batch read instead.
+        result = joined.select(
+            F.col("click_user").alias("user_id"),
+            F.col("click_id").alias("click_event_id"),
+            F.col("purchase_id").alias("purchase_event_id"),
+            (
+                epoch_micros(joined, "purchase_ts")
+                - epoch_micros(joined, "click_ts")
+            ).alias("gap_us"),
+        )
+        q = (
+            result.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+    return spark.read.parquet(out_dir).filter(F.col("user_id") >= 0)
+
+
+QUERIES = {"q_stream_join": q_stream_join, "q_stream_join_outer": q_stream_join_outer}
 ORACLES: dict[str, str] = {
     "q_stream_join": f"""
         SELECT c.user_id,
@@ -124,5 +229,23 @@ ORACLES: dict[str, str] = {
         WHERE c.event_type = 'click' AND p.event_type = 'purchase'
           AND c.ts >= '2024-01-01' AND c.ts < '2024-01-08'
           AND p.ts >= '2024-01-01' AND p.ts < '2024-01-08'
+    """,
+    # LEFT JOIN twin: purchase-side predicates live in the ON clause so
+    # unmatched clicks survive with nulls — exactly the streaming outer
+    # join's emit-on-watermark rows
+    "q_stream_join_outer": f"""
+        SELECT c.user_id,
+               c.event_id AS click_event_id,
+               p.event_id AS purchase_event_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM events c
+        LEFT JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+         AND p.event_type = 'purchase'
+         AND p.ts >= '2024-01-01' AND p.ts < '2024-01-08'
+        WHERE c.event_type = 'click'
+          AND c.ts >= '2024-01-01' AND c.ts < '2024-01-08'
     """,
 }
