@@ -79,11 +79,11 @@ SECONDARY: list[str] = [
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     from . import metrics
     from .operators import relational, timeseries
-    from .streaming import joins, rollup, sessionize
+    from .streaming import joins, rollup, sessionize, stateful
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    mods = [relational, timeseries, metrics, sessionize, rollup, joins]
+    mods = [relational, timeseries, metrics, sessionize, rollup, joins, stateful]
     for extra in ("dedup", "similarity", "textops", "timerdomain", "multimodal", "streamops", "analytics", "sampling", "formats"):
         try:
             mods.append(__import__(f"timer_pulsar_spark.operators.{extra}", fromlist=[extra]))
