@@ -563,3 +563,107 @@ def test_stream_quality_recovers_from_checkpoint_restart(spark):
     assert (
         resumed.reset_index(drop=True)["keep"] == batch.reset_index(drop=True)["keep"]
     ).all()
+
+
+def test_transform_with_state_env_gate(spark):
+    """transformWithStateInPandas needs google.protobuf in the Python
+    workers (its state-server protocol); this container has none, so
+    the gate must report unavailable and the TWS wiring must refuse
+    with a clear error instead of crashing mid-query. If protobuf ever
+    appears, the gate flips and the scale path opens — this test then
+    asserts the wiring builds a streaming plan."""
+    from timer_pulsar_spark.streaming import stateful
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("value as user_id", "cast(value as double) as value")
+    )
+    if stateful.transform_with_state_available():
+        df = stateful.running_totals_tws(stream)
+        assert df.isStreaming
+    else:
+        import pytest as _pytest
+
+        with _pytest.raises(EnvironmentError, match="protobuf"):
+            stateful.running_totals_tws(stream)
+
+
+def test_stream_running_agg_matches_batch(spark):
+    """Final per-user emission of the running-totals stateful fold ==
+    one-shot batch GROUP BY (split-independence contract)."""
+    import __spark_entry__ as entrymod
+
+    from .conftest import SF_DIR
+
+    qs = entrymod.queries()
+    stream = qs["q_stream_running_agg"](spark, SF_DIR).toPandas()
+    from timer_pulsar_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    b = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .orderBy("user_id")
+        .toPandas()
+    )
+    s = stream.reset_index(drop=True)
+    b = b.reset_index(drop=True)
+    assert s["user_id"].tolist() == b["user_id"].tolist()
+    assert s["n"].tolist() == b["n"].tolist()
+    assert (abs(s["total"] - b["total"]) < 1e-6).all()
+
+
+def test_stream_ttl_evict_matches_batch_segments(spark):
+    """Every idle-gap segment a key ever held emits exactly once —
+    inline for gaps inside the data, by event-time TIMER for trailing
+    open segments (the sentinel drives the closing watermark past
+    last+TTL). Must equal batch gap-segmentation."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from timer_pulsar_spark.catalog import load_table
+    from timer_pulsar_spark.streaming.stateful import TTL_MINUTES
+
+    from .conftest import SF_DIR
+
+    qs = entrymod.queries()
+    stream = qs["q_stream_ttl_evict"](spark, SF_DIR).toPandas()
+
+    ev = load_table(spark, SF_DIR, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = TTL_MINUTES * 60 * 1_000_000
+    seg = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev").isNull()
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                    - F.unix_micros(F.col("prev").cast("timestamp_ltz"))
+                    > gap_us
+                )
+            ).cast("int"),
+        )
+        .withColumn("s", F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "s")
+        .agg(
+            F.min("ts").alias("seg_start"),
+            F.count("*").cast("int").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total"),
+        )
+        .drop("s")
+        .toPandas()
+    )
+    key = ["user_id", "seg_start", "n_events"]
+    s = stream.sort_values(key).reset_index(drop=True)
+    b = seg.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(b)
+    assert s[key].equals(b[key])
+    assert (abs(s["total"] - b["total"]) < 1e-6).all()
+    # the timer path genuinely fired: every user's trailing segment can
+    # only emit via eviction timeout (no later event closes it)
+    assert s.groupby("user_id").size().ge(1).all()

@@ -25,25 +25,20 @@ PRIORITY: list[str] = [
     "q_scan", "q_filter_eq", "q_filter_in", "q_filter_range",
     "q_filter_point", "q_filter_like", "q_bucket", "q_proj",
     "q_json", "q_string",
-    "q_join", "q_semi", "q_anti",
+    "q_join", "q_anti",
     "q_count", "q_distinct", "q_quantile",
-    "q_hash_digest", "q_hash_bloom",
-    "q_sort", "q_paginate", "q_topk_per_group",
+    "q_hash_digest", "q_sort", "q_topk_per_group",
     # T rows — time-series core (§2.6)
-    "q_groupby_minute", "q_window_bucket",
-    "q_dedup_merge", "q_sessionize",
-    # metrics sink (S13) + raw SQL (S4) + timer domain (T1-T4, T9)
-    "q_metrics_summary",
-    "q_sql", "q_fanout", "q_cron_valid", "q_materialize",
-    # streaming (oracle-checked interval join) + analytic window rep
-    "q_stream_join", "q_lead_lag",
+    "q_groupby_minute", "q_window_bucket", "q_dedup_merge",
+    # metrics sink (S13) + raw SQL (S4) + timer domain (T1-T4)
+    "q_metrics_summary", "q_sql", "q_fanout", "q_cron_valid",
+    # streaming (oracle-checked interval join)
+    "q_stream_join",
     # LLM-pipeline family representatives (one per family, oracle-backed)
-    "q_dedup_exact", "q_dedup_near", "q_dup_clusters",
-    "q_ann_topk", "q_centroid_assign",
+    "q_dedup_exact", "q_dedup_near", "q_ann_topk", "q_centroid_assign",
     "q_textstats", "q_quality",
     "q_sample_hash", "q_pack_sequences",
-    "q_funnel", "q_scd2",
-    "q_multimodal_meta",
+    "q_funnel", "q_multimodal_meta",
     # custom time-series join the reference class lacks (as-of join)
     "q_asof",
     # r4 rotation (VERDICT r03 item 8): first driver rows for families
@@ -52,16 +47,29 @@ PRIORITY: list[str] = [
     # q_fanout/q_cron_valid keep T1-T3, q_window_bucket keeps A4/T10)
     "q_pagerank", "q_semdedup", "q_stream_scd2", "q_bpe_check",
     "q_session_window",
+    # r5 rotation (VERDICT r04 item 4): first driver rows for the round-4
+    # newcomers + the round-5 stateful pair. Slots freed by demoting
+    # double-covered rows (see SECONDARY head): q_semi keeps J1 via
+    # q_join, q_hash_bloom keeps §2.8 via q_hash_digest, q_paginate
+    # keeps O2/O3 via q_sort+pytest api.list_timers, q_lead_lag was an
+    # analytic-window rep beyond §2, q_materialize keeps T9 via pytest
+    # api.run_migration, q_sessionize keeps its shape via
+    # q_session_window, q_dup_clusters via q_pagerank.
+    "q_bigram_lm", "q_dedup_near_auto", "q_scd2_lookup",
+    "q_binaryfile_ingest", "q_stream_join_outer", "q_semdedup_scaled_check",
+    "q_stream_running_agg", "q_stream_ttl_evict",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
 # so any driver budget beyond 50 verifies them before re-verifying
-# long-green per-family variants. All oracle-backed. The five queries
-# rotated OUT of the window in r4 head the list so a one-slot-bigger
+# long-green per-family variants. All oracle-backed. The eight queries
+# rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
+    "q_semi", "q_hash_bloom", "q_paginate", "q_lead_lag",
+    "q_materialize", "q_sessionize", "q_dup_clusters", "q_scd2",
     "q_json_roundtrip", "q_trunc", "q_cron_next", "q_derived",
-    "q_distinct_salted", "q_semdedup_scaled_check",
+    "q_distinct_salted",
     "q_dup_clusters_star", "q_dedup_span",
     "q_bm25", "q_heavy_hitters", "q_domain_cap", "q_sample_stratified",
     "q_outliers", "q_zorder", "q_jsonl_roundtrip", "q_csv_roundtrip",
@@ -71,8 +79,7 @@ SECONDARY: list[str] = [
     "q_unpivot", "q_range_window", "q_heavy_hitters_sketch_check",
     "q_stream_quality", "q_ann_matmul", "q_stream_session_window",
     "q_gapfill_interp", "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance", "q_stream_dedup_near",
-    "q_bigram_lm", "q_pmi_collocations", "q_dedup_near_auto",
-    "q_binaryfile_ingest", "q_scd2_lookup", "q_stream_join_outer",
+    "q_pmi_collocations",
 ]
 
 
