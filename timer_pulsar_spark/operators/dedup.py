@@ -1236,6 +1236,91 @@ ORACLES["q_dedup_span"] = f"""
 ORACLES["q_stream_dedup_exact"] = ORACLES["q_dedup_exact"]
 
 
+def near_dup_fold_batch(
+    spark: SparkSession,
+    index: str,
+    out: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """One incremental near-dup fold: candidate pairs within the batch
+    + batch-vs-index, exact Jaccard filter, batch-id-keyed writes.
+    RETRY-IDEMPOTENT on BOTH sides: the writes are per-``batch=N``
+    overwrites, and the index READ excludes the current batch's own
+    partition — after a crash between the postings write and the
+    checkpoint commit, the redelivered fold would otherwise join the
+    crashed attempt's own postings and emit self-pairs (doc_a==doc_b,
+    jaccard 1.0) while double-counting shared shingles for
+    within-batch pairs (ADVICE r04). Module-level so the retry path is
+    directly testable."""
+    import os
+
+    sh = with_shingles(batch_df).select("doc_id", "shingles")
+    postings = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode(
+            F.transform("shingles", lambda x: F.xxhash64(x))
+        ).alias("sh"),
+    ).localCheckpoint()  # computed once: used for pairs AND the index append
+
+    within = cooccurring_pairs(postings, ["sh"], ["doc_id", "n_sh"]).select(
+        F.col("a_doc_id").alias("doc_a"),
+        F.col("b_doc_id").alias("doc_b"),
+        F.col("a_n_sh").alias("n_a"),
+        F.col("b_n_sh").alias("n_b"),
+    )
+    if os.path.exists(index):
+        # the filter is on the DISCOVERED partition column, so Spark
+        # prunes the crashed attempt's directory instead of scanning it
+        old = spark.read.parquet(index).filter(F.col("batch") != batch_id)
+        cross = postings.join(
+            old.select(
+                F.col("sh"),
+                F.col("doc_id").alias("o_doc_id"),
+                F.col("n_sh").alias("o_n_sh"),
+            ),
+            "sh",
+        ).select(
+            F.least("doc_id", "o_doc_id").alias("doc_a"),
+            F.greatest("doc_id", "o_doc_id").alias("doc_b"),
+            F.when(F.col("doc_id") < F.col("o_doc_id"), F.col("n_sh"))
+            .otherwise(F.col("o_n_sh"))
+            .alias("n_a"),
+            F.when(F.col("doc_id") < F.col("o_doc_id"), F.col("o_n_sh"))
+            .otherwise(F.col("n_sh"))
+            .alias("n_b"),
+        )
+        cand = within.unionByName(cross)
+    else:
+        cand = within
+    result = (
+        cand.groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    result.write.mode("overwrite").parquet(
+        os.path.join(out, f"batch={batch_id}")
+    )
+    # batch-id-keyed + overwrite, like the pairs write: a foreachBatch
+    # retry after a crash between this write and the checkpoint commit
+    # REPLACES the batch's postings instead of re-appending them
+    # (append would double shared-shingle counts for every later
+    # batch, corrupting Jaccard scores)
+    postings.write.mode("overwrite").parquet(
+        os.path.join(index, f"batch={batch_id}")
+    )
+
+
 def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental NEAR-dup detection — the streaming twin of
     q_dedup_near, ORACLE-checked: replay the corpus as a multi-batch
@@ -1273,68 +1358,7 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(in_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        sh = with_shingles(batch_df).select("doc_id", "shingles")
-        postings = sh.select(
-            "doc_id",
-            F.size("shingles").alias("n_sh"),
-            F.explode(
-                F.transform("shingles", lambda x: F.xxhash64(x))
-            ).alias("sh"),
-        ).localCheckpoint()  # computed once: used for pairs AND the index append
-
-        within = cooccurring_pairs(postings, ["sh"], ["doc_id", "n_sh"]).select(
-            F.col("a_doc_id").alias("doc_a"),
-            F.col("b_doc_id").alias("doc_b"),
-            F.col("a_n_sh").alias("n_a"),
-            F.col("b_n_sh").alias("n_b"),
-        )
-        if os.path.exists(index):
-            old = spark.read.parquet(index)
-            cross = postings.join(
-                old.select(
-                    F.col("sh"),
-                    F.col("doc_id").alias("o_doc_id"),
-                    F.col("n_sh").alias("o_n_sh"),
-                ),
-                "sh",
-            ).select(
-                F.least("doc_id", "o_doc_id").alias("doc_a"),
-                F.greatest("doc_id", "o_doc_id").alias("doc_b"),
-                F.when(F.col("doc_id") < F.col("o_doc_id"), F.col("n_sh"))
-                .otherwise(F.col("o_n_sh"))
-                .alias("n_a"),
-                F.when(F.col("doc_id") < F.col("o_doc_id"), F.col("o_n_sh"))
-                .otherwise(F.col("n_sh"))
-                .alias("n_b"),
-            )
-            cand = within.unionByName(cross)
-        else:
-            cand = within
-        result = (
-            cand.groupBy("doc_a", "doc_b", "n_a", "n_b")
-            .agg(F.count(F.lit(1)).alias("shared"))
-            .withColumn(
-                "jaccard",
-                F.round(
-                    F.col("shared")
-                    / (F.col("n_a") + F.col("n_b") - F.col("shared")),
-                    6,
-                ),
-            )
-            .filter(F.col("jaccard") >= NEAR_DUP_THRESHOLD)
-            .select("doc_a", "doc_b", "jaccard")
-        )
-        result.write.mode("overwrite").parquet(
-            os.path.join(out, f"batch={batch_id}")
-        )
-        # batch-id-keyed + overwrite, like the pairs write: a foreachBatch
-        # retry after a crash between this write and the checkpoint commit
-        # REPLACES the batch's postings instead of re-appending them
-        # (append would double shared-shingle counts for every later
-        # batch, corrupting Jaccard scores)
-        postings.write.mode("overwrite").parquet(
-            os.path.join(index, f"batch={batch_id}")
-        )
+        near_dup_fold_batch(batch_df.sparkSession, index, out, batch_df, batch_id)
 
     from ..streaming import replay_state_partitions
 

@@ -202,6 +202,7 @@ def merge_table(
     *,
     update_matched: bool = False,
     partition_by: list[str] | None = None,
+    full_table: bool = False,
 ) -> None:
     """S9/T14: MERGE INTO the parquet table at `path`.
 
@@ -218,12 +219,20 @@ def merge_table(
     then O(touched leaves), not O(table): a 1-second status micro-batch
     over a 100 TB task table rewrites a handful of minute×bucket
     directories instead of the table (the scale fix for VERDICT r03
-    item 1). CORRECTNESS CONTRACT: partition columns must be
-    functionally dependent on the merge keys (true for the task table:
-    minute = date_format(run_timer), bucket = timer_id % N — reference
-    utils/timer.go:43-45), so a key can never match a row hiding in an
-    untouched leaf. For tables without that dependency, drop the
-    partition columns from `incoming` to force the full-table path.
+    item 1). CORRECTNESS CONTRACT: partition-scoped requires the
+    partition columns to be functionally dependent on the merge keys
+    (true for the task table: minute = date_format(run_timer),
+    bucket = timer_id % N — reference utils/timer.go:43-45), so a key
+    can never match a row hiding in an untouched leaf. When that
+    dependency does NOT hold (a key's row may move leaves), pass
+    ``full_table=True``: the whole table is read, merged, and
+    rewritten WITH the hive layout preserved. Either way `incoming`
+    MUST carry the partition columns on a partitioned target —
+    without them the merged rows' leaves are unknowable and the only
+    possible rewrite would silently flatten the layout (breaking
+    partition pruning for every future reader), so that call raises
+    instead (ADVICE r04 fix; the old docstring's "drop the partition
+    columns to force the full path" hatch was both broken and unsafe).
 
     Unpartitioned tables keep the documented full-rewrite swap
     (SURVEY §7.5 risk 4 fallback; maps onto Delta/Iceberg MERGE INTO
@@ -241,10 +250,36 @@ def merge_table(
             incoming.write.mode("overwrite").parquet(path)
         return
     part_cols = table_partition_cols(path)
-    if part_cols and all(c in incoming.columns for c in part_cols):
-        _merge_partition_scoped(
-            spark, path, incoming, keys, part_cols, update_matched
+    if part_cols:
+        missing = [c for c in part_cols if c not in incoming.columns]
+        if missing:
+            raise ValueError(
+                f"merge into hive-partitioned table {path}: incoming is "
+                f"missing partition column(s) {missing}. Derive them the "
+                "way the writer did (they decide which leaf each merged "
+                "row lands in); a partition-blind rewrite would flatten "
+                "the layout. For non-key-dependent partition columns use "
+                "full_table=True (with the columns present)."
+            )
+        if not full_table:
+            _merge_partition_scoped(
+                spark, path, incoming, keys, part_cols, update_matched
+            )
+            return
+        # full-table merge, layout-preserving: read every leaf (the
+        # merge key may move a row across leaves), rewrite partitioned,
+        # swap the whole directory
+        existing = spark.read.parquet(path)
+        merged = _plan_merge(existing, incoming, keys, update_matched)
+        tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
+        (
+            merged.repartition(*part_cols)
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(tmp)
         )
+        shutil.rmtree(path)
+        os.replace(tmp, path)
         return
     existing = spark.read.parquet(path)
     merged = _plan_merge(existing, incoming, keys, update_matched)
