@@ -667,3 +667,143 @@ def test_stream_ttl_evict_matches_batch_segments(spark):
     # the timer path genuinely fired: every user's trailing segment can
     # only emit via eviction timeout (no later event closes it)
     assert s.groupby("user_id").size().ge(1).all()
+
+
+def test_fake_broker_producer_ids_do_not_fence_each_other(tmp_path):
+    """Two writers to the SAME topic root, each with its own producerId
+    and its own batchId sequence starting at 0 (fresh checkpoints):
+    writer B's batches must be produced, not silently dropped by
+    writer A's high-water marker (ADVICE r04: the marker is now keyed
+    per producer, the transactional.id analog). Retries within one
+    producer stay idempotent."""
+    import base64 as b64
+
+    from timer_pulsar_spark.sources.fake_broker import (
+        FakeBroker,
+        FakeKafkaStreamWriter,
+        _StagedRecords,
+    )
+
+    root = str(tmp_path / "broker")
+    FakeBroker(root)  # create layout
+
+    def staged(tag: str, n: int):
+        return [
+            _StagedRecords(
+                records=[
+                    (
+                        b64.b64encode(f"{tag}-{i}".encode()).decode(),
+                        b64.b64encode(f"v{tag}-{i}".encode()).decode(),
+                    )
+                    for i in range(n)
+                ]
+            )
+        ]
+
+    wa = FakeKafkaStreamWriter(root, 4, "writer-a")
+    wa.commit(staged("a0", 3), 0)
+    wa.commit(staged("a1", 2), 1)
+
+    wb = FakeKafkaStreamWriter(root, 4, "writer-b")
+    wb.commit(staged("b0", 4), 0)  # global marker would drop this (0 <= 1)
+    wb.commit(staged("b0", 4), 0)  # same-producer retry: idempotent
+
+    broker = FakeBroker(root)
+    total = sum(broker.end_offsets().values())
+    assert total == 3 + 2 + 4  # B produced once, A intact, no dup from retry
+
+    wa.commit(staged("a1", 2), 1)  # A's retry after B's writes: still fenced
+    assert sum(FakeBroker(root).end_offsets().values()) == 9
+
+
+def test_fake_broker_two_consumers_one_group(spark, tmp_path):
+    """The reference's shared subscription (two trigger workers, one
+    subscription — gotimer_trigger/main.go:110-124): two concurrent
+    streaming queries in ONE consumer group with static membership
+    must consume DISJOINT partition sets whose union is the whole
+    topic, exactly once, and their merged group commit must cover
+    every partition. The engine acks batch N only when batch N+1
+    starts (and a stateless query runs no no-data batches), so a
+    second 'flush' wave drives the first wave's commits."""
+    import hashlib
+    import time as _time
+
+    from timer_pulsar_spark.sources.fake_broker import FakeBroker, register
+
+    register(spark)
+    root = str(tmp_path / "broker")
+    broker = FakeBroker(root)  # 4 partitions
+    msgs = [(f"k{i}".encode(), f"v{i}".encode()) for i in range(40)]
+    broker.produce(msgs)
+    end_wave1 = broker.end_offsets()
+
+    def pid_of(key: bytes) -> int:
+        return int.from_bytes(hashlib.md5(key).digest()[:4], "big") % 4
+
+    all_keys = [f"k{i}" for i in range(48)]
+    outs, qs = [], []
+    try:
+        for member in (0, 1):
+            out = str(tmp_path / f"out{member}")
+            ckpt = str(tmp_path / f"ckpt{member}")
+            stream = (
+                spark.readStream.format("fake_kafka")
+                .option("path", root)
+                .option("group", "g1")
+                .option("memberId", str(member))
+                .option("groupSize", "2")
+                .load()
+                .selectExpr("cast(key as string) k", "cast(value as string) v")
+            )
+            qs.append(
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            outs.append(out)
+
+        def drain(min_rows: int, committed_to: dict) -> None:
+            deadline = _time.time() + 180
+            while _time.time() < deadline:
+                for q in qs:
+                    assert q.exception() is None, q.exception()
+                try:
+                    got = sum(spark.read.parquet(o).count() for o in outs)
+                    cm = broker.committed("g1")
+                    if got >= min_rows and all(
+                        int(cm.get(p, 0)) >= int(v)
+                        for p, v in committed_to.items()
+                    ):
+                        return
+                except Exception:
+                    pass
+                _time.sleep(1)
+            raise AssertionError(
+                f"drain timeout: committed={broker.committed('g1')}"
+            )
+
+        # wave 1 consumed by both members (acks may lag one batch)
+        drain(len(msgs), {})
+        # flush wave: new offsets start batch N+1 in each member, which
+        # is when the engine acks batch N — wave 1 must then be fully
+        # committed across BOTH members' partitions (merge, not clobber)
+        broker.produce([(k.encode(), b"v") for k in all_keys[40:]])
+        drain(len(all_keys), end_wave1)
+    finally:
+        for q in qs:
+            q.stop()
+
+    seen = []
+    for member, out in enumerate(outs):
+        pdf = spark.read.parquet(out).toPandas()
+        pids = {pid_of(k.encode()) for k in pdf["k"]}
+        # exclusive assignment: only this member's partitions
+        assert pids <= {p for p in range(4) if p % 2 == member}, (member, pids)
+        seen += pdf["k"].tolist()
+    # union exactly-once over the whole topic
+    assert sorted(seen) == sorted(all_keys)
+    # merged ack covers every partition's first wave at least
+    cm = broker.committed("g1")
+    assert all(int(cm.get(p, 0)) >= int(v) for p, v in end_wave1.items()), cm

@@ -116,19 +116,44 @@ class _OffsetRange(InputPartition):
 class FakeKafkaStreamReader(DataSourceStreamReader):
     """The consumer half of the protocol. Offsets are dicts
     {partition: next_offset_to_read} — the exact shape the Kafka
-    connector checkpoints."""
+    connector checkpoints.
 
-    def __init__(self, root: str, group: str, n_partitions: int):
+    GROUP MEMBERSHIP (the reference's shared subscription,
+    gotimer_trigger/main.go:110-124): ``memberId``/``groupSize``
+    options give STATIC partition assignment — member m of M owns
+    exactly the partitions p with p % M == m (Kafka's
+    group.instance.id static-membership analog; range/sticky
+    assignment converges to the same exclusivity). A member reads,
+    reports, and commits ONLY its own partitions, and the group
+    offset file is merged per-partition under a file lock, so two
+    concurrent queries in one group consume disjoint partitions and
+    their acks never clobber each other."""
+
+    def __init__(
+        self,
+        root: str,
+        group: str,
+        n_partitions: int,
+        member_id: int = 0,
+        group_size: int = 1,
+    ):
+        if not (0 <= member_id < group_size):
+            raise ValueError(
+                f"memberId {member_id} out of range for groupSize {group_size}"
+            )
         self.root = root
         self.group = group
         self.n_partitions = n_partitions
+        self.assigned = [
+            p for p in range(n_partitions) if p % group_size == member_id
+        ]
 
     def initialOffset(self) -> dict:
-        return {str(p): 0 for p in range(self.n_partitions)}
+        return {str(p): 0 for p in self.assigned}
 
     def latestOffset(self) -> dict:
         out = {}
-        for p in range(self.n_partitions):
+        for p in self.assigned:
             path = _plog(self.root, p)
             n = 0
             if os.path.exists(path):
@@ -140,7 +165,7 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         return [
             _OffsetRange(p, int(start.get(str(p), 0)), int(end.get(str(p), 0)), self.root)
-            for p in range(self.n_partitions)
+            for p in self.assigned
             if int(end.get(str(p), 0)) > int(start.get(str(p), 0))
         ]
 
@@ -157,12 +182,28 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         """The ACK: called by the engine only after the micro-batch
         that read up to `end` completed durably — consume-after-
-        complete, exactly the reference's post-execution ack."""
+        complete, exactly the reference's post-execution ack. MERGES
+        this member's partitions into the group file (read-modify-
+        write under an exclusive lock + atomic replace) so concurrent
+        members' commits compose instead of overwriting."""
         path = os.path.join(self.root, "groups", f"{self.group}.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({k: int(v) for k, v in end.items()}, f)
-        os.replace(tmp, path)
+        lock = path + ".lock"
+        import fcntl
+
+        with open(lock, "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            try:
+                cur: dict = {}
+                if os.path.exists(path):
+                    with open(path) as f:
+                        cur = json.load(f)
+                cur.update({k: int(v) for k, v in end.items()})
+                tmp = path + ".tmp"
+                with open(tmp, "w") as f:
+                    json.dump(cur, f)
+                os.replace(tmp, path)
+            finally:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 @dataclass
@@ -179,9 +220,10 @@ class FakeKafkaStreamWriter(DataSourceStreamWriter):
     transaction markers; the staging hop is the hermetic stand-in,
     bounded by batch size."""
 
-    def __init__(self, root: str, n_partitions: int):
+    def __init__(self, root: str, n_partitions: int, producer_id: str = "default"):
         self.root = root
         self.n_partitions = n_partitions
+        self.producer_id = producer_id
 
     def write(self, iterator):
         staged = [
@@ -193,8 +235,21 @@ class FakeKafkaStreamWriter(DataSourceStreamWriter):
         ]
         return _StagedRecords(records=staged)
 
+    def _marker(self) -> str:
+        # high-water marker keyed PER PRODUCER (Kafka transactional.id
+        # analog; ADVICE r04): a second query writing to the same topic
+        # root under its own producerId keeps its own batchId sequence —
+        # a single global marker would silently drop every batch of the
+        # newer query whose fresh checkpoint restarts batchId at 0.
+        # CONTRACT (same as Kafka's): distinct concurrent writers use
+        # distinct producerIds; reusing an id hands over its sequence.
+        import hashlib
+
+        tag = hashlib.md5(self.producer_id.encode()).hexdigest()[:16]
+        return os.path.join(self.root, "groups", f"_producer_{tag}")
+
     def commit(self, messages, batchId: int) -> None:
-        marker = os.path.join(self.root, "groups", "_producer_batch")
+        marker = self._marker()
         if os.path.exists(marker):
             with open(marker) as f:
                 if int(f.read().strip()) >= batchId:
@@ -218,7 +273,11 @@ class FakeKafkaStreamWriter(DataSourceStreamWriter):
 
 class FakeKafkaDataSource(DataSource):
     """format("fake_kafka") — options: path (broker root), group
-    (consumer group id, default "spark"), partitions (default 4)."""
+    (consumer group id, default "spark"), partitions (default 4),
+    memberId/groupSize (static group membership for multi-consumer
+    reads, default 0/1), producerId (writer idempotency key — the
+    transactional.id analog; distinct concurrent writers to one topic
+    root must use distinct ids, default "default")."""
 
     @classmethod
     def name(cls) -> str:
@@ -232,12 +291,15 @@ class FakeKafkaDataSource(DataSource):
             self.options["path"],
             self.options.get("group", "spark"),
             int(self.options.get("partitions", DEFAULT_PARTITIONS)),
+            int(self.options.get("memberid", self.options.get("memberId", 0))),
+            int(self.options.get("groupsize", self.options.get("groupSize", 1))),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool) -> FakeKafkaStreamWriter:
         return FakeKafkaStreamWriter(
             self.options["path"],
             int(self.options.get("partitions", DEFAULT_PARTITIONS)),
+            self.options.get("producerid", self.options.get("producerId", "default")),
         )
 
 
