@@ -69,7 +69,7 @@ NEW_ORACLE_CHECKED = [
     "q_semdedup_scaled_check",
     "q_bigram_lm",
     "q_pmi_collocations",
-    "q_dedup_near_auto",
+    "q_dedup_near_auto_check",
     "q_binaryfile_ingest",
     "q_scd2_lookup",
     "q_stream_join_outer",

@@ -159,3 +159,15 @@ def test_merge_full_table_preserves_hive_layout(spark, tmp_path):
     # pruning still functional on the rewritten layout
     sl = read_tasks_slice(spark, path, "2024-01-01 00:05", "2024-01-01 00:06")
     assert sl.count() == batch.count()
+
+
+def test_dedup_near_auto_check_holds_above_switch(spark, monkeypatch):
+    """The subset+recall contract must hold on the MinHash arm too —
+    the regime where exact parity is NOT guaranteed and the old
+    parity oracle could fail spuriously (ADVICE r04)."""
+    import timer_pulsar_spark.operators.dedup as dedup
+
+    monkeypatch.setattr(dedup, "NEAR_DUP_AUTO_THRESHOLD", 1)
+    row = dedup.q_dedup_near_auto_check(spark, SF_DIR).collect()[0]
+    assert row.switched  # the banded arm actually ran
+    assert row.pairs_sound and row.recall_ok

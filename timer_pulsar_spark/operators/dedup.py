@@ -345,12 +345,53 @@ def q_dedup_near_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-generation strategy switch (VERDICT r03 item 4): the
     inverted-index postings path below NEAR_DUP_AUTO_THRESHOLD
     documents, banded MinHash above it. Both arms share the exact
-    Jaccard verify and the output contract, and tests assert their
-    pair-set parity, so the oracle is q_dedup_near's either way."""
+    Jaccard verify and the output contract. Registered ROWS-ONLY
+    (ADVICE r04): above the switch the MinHash arm's candidate
+    generation is recall-bounded — banding can miss true pairs — so an
+    exact-parity oracle would only hold below the threshold and could
+    fail spuriously (or mask real misses) on a ≥100k-doc corpus. The
+    oracle-checked surface is q_dedup_near_auto_check (subset +
+    recall-bound contract, valid on BOTH sides of the switch); tests
+    additionally assert exact parity below the threshold."""
     n = load_table(spark, sf_dir, "documents").count()
     if n >= NEAR_DUP_AUTO_THRESHOLD:
         return q_dedup_minhash(spark, sf_dir)
     return q_dedup_near(spark, sf_dir)
+
+
+def q_dedup_near_auto_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract of the auto-switch, scale-valid on both
+    arms: every emitted pair clears the exact Jaccard threshold
+    (pairs_sound — both arms verify exactly, so the auto output is
+    always a SUBSET of the true pair set), and recall vs the exact
+    postings pair set is ≥ 0.7 — trivially 1.0 below the switch
+    (identical plans), and above it the 16-band × 4-row MinHash
+    detection floor (1-(1-j^4)^16 ≈ 0.9998 at j = 0.8) keeps the bound
+    honest. The oracle recomputes n and the switch decision from
+    count(*), so the driver verifies the switching law itself."""
+    auto = q_dedup_near_auto(spark, sf_dir).persist()
+    try:
+        bad = auto.filter(F.col("jaccard") < NEAR_DUP_THRESHOLD).count()
+        exact = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+        n_exact = exact.count()
+        n_hit = exact.join(
+            auto.select("doc_a", "doc_b"), ["doc_a", "doc_b"]
+        ).count()
+        recall = (n_hit / n_exact) if n_exact else 1.0
+        n = load_table(spark, sf_dir, "documents").count()
+        return spark.createDataFrame(
+            [
+                (
+                    int(n),
+                    bool(n >= NEAR_DUP_AUTO_THRESHOLD),
+                    bool(bad == 0),
+                    bool(recall >= 0.7),
+                )
+            ],
+            "n long, switched boolean, pairs_sound boolean, recall_ok boolean",
+        )
+    finally:
+        auto.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -1208,7 +1249,16 @@ ORACLES["q_record_linkage"] = """
 
 ORACLES["q_dedup_minhash"] = ORACLES["q_dedup_near"]
 # both arms of the strategy switch share the exact-Jaccard verify
-ORACLES["q_dedup_near_auto"] = ORACLES["q_dedup_near"]
+# q_dedup_near_auto is rows-only (ADVICE r04: exact parity only holds
+# below the switch threshold); its oracle-checked surface is the
+# scale-valid subset+recall contract, with the switch law recomputed
+# from count(*)
+ORACLES["q_dedup_near_auto_check"] = f"""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           count(*) >= {NEAR_DUP_AUTO_THRESHOLD} AS switched,
+           true AS pairs_sound, true AS recall_ok
+    FROM documents
+"""
 # large/small-star computes the same component labeling as the
 # min-label loop — both share the recursive-CTE transitive closure
 ORACLES["q_dup_clusters_star"] = ORACLES["q_dup_clusters"]

@@ -55,7 +55,7 @@ PRIORITY: list[str] = [
     # analytic-window rep beyond §2, q_materialize keeps T9 via pytest
     # api.run_migration, q_sessionize keeps its shape via
     # q_session_window, q_dup_clusters via q_pagerank.
-    "q_bigram_lm", "q_dedup_near_auto", "q_scd2_lookup",
+    "q_bigram_lm", "q_dedup_near_auto_check", "q_scd2_lookup",
     "q_binaryfile_ingest", "q_stream_join_outer", "q_semdedup_scaled_check",
     "q_stream_running_agg", "q_stream_ttl_evict",
 ]
