@@ -60,13 +60,23 @@ def task_slice_columns(df: DataFrame, n_buckets: int = DEFAULT_BUCKETS) -> DataF
 
 
 def write_tasks_partitioned(
-    df: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS
+    df: DataFrame, path: str, n_buckets: int = DEFAULT_BUCKETS,
+    bloom_ndv: int | None = None,
 ) -> None:
     """S8: the ZSET-slice layout as a partitioned parquet table.
     Repartitioning on the slice key before the write yields one file per
-    (minute, bucket) instead of one per input-partition x slice."""
+    (minute, bucket) instead of one per input-partition x slice.
+
+    The timer_id bloom is ADAPTIVE-sized by default: without an NDV
+    hint parquet-mr allocates its 1 MiB maximum bitset per file —
+    measured 1,050,056 bytes for a 100-row leaf (934 bytes of data),
+    a 1000× write amplification that multiplies across every
+    minute×bucket leaf at 100 TB. Adaptive sizing keeps candidate
+    bitsets and writes the smallest one matching the file's actual
+    NDV; pass bloom_ndv when the per-leaf cardinality is known for an
+    exact (smaller still) allocation."""
     sliced = task_slice_columns(df, n_buckets)
-    (
+    w = (
         sliced.repartition("minute", "bucket")
         .write.mode("append")
         .partitionBy("minute", "bucket")
@@ -75,8 +85,12 @@ def write_tasks_partitioned(
         # (pkg/bloom/fillter.go) — point probes on timer_id skip row
         # groups without scanning them
         .option("parquet.bloom.filter.enabled#timer_id", "true")
-        .parquet(path)
     )
+    if bloom_ndv is not None:
+        w = w.option("parquet.bloom.filter.expected.ndv#timer_id", str(bloom_ndv))
+    else:
+        w = w.option("parquet.bloom.filter.adaptive.enabled", "true")
+    w.parquet(path)
 
 
 def read_tasks_slice(
@@ -272,12 +286,7 @@ def merge_table(
         existing = spark.read.parquet(path)
         merged = _plan_merge(existing, incoming, keys, update_matched)
         tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
-        (
-            merged.repartition(*part_cols)
-            .write.mode("overwrite")
-            .partitionBy(*part_cols)
-            .parquet(tmp)
-        )
+        _write_partitioned_leaves(merged, part_cols, tmp)
         shutil.rmtree(path)
         os.replace(tmp, path)
         return
@@ -288,6 +297,26 @@ def merge_table(
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.replace(tmp, path)
+
+
+def _write_partitioned_leaves(
+    merged: DataFrame, part_cols: list[str], tmp: str
+) -> None:
+    """Shared hive-layout rewrite for both merge scopes: one file per
+    leaf, and the same adaptively-sized timer_id bloom as the original
+    writer so rewritten leaves keep the point-probe skip property
+    (without the adaptive flag parquet-mr allocates its 1 MiB maximum
+    bitset per file — see write_tasks_partitioned)."""
+    w = (
+        merged.repartition(*part_cols)
+        .write.mode("overwrite")
+        .partitionBy(*part_cols)
+    )
+    if "timer_id" in merged.columns:
+        w = w.option("parquet.bloom.filter.enabled#timer_id", "true").option(
+            "parquet.bloom.filter.adaptive.enabled", "true"
+        )
+    w.parquet(tmp)
 
 
 def _plan_merge(
@@ -342,12 +371,7 @@ def _merge_partition_scoped(
     existing = spark.read.parquet(path).filter(cond)
     merged = _plan_merge(existing, incoming, keys, update_matched)
     tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
-    (
-        merged.repartition(*part_cols)
-        .write.mode("overwrite")
-        .partitionBy(*part_cols)
-        .parquet(tmp)
-    )
+    _write_partitioned_leaves(merged, part_cols, tmp)
     # swap each rewritten leaf; Spark escapes dir names identically on
     # both writes, so relative paths line up
     for dirpath, _dirnames, filenames in os.walk(tmp):
