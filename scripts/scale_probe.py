@@ -126,6 +126,8 @@ def build_replica(spark, mult: int, work: str) -> str:
 
 
 def main() -> None:
+    from pyspark.sql import functions as F
+
     from timer_pulsar_spark.session import get_spark
 
     spark = get_spark("scale_probe")
@@ -145,9 +147,43 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="scale_probe_")
     results: dict[str, dict[int, float]] = {p: {} for p in PROBES}
     recall_16x = None
+    kcap_rows: list[tuple] = []
     try:
         for mult in MULTIPLIERS:
             sf_dir = build_replica(spark, mult, work)
+            # k-cap probe (VERDICT r04 item 3): with the cluster-count
+            # ceiling forced low enough to bind at this scale, the
+            # driver-collected codebook must stay AT the cap while the
+            # corpus replicates — cell size, not driver state, absorbs
+            # growth. (The production cap 65,536 binds at n > 2.1M
+            # vectors; forcing 64 here makes the regime visible.)
+            # Only the assignment stage is materialized — the capped
+            # regime's within-cell pair join is exactly the quadratic
+            # the production path avoids by keeping cells ~target-size.
+            import timer_pulsar_spark.operators.similarity as sim
+
+            prev_cap = sim.SEMDEDUP_K_CAP
+            sim.SEMDEDUP_K_CAP = 64
+            try:
+                t0 = time.perf_counter()
+                _pairs, primary, k_got, n_got = sim.semdedup_scaled(
+                    spark, sf_dir
+                )
+                max_cell = (
+                    primary.groupBy("cell_id")
+                    .count()
+                    .agg(F.max("count"))
+                    .collect()[0][0]
+                )
+                assign_wall = round(time.perf_counter() - t0, 2)
+            finally:
+                sim.SEMDEDUP_K_CAP = prev_cap
+            kcap_rows.append((mult, n_got, k_got, max_cell, assign_wall))
+            print(
+                f"x{mult} kcap64: n={n_got} k={k_got} max_cell={max_cell}"
+                f" assign={assign_wall}s",
+                flush=True,
+            )
             for name in PROBES:
                 fns[name](spark, sf_dir).write.format("noop").mode(
                     "overwrite"
@@ -242,6 +278,24 @@ def main() -> None:
         "O(n·k) = O(n²/cell) — the flat form measured 16.6x wall at 16x",
         "data; embedding replicas are circularly shifted so no cross-copy",
         "pair space is planted.",
+        "",
+        "## SemDeDup k-cap: driver state bounded as the corpus grows",
+        "",
+        "k = min(SEMDEDUP_K_CAP, ceil(n/32)); the codebook (k rows) is",
+        "the ONLY thing collect()ed. With the cap forced to 64 so the",
+        "binding regime is visible at this scale (the production cap",
+        "65,536 binds at n > 2.1M vectors), the driver codebook must",
+        "stay AT the cap while the corpus replicates — cell size absorbs",
+        "the growth (the paper's fixed-cluster regime). Assignment stage",
+        "only: the capped regime's within-cell pair join is exactly the",
+        "quadratic the production (cap-slack) path avoids.",
+        "",
+        "| mult | n vectors | k (driver codebook rows) | max cell | assign wall |",
+        "|---|---|---|---|---|",
+        *[
+            f"| x{m} | {n} | {k} | {mc} | {w}s |"
+            for (m, n, k, mc, w) in kcap_rows
+        ],
         "",
     ]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
