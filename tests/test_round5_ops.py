@@ -203,3 +203,62 @@ def test_partitioned_write_bloom_is_adaptively_sized(spark, tmp_path):
         spark.read.parquet(p2).count() == spark.read.parquet(p1).count()
         == tasks.count()
     )
+
+
+def test_pq_topk_contract(spark, duck):
+    """PQ-ADC + exact re-rank: the check twin's booleans must both
+    hold (recall floor vs brute force, exact cosine on shared pairs),
+    and the shortlist path must emit exactly TOP_K rows per query."""
+    from timer_pulsar_spark.operators import similarity
+
+    row = similarity.q_pq_check(spark, SF_DIR).collect()[0]
+    assert row.recall_ok and row.exact_rerank_ok
+
+    out = similarity.q_pq_topk(spark, SF_DIR).toPandas()
+    per_q = out.groupby("query_id").size()
+    assert (per_q == similarity.TOP_K).all()
+    assert (out["rnk"].groupby(out["query_id"]).max() == similarity.TOP_K).all()
+
+
+def test_pq_train_bounded_and_monotone(spark):
+    """The PQ trainer's contract: only the (m·ksub·subdim)-float
+    codebook crosses to the driver, inertia never increases across
+    Lloyd iterations, and every corpus vector gets exactly m codes in
+    [0, ksub)."""
+    from timer_pulsar_spark.operators import similarity
+    from timer_pulsar_spark.catalog import load_table
+
+    assign, cb, inertias, subdim = similarity.pq_train_encode(spark, SF_DIR)
+    assert len(cb) == similarity.PQ_M * similarity.PQ_KSUB
+    assert all(len(cent) == subdim for _b, _c, cent in cb)
+    assert all(
+        inertias[i + 1] <= inertias[i] + 1e-9 for i in range(len(inertias) - 1)
+    )
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    stats = assign.agg(
+        F.count("*").alias("rows"),
+        F.min("code").alias("cmin"),
+        F.max("code").alias("cmax"),
+    ).collect()[0]
+    assert stats.rows == n * similarity.PQ_M
+    assert 0 <= stats.cmin and stats.cmax < similarity.PQ_KSUB
+
+
+def test_interval_join_bucketed_plan_has_no_nested_loop(spark):
+    """The whole point of the bucketed interval join: the physical plan
+    must be an equi-join (shuffle/broadcast HASH or sort-merge on
+    (day, bucket)), never BroadcastNestedLoopJoin or CartesianProduct —
+    the shapes the raw inequality predicate would force on big-big
+    sides."""
+    from timer_pulsar_spark.operators.timeseries import (
+        q_interval_join_bucketed,
+    )
+
+    plan = (
+        q_interval_join_bucketed(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

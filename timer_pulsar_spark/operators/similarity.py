@@ -1007,6 +1007,224 @@ ORACLES["q_semdedup_scaled_check"] = f"""
     FROM embeddings
 """
 
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-compression path for 100 TB
+# embedding stores (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (dim 64 -> 8 sub-blocks of 8)
+PQ_KSUB = 16  # codes per subspace (4 bits)
+PQ_SHORTLIST = 8 * TOP_K  # ADC candidates per query before exact re-rank
+
+
+def pq_train_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+) -> tuple[DataFrame, list, list[float], int]:
+    """Train per-subspace codebooks and encode the corpus: vectors are
+    L2-NORMALIZED (so subspace L2 == cosine ordering: ||a-b||² =
+    2-2cosθ on unit vectors), split into m contiguous sub-blocks, and
+    each block is vector-quantized against its own ksub-word codebook.
+    A vector compresses to m small codes — 8×4 bits here vs 64 float32
+    (32×) — which is what lets a 100 TB embedding store sit in RAM for
+    candidate generation.
+
+    Distributed exactly like kmeans_fit, but ALL m codebooks train in
+    ONE loop: posexplode the sub-blocks (block id = position), E-step =
+    broadcast (m·ksub)-row codebook equi-joined on block + a
+    min(struct(dist, code)) aggregate (deterministic ties), M-step =
+    per-(block, code, dim) mean — a (m·ksub·subdim)-row aggregate,
+    never a per-cell collect. Only the codebook (m·ksub·subdim floats,
+    1 KB here) ever crosses to the driver, independent of corpus size.
+
+    Returns (assign frame (vec_id, block, code), codebook rows
+    [(block, code, centroid)], per-iter inertias, subdim)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()[0])
+    assert dim % m == 0, (dim, m)
+    subdim = dim // m
+
+    norm = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(embedding,"
+            " CAST(0 AS DOUBLE), (s, v) -> s + CAST(v AS DOUBLE) * v)))"
+        ).alias("u"),
+    )
+    sub = norm.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" b -> slice(u, b * {subdim} + 1, {subdim}))"
+            )
+        ).alias("block", "sv"),
+    ).localCheckpoint()
+
+    # deterministic hash-spread seeding, ksub per block
+    wseed = Window.partitionBy("block").orderBy(
+        F.xxhash64(F.col("vec_id")), "vec_id"
+    )
+    seed_rows = (
+        sub.withColumn("rn", F.row_number().over(wseed))
+        .filter(F.col("rn") <= ksub)
+        .select("block", (F.col("rn") - 1).alias("code"), "sv")
+        .collect()
+    )
+    cb = [(int(r.block), int(r.code), [float(v) for v in r.sv]) for r in seed_rows]
+
+    dist_expr = (
+        "aggregate(zip_with(sv, cent, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    inertias: list[float] = []
+    assign = None
+    for _ in range(iters):
+        cb_df = spark.createDataFrame(
+            cb, "block int, code int, cent array<double>"
+        )
+        scored = sub.join(F.broadcast(cb_df), "block").withColumn(
+            "dist", F.expr(dist_expr)
+        )
+        assign = (
+            scored.groupBy("vec_id", "block")
+            .agg(
+                F.min(F.struct("dist", "code")).alias("best"),
+                F.first("sv").alias("sv"),
+            )
+            .select(
+                "vec_id",
+                "block",
+                F.col("best.code").alias("code"),
+                F.col("best.dist").alias("dist"),
+                "sv",
+            )
+            .localCheckpoint()
+        )
+        inertias.append(float(assign.agg(F.sum("dist")).collect()[0][0]))
+        dim_means = (
+            assign.select("block", "code", F.posexplode("sv").alias("pos", "v"))
+            .groupBy("block", "code", "pos")
+            .agg(F.avg("v").alias("mu"))
+            .collect()
+        )
+        by_bc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in dim_means:
+            by_bc.setdefault((int(r.block), int(r.code)), {})[int(r.pos)] = float(
+                r.mu
+            )
+        cb = [
+            (b, c, [dims[p] for p in sorted(dims)])
+            for (b, c), dims in sorted(by_bc.items())
+        ]
+    return assign.select("vec_id", "block", "code"), cb, inertias, subdim
+
+
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors with exact re-rank — the
+    compressed-domain analog of q_ann_lsh/q_ann_ivf: per query, an
+    asymmetric-distance LUT (query sub-block vs every codebook word —
+    m·ksub = 128 entries, computed driver-side from model state) is
+    broadcast and equi-joined against the corpus CODES on (block,
+    code); summing the m looked-up entries per (query, vector) gives
+    the ADC distance without touching a single corpus float. The
+    shortlist (8·k per query) then gets the standard exact-cosine
+    re-rank, so emitted scores are exact and only the candidate set is
+    approximate (rows-only gate; contract = q_pq_check).
+
+    Scale shape: the ADC join streams (corpus × m) code rows against a
+    broadcast 640-row LUT — linear in corpus, zero full-width vector
+    reads until the 40-row-per-query re-rank."""
+    assign, cb, _inertias, subdim = pq_train_encode(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cbm: dict[tuple[int, int], np.ndarray] = {
+        (b, c): np.array(cent) for b, c, cent in cb
+    }
+    lut_rows = []
+    for r in qrows:
+        q = np.array([float(v) for v in r.embedding])
+        q = q / np.linalg.norm(q)
+        for (b, c), cent in cbm.items():
+            d = float(((q[b * subdim : (b + 1) * subdim] - cent) ** 2).sum())
+            lut_rows.append((int(r.vec_id), b, c, d))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, block int, code int, d double"
+    )
+
+    adc = (
+        assign.join(F.broadcast(lut), ["block", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("vec_id"))
+    shortlist = (
+        adc.withColumn("srnk", F.row_number().over(wq))
+        .filter(F.col("srnk") <= PQ_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    rescored = (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_product(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def q_pq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract for q_pq_topk (same shape as the
+    LSH/IVF twins): recall vs the brute-force truth above a floor that
+    holds deterministically at every test SF, and exact re-rank — any
+    (query, neighbor) shared with the truth carries the identical
+    cosine. PQ recall is structurally higher than LSH/IVF probing at
+    the same data (the ADC scan ranks EVERY corpus vector, it never
+    drops candidates to a bucket) — the cost moved to approximation
+    error in the distance, which the 8×TOP_K shortlist + exact re-rank
+    absorbs."""
+    return _ann_check(spark, sf_dir, q_pq_topk, 0.5)
+
+
+ORACLES["q_pq_check"] = _CHECK_ORACLE
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -186,6 +186,66 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIG-BIG interval overlap join via bucket chunking — the scale
+    form q_range_join's broadcast can't cover: when BOTH sides are
+    interval tables too large to broadcast, Catalyst's only native
+    plan for `a.s <= b.e AND b.s <= a.e` is a nested-loop/cartesian.
+    The standard fix (DuckDB's IEJoin or Databricks' range-join
+    binning, done here as a pure DataFrame composition): explode every
+    interval into the fixed-size TIME BUCKETS it spans (hours), EQUI-
+    join on (day, bucket) — a plain shuffle join, partitioned and
+    skew-handled like any other — then apply the exact overlap
+    predicate and collapse the per-bucket duplicates with one groupBy.
+    Join cost is O(sum interval_len / bucket) instead of |A|×|B|;
+    bucket width trades explode factor vs candidate precision.
+
+    Workload: pairs of users whose same-day activity intervals
+    (first..last event of the day) overlap, with the exact overlap
+    window. Deterministic (exact µs timestamps both engines) → full
+    oracle, and the plan carries NO BroadcastNestedLoopJoin — gated in
+    tests/test_plans.py."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    buckets = iv.select(
+        "user_id",
+        "day",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s")),
+                F.date_trunc("hour", F.col("e")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("hb"),
+    )
+    a = buckets.select(
+        F.col("user_id").alias("user_a"), "day", "hb",
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"),
+    )
+    b = buckets.select(
+        F.col("user_id").alias("user_b"), "day", "hb",
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"),
+    )
+    return (
+        a.join(b, ["day", "hb"])
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        # a pair co-occurs in every shared bucket: one row per pair
+        .groupBy("user_a", "user_b", "day")
+        .agg(
+            F.greatest(F.first("s_a"), F.first("s_b")).alias("o_start"),
+            F.least(F.first("e_a"), F.first("e_b")).alias("o_end"),
+        )
+    )
+
+
 def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join — for each purchase event, the most recent 'error'
     event of the same user at or before it. Spark lacks a native as-of
@@ -608,6 +668,22 @@ ORACLES: dict[str, str] = {
                 WHERE e.user_id = p.user_id AND e.event_type = 'error'
                   AND e.ts <= p.ts) AS last_error_ts
         FROM events p WHERE p.event_type = 'purchase'
+    """,
+    # the oracle runs the overlap join DIRECTLY (DuckDB's IEJoin handles
+    # the inequality pair natively); the Spark side must produce the
+    # identical pair set through the bucketed equi-join plan
+    "q_interval_join_bucketed": """
+        WITH iv AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   min(ts) AS s, max(ts) AS e
+            FROM events GROUP BY user_id, CAST(ts AS DATE)
+        )
+        SELECT a.user_id AS user_a, b.user_id AS user_b, a.day AS day,
+               greatest(a.s, b.s) AS o_start,
+               least(a.e, b.e) AS o_end
+        FROM iv a JOIN iv b
+          ON a.day = b.day AND a.user_id < b.user_id
+         AND a.s <= b.e AND b.s <= a.e
     """,
     "q_groupby_minute": """
         SELECT strftime(ts, '%Y-%m-%d %H:%M') AS minute, count(*) AS cnt
