@@ -1017,7 +1017,7 @@ ORACLES["q_semdedup_scaled_check"] = f"""
 
 PQ_M = 8  # subspaces (dim 64 -> 8 sub-blocks of 8)
 PQ_KSUB = 16  # codes per subspace (4 bits)
-PQ_SHORTLIST = 8 * TOP_K  # ADC candidates per query before exact re-rank
+PQ_SHORTLIST = 24 * TOP_K  # ADC candidates per query before exact re-rank
 
 
 def pq_train_encode(
@@ -1212,13 +1212,14 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked contract for q_pq_topk (same shape as the
     LSH/IVF twins): recall vs the brute-force truth above a floor that
-    holds deterministically at every test SF, and exact re-rank — any
-    (query, neighbor) shared with the truth carries the identical
-    cosine. PQ recall is structurally higher than LSH/IVF probing at
-    the same data (the ADC scan ranks EVERY corpus vector, it never
-    drops candidates to a bucket) — the cost moved to approximation
-    error in the distance, which the 8×TOP_K shortlist + exact re-rank
-    absorbs."""
+    holds deterministically at every test SF (measured 0.96 at
+    sf0.001, 0.84 at sf0.01 with the 24·k shortlist — threshold 0.5
+    holds with margin), and exact re-rank — any (query, neighbor)
+    shared with the truth carries the identical cosine. PQ recall is
+    structurally higher than LSH/IVF probing at the same data (the ADC
+    scan ranks EVERY corpus vector, it never drops candidates to a
+    bucket) — the cost moved to approximation error in the distance,
+    which the shortlist + exact re-rank absorbs."""
     return _ann_check(spark, sf_dir, q_pq_topk, 0.5)
 
 

@@ -237,11 +237,20 @@ def q_interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_a") <= F.col("e_b"))
             & (F.col("s_b") <= F.col("e_a"))
         )
-        # a pair co-occurs in every shared bucket: one row per pair
+        # a pair co-occurs in every shared bucket: one row per pair;
+        # day serialized as string so both engines hash identically
+        # (a pandas date object vs datetime64 would mismatch on repr)
         .groupBy("user_a", "user_b", "day")
         .agg(
             F.greatest(F.first("s_a"), F.first("s_b")).alias("o_start"),
             F.least(F.first("e_a"), F.first("e_b")).alias("o_end"),
+        )
+        .select(
+            "user_a",
+            "user_b",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "o_start",
+            "o_end",
         )
     )
 
@@ -678,7 +687,8 @@ ORACLES: dict[str, str] = {
                    min(ts) AS s, max(ts) AS e
             FROM events GROUP BY user_id, CAST(ts AS DATE)
         )
-        SELECT a.user_id AS user_a, b.user_id AS user_b, a.day AS day,
+        SELECT a.user_id AS user_a, b.user_id AS user_b,
+               strftime(a.day, '%Y-%m-%d') AS day,
                greatest(a.s, b.s) AS o_start,
                least(a.e, b.e) AS o_end
         FROM iv a JOIN iv b
