@@ -262,3 +262,34 @@ def test_interval_join_bucketed_plan_has_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pretrain_mix_is_one_plan_composition(spark, duck):
+    """The composed prep must equal its stage-by-stage execution AND
+    stay a single plan: the gate reaches the scan (filter below the
+    first exchange) and the domain cap compiles to the map-side
+    WindowGroupLimit."""
+    from timer_pulsar_spark.operators.sampling import q_pretrain_mix
+
+    df = q_pretrain_mix(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+
+    out = df.toPandas()
+    assert len(out) > 0
+    # mixture respected: zh kept at 25% of its hash space -> no zh doc
+    # with bucket >= 25 survives
+    import hashlib
+
+    for _i, r in out.iterrows():
+        b = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:6], 16) % 100
+        from timer_pulsar_spark.operators.sampling import MIX_RATES
+
+        assert b < MIX_RATES[r.lang], (r.doc_id, r.lang, b)
+    # domain cap respected
+    per_source = out.groupby("source").size()
+    from timer_pulsar_spark.operators.sampling import DOMAIN_CAP
+
+    assert (per_source <= DOMAIN_CAP).all()
+    # gate respected
+    assert (out["n_tokens"] >= 50).all()

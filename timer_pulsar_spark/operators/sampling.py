@@ -294,7 +294,82 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: full prep composition] the whole raw-documents →
+    training-mixture prep as ONE declarative plan — the composition a
+    user actually runs, stitched from the audited stage operators:
+
+        quality gate (≥50 tokens, ≥0.2 distinct ratio)
+          → exact-dedup canonical filter (min doc_id per md5(text))
+          → per-domain cap (top-DOMAIN_CAP per source by length)
+          → language mixture (content-stable hash rates per lang)
+
+    Because it is one plan, Catalyst fuses the gate into the scan,
+    the dedup dim aggregates to (hash, min_id) and broadcasts for the
+    semi-join, the domain cap compiles to the map-side
+    WindowGroupLimit, and the mixture filter is a pure map — the only
+    corpus-wide shuffles are the dedup groupBy and the per-source
+    window, both on bounded-cardinality keys. Nothing materializes
+    between stages: at 100 TB that is the difference between one pass
+    over the corpus and four.
+
+    Fully deterministic (every stage is hash- or rank-based, no
+    rand()) → the exact four-stage DuckDB oracle."""
+    from .textops import _toks
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    gated = d.filter((n >= 50) & (n_distinct / n >= 0.2))
+    canon = gated.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = gated.join(canon, "doc_id", "left_semi")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    capped = (
+        surv.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+    )
+    rate = F.lit(0)
+    for lang, pct in MIX_RATES.items():
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return capped.filter(hash_bucket(F.col("doc_id")) < rate).select(
+        "doc_id", "lang", "source", F.size(_toks()).alias("n_tokens")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_pretrain_mix": """
+        WITH gated AS (
+            SELECT * FROM documents
+            WHERE len(string_split(text, ' ')) >= 50
+              AND len(list_distinct(string_split(text, ' '))) * 1.0
+                  / len(string_split(text, ' ')) >= 0.2
+        ),
+        canon AS (
+            SELECT md5(text) AS h, min(doc_id) AS doc_id
+            FROM gated GROUP BY md5(text)
+        ),
+        surv AS (
+            SELECT g.* FROM gated g
+            WHERE EXISTS (SELECT 1 FROM canon c WHERE c.doc_id = g.doc_id)
+        ),
+        capped AS (
+            SELECT *, row_number() OVER (PARTITION BY source
+                                         ORDER BY n_chars DESC, doc_id) AS rk
+            FROM surv
+        )
+        SELECT doc_id, lang, source,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM capped
+        WHERE rk <= 10
+          AND (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+               % 100) < CASE lang
+              WHEN 'en' THEN 100 WHEN 'de' THEN 50
+              WHEN 'fr' THEN 50 WHEN 'es' THEN 50
+              WHEN 'zh' THEN 25 ELSE 0 END
+    """,
     "q_sample_weighted": f"""
         SELECT doc_id, lang, n_chars,
                round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1)

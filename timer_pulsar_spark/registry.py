@@ -81,7 +81,7 @@ SECONDARY: list[str] = [
     "q_gapfill_interp", "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance", "q_stream_dedup_near",
     "q_pmi_collocations",
     # round-5 newcomers beyond the PRIORITY window
-    "q_pq_check", "q_interval_join_bucketed",
+    "q_pq_check", "q_interval_join_bucketed", "q_pretrain_mix",
 ]
 
 
