@@ -293,3 +293,29 @@ def test_pretrain_mix_is_one_plan_composition(spark, duck):
     assert (per_source <= DOMAIN_CAP).all()
     # gate respected
     assert (out["n_tokens"] >= 50).all()
+
+
+def test_pq_model_roundtrip_and_fixed_encode(spark, tmp_path):
+    """Model persistence: a saved codebook reloads bit-identical, and
+    the fixed-codebook online encoder reproduces the trainer's final
+    assignment exactly (the offline-train / online-encode split)."""
+    from timer_pulsar_spark.catalog import load_table
+    from timer_pulsar_spark.operators import similarity
+
+    assign, cb, _inertias, subdim = similarity.pq_train_encode(spark, SF_DIR)
+    path = str(tmp_path / "pq_model")
+    similarity.save_pq_model(spark, path, cb, subdim)
+    cb2, meta = similarity.load_pq_model(spark, path)
+    assert cb2 == sorted(cb, key=lambda r: (r[0], r[1]))
+    assert meta == {
+        "kind": "pq",
+        "m": similarity.PQ_M,
+        "ksub": similarity.PQ_KSUB,
+        "subdim": subdim,
+    }
+
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    enc = similarity.pq_encode_with_model(spark, e, cb2, meta["subdim"])
+    a = assign.orderBy("vec_id", "block").toPandas()
+    b = enc.orderBy("vec_id", "block").toPandas()
+    assert a[["vec_id", "block", "code"]].equals(b[["vec_id", "block", "code"]])

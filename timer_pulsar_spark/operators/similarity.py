@@ -1124,7 +1124,22 @@ def pq_train_encode(
             (b, c, [dims[p] for p in sorted(dims)])
             for (b, c), dims in sorted(by_bc.items())
         ]
-    return assign.select("vec_id", "block", "code"), cb, inertias, subdim
+    # final E-step so the returned CODES encode against the returned
+    # CODEBOOK (the model) — without this the codes reflect the
+    # pre-M-step centroids and any consumer joining codes against the
+    # model (the ADC LUT, the online encoder) sees an inconsistent pair
+    final_cb_df = spark.createDataFrame(
+        cb, "block int, code int, cent array<double>"
+    )
+    final_assign = (
+        sub.join(F.broadcast(final_cb_df), "block")
+        .withColumn("dist", F.expr(dist_expr))
+        .groupBy("vec_id", "block")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+        .select("vec_id", "block", F.col("best.code").alias("code"))
+        .localCheckpoint()
+    )
+    return final_assign, cb, inertias, subdim
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1224,6 +1239,99 @@ def q_pq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["q_pq_check"] = _CHECK_ORACLE
+
+
+
+
+def save_pq_model(
+    spark: SparkSession, path: str, cb: list, subdim: int
+) -> None:
+    """Persist a trained PQ codebook as a tiny parquet table (m·ksub
+    rows) + a _MODEL json sidecar — the model-store step that lets the
+    offline trainer and the online encoder be different jobs (at
+    100 TB you train once on a sample and encode shards for weeks).
+    Atomic: written to a tmp dir and os.replace()d into place."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    tmp = f"{path}.model-{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame(
+        cb, "block int, code int, cent array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_MODEL"), "w") as f:
+        json.dump(
+            {
+                "kind": "pq",
+                "m": max(b for b, _c, _v in cb) + 1,
+                "ksub": max(c for _b, c, _v in cb) + 1,
+                "subdim": subdim,
+            },
+            f,
+        )
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.replace(tmp, path)
+
+
+def load_pq_model(spark: SparkSession, path: str) -> tuple[list, dict]:
+    """Load a persisted PQ codebook: returns (codebook rows sorted by
+    (block, code) — bit-identical to what save_pq_model received —
+    and the _MODEL metadata)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_MODEL")) as f:
+        meta = json.load(f)
+    rows = (
+        spark.read.parquet(path)
+        .orderBy("block", "code")
+        .collect()
+    )
+    cb = [(int(r.block), int(r.code), [float(v) for v in r.cent]) for r in rows]
+    return cb, meta
+
+
+def pq_encode_with_model(
+    spark: SparkSession, e: DataFrame, cb: list, subdim: int
+) -> DataFrame:
+    """Encode a (vec_id, embedding) frame against a FIXED codebook —
+    the online half of the PQ split (no training jobs): normalize,
+    posexplode sub-blocks, one broadcast equi-join on block, one
+    min(struct) aggregate. Stateless per row, so it composes with
+    streaming ingestion exactly like q_stream_centroid_assign."""
+    m = max(b for b, _c, _v in cb) + 1
+    norm = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(embedding,"
+            " CAST(0 AS DOUBLE), (s, v) -> s + CAST(v AS DOUBLE) * v)))"
+        ).alias("u"),
+    )
+    sub = norm.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}),"
+                f" b -> slice(u, b * {subdim} + 1, {subdim}))"
+            )
+        ).alias("block", "sv"),
+    )
+    cb_df = spark.createDataFrame(cb, "block int, code int, cent array<double>")
+    scored = sub.join(F.broadcast(cb_df), "block").withColumn(
+        "dist",
+        F.expr(
+            "aggregate(zip_with(sv, cent, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS DOUBLE), (s, v) -> s + v)"
+        ),
+    )
+    return (
+        scored.groupBy("vec_id", "block")
+        .agg(F.min(F.struct("dist", "code")).alias("best"))
+        .select("vec_id", "block", F.col("best.code").alias("code"))
+    )
 
 
 QUERIES = {
