@@ -45,6 +45,7 @@ HEADLINERS = [
     "q_domain_cap",
     "q_sample_hash",
     "q_pack_sequences",
+    "q_pretrain_mix",
     "q_fanout",
 ]
 
