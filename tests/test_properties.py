@@ -167,3 +167,127 @@ def test_salted_join_equals_plain_join(spark, left, right, n_salts):
     )
     want = sorted(map(tuple, ldf.join(rdf, "k").collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# TTL-eviction stateful fold: split-independence + timer-timing-independence
+# ---------------------------------------------------------------------------
+
+_TTL_MIN = st.integers(min_value=0, max_value=600)
+_ttl_events = st.lists(
+    st.tuples(_TTL_MIN, st.integers(min_value=-5, max_value=5)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    events=_ttl_events,
+    splits=st.sets(st.integers(min_value=1, max_value=29), max_size=6),
+    eager_timers=st.booleans(),
+)
+def test_ttl_evict_fold_is_split_and_timer_timing_independent(
+    events, splits, eager_timers
+):
+    """The per-key TTL fold must emit exactly the reference gap
+    segmentation for ANY time-ordered batch split, and WHETHER an
+    eligible eviction timer fires between batches (eager, as Spark
+    would once the watermark passes) or only at the end (lazy) must
+    not change the result — a gap > TTL is detected inline by the next
+    batch if the timer hasn't fired yet. This is the pure-Python drive
+    of the exact generator applyInPandasWithState runs; no Spark."""
+    import pandas as pd
+
+    from timer_pulsar_spark.streaming.stateful import _TTL_US, _ttl_evict_fn
+
+    # minutes -> microseconds; keep values integral so sums are exact
+    evs = sorted(
+        (m * 60_000_000, float(v)) for m, v in events
+    )
+
+    # reference gap segmentation
+    ref = []
+    seg = None
+    for t, v in evs:
+        if seg is None or t - seg[1] > _TTL_US:
+            if seg is not None:
+                ref.append((seg[0], seg[2], seg[3]))
+            seg = [t, t, 1, v]
+        else:
+            seg[1], seg[2], seg[3] = t, seg[2] + 1, seg[3] + v
+    ref.append((seg[0], seg[2], seg[3]))
+    ref = sorted(ref)
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+            self.timeout_ms = None
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+    state = FakeState()
+    emitted = []
+
+    def run(pdfs):
+        for out in _ttl_evict_fn((7,), pdfs, state):
+            for _i, r in out.iterrows():
+                emitted.append(
+                    (
+                        int(pd.Timestamp(r.seg_start).value // 1000),
+                        int(r.n_events),
+                        float(r.total),
+                    )
+                )
+
+    cut = sorted(i for i in splits if i < len(evs))
+    bounds = [0, *cut, len(evs)]
+    batches = [
+        evs[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+    ]
+    watermark_ms = None
+    for batch in batches:
+        if (
+            eager_timers
+            and state.exists
+            and watermark_ms is not None
+            and state.timeout_ms is not None
+            and watermark_ms > state.timeout_ms
+        ):
+            state.hasTimedOut = True
+            run(iter(()))
+            state.hasTimedOut = False
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t for t, _v in batch], unit="us"),
+                "value": [v for _t, v in batch],
+            }
+        )
+        run(iter((pdf,)))
+        # Spark's watermark: max event time seen minus the 1-min delay
+        hi = max(t for t, _v in batch) // 1000
+        watermark_ms = max(watermark_ms or 0, hi - 60_000)
+    # closing watermark passes every pending timer (the sentinel's job)
+    while state.exists:
+        state.hasTimedOut = True
+        run(iter(()))
+        state.hasTimedOut = False
+
+    assert sorted(emitted) == ref
