@@ -319,3 +319,77 @@ def test_pq_model_roundtrip_and_fixed_encode(spark, tmp_path):
     a = assign.orderBy("vec_id", "block").toPandas()
     b = enc.orderBy("vec_id", "block").toPandas()
     assert a[["vec_id", "block", "code"]].equals(b[["vec_id", "block", "code"]])
+
+
+def test_merge_change_data_feed(spark, tmp_path):
+    """The CDF sidecar: each merge writes exactly the per-key changes
+    it applies — inserts for new keys, update_postimage for matched
+    keys under update mode, nothing for matched keys under insert
+    mode — version-keyed so a retried merge replaces its own entry."""
+    from timer_pulsar_spark.store import merge_table
+
+    path = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+
+    # v0: table creation -> all inserts
+    merge_table(spark, path, mk([(1, "a"), (2, "b")]), ["k"],
+                changes_out=feed, change_version=0)
+    # v1: insert mode, one duplicate + one new -> only the new key
+    merge_table(spark, path, mk([(2, "bb"), (3, "c")]), ["k"],
+                changes_out=feed, change_version=1)
+    # v2: update mode -> postimage for matched, insert for new
+    merge_table(spark, path, mk([(1, "a2"), (4, "d")]), ["k"],
+                update_matched=True, changes_out=feed, change_version=2)
+    # retry of v2 AFTER the table advanced: first write wins — the
+    # entry must NOT be recomputed (that would relabel key 4, which
+    # the retry now finds matched, as update_postimage)
+    merge_table(spark, path, mk([(1, "a2"), (4, "d")]), ["k"],
+                update_matched=True, changes_out=feed, change_version=2)
+
+    f = spark.read.parquet(feed).toPandas()
+    got = sorted(map(tuple, f[["cv", "k", "_op"]].astype(str).values.tolist()))
+    assert got == sorted(
+        [
+            ("0", "1", "insert"), ("0", "2", "insert"),
+            ("1", "3", "insert"),
+            ("2", "1", "update_postimage"), ("2", "4", "insert"),
+        ]
+    ), got
+    # table state matches the feed's story
+    t = spark.read.parquet(path).toPandas().sort_values("k")
+    assert t["v"].tolist() == ["a2", "b", "c", "d"]
+
+    # auto-versioning continues after the explicit ones
+    merge_table(spark, path, mk([(5, "e")]), ["k"], changes_out=feed)
+    f2 = spark.read.parquet(feed).toPandas()
+    assert str(f2["cv"].astype(int).max()) == "3"
+
+
+def test_merge_change_feed_partition_scoped(spark, tmp_path):
+    """CDF on a hive-partitioned target: the feed is computed against
+    the same pruned leaf view the scoped merge reads, and reports only
+    the genuinely-new keys of the touched minute."""
+    from timer_pulsar_spark.store import (
+        merge_table,
+        task_slice_columns,
+        write_tasks_partitioned,
+    )
+
+    path = str(tmp_path / "tasks")
+    feed = str(tmp_path / "feed")
+    tasks = _tasks(spark)
+    write_tasks_partitioned(tasks, path)
+
+    batch = task_slice_columns(
+        tasks.filter(
+            F.date_format("run_timer", "yyyy-MM-dd HH:mm") == "2024-01-01 00:05"
+        )
+    ).withColumn("status", F.lit(2))
+    n = batch.count()
+    merge_table(spark, path, batch, ["timer_id", "run_timer"],
+                update_matched=True, changes_out=feed, change_version=7)
+    f = spark.read.parquet(feed).toPandas()
+    assert len(f) == n
+    assert (f["_op"] == "update_postimage").all()  # every key pre-existed
+    assert (f["cv"] == 7).all()

@@ -217,8 +217,26 @@ def merge_table(
     update_matched: bool = False,
     partition_by: list[str] | None = None,
     full_table: bool = False,
+    changes_out: str | None = None,
+    change_version: int | None = None,
 ) -> None:
     """S9/T14: MERGE INTO the parquet table at `path`.
+
+    ``changes_out``: optional CHANGE DATA FEED — the Delta CDF analog.
+    Each merge also writes the per-key changes it is about to apply
+    (incoming columns + ``_op``: 'insert' for keys new to the table,
+    'update_postimage' for matched keys when update_matched=True;
+    matched keys under insert mode are no-ops and emit nothing) to
+    ``changes_out/cv=<change_version>``. Entries are atomic and
+    FIRST-WRITE-WINS per version (see _write_change_feed), so a
+    retried merge with the same version neither duplicates nor —
+    crucially — recomputes against the already-advanced table (which
+    would relabel its own inserts as updates) — pass the micro-batch
+    id from a streaming fold; omitted, the next integer version is
+    used.
+    Downstream incremental consumers (an SCD2 fold, a cache
+    invalidator, a search indexer) read the feed instead of diffing
+    table snapshots — O(changes), not O(table), per sync.
 
     update_matched=False: WHEN NOT MATCHED INSERT (idempotent insert,
     existing rows win — duplicate-1062 tolerance).
@@ -253,6 +271,12 @@ def merge_table(
     on a real lake).
     """
     if not os.path.exists(path):
+        if changes_out is not None:
+            _write_change_feed(
+                incoming.withColumn("_op", F.lit("insert")),
+                changes_out,
+                change_version,
+            )
         if partition_by:
             (
                 incoming.repartition(*partition_by)
@@ -276,6 +300,21 @@ def merge_table(
                 "full_table=True (with the columns present)."
             )
         if not full_table:
+            if changes_out is not None:
+                # compare against the SAME pruned view the scoped merge
+                # reads: under the partition-scope contract a key can't
+                # match outside its touched leaves
+                cond = _touched_leaf_filter(incoming, part_cols)
+                _emit_changes(
+                    spark.read.parquet(path).filter(cond)
+                    if cond is not None
+                    else spark.read.parquet(path).limit(0),
+                    incoming,
+                    keys,
+                    update_matched,
+                    changes_out,
+                    change_version,
+                )
             _merge_partition_scoped(
                 spark, path, incoming, keys, part_cols, update_matched
             )
@@ -284,6 +323,11 @@ def merge_table(
         # merge key may move a row across leaves), rewrite partitioned,
         # swap the whole directory
         existing = spark.read.parquet(path)
+        if changes_out is not None:
+            _emit_changes(
+                existing, incoming, keys, update_matched,
+                changes_out, change_version,
+            )
         merged = _plan_merge(existing, incoming, keys, update_matched)
         tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
         _write_partitioned_leaves(merged, part_cols, tmp)
@@ -291,12 +335,93 @@ def merge_table(
         os.replace(tmp, path)
         return
     existing = spark.read.parquet(path)
+    if changes_out is not None:
+        _emit_changes(
+            existing, incoming, keys, update_matched,
+            changes_out, change_version,
+        )
     merged = _plan_merge(existing, incoming, keys, update_matched)
     # parquet swap: write fresh, then replace the live directory
     tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(tmp)
     shutil.rmtree(path)
     os.replace(tmp, path)
+
+
+def _touched_leaf_filter(incoming: DataFrame, part_cols: list[str]):
+    """OR-of-equalities over incoming's distinct partition tuples —
+    the pruning predicate both the scoped merge and its change feed
+    share. None when incoming is empty."""
+    from functools import reduce
+    from operator import and_, or_
+
+    touched = [
+        tuple(r) for r in incoming.select(*part_cols).distinct().collect()
+    ]
+    if not touched:
+        return None
+    return reduce(
+        or_,
+        (
+            reduce(and_, (F.col(c) == F.lit(v) for c, v in zip(part_cols, t)))
+            for t in touched
+        ),
+    )
+
+
+def _emit_changes(
+    existing: DataFrame,
+    incoming: DataFrame,
+    keys: list[str],
+    update_matched: bool,
+    changes_out: str,
+    change_version: int | None,
+) -> None:
+    """Compute the per-key change rows this merge will apply and write
+    them version-keyed (see merge_table's changes_out doc)."""
+    ex_keys = existing.select(*keys)
+    fresh = incoming.join(ex_keys, keys, "left_anti").withColumn(
+        "_op", F.lit("insert")
+    )
+    if update_matched:
+        matched = incoming.join(ex_keys, keys, "left_semi").withColumn(
+            "_op", F.lit("update_postimage")
+        )
+        changes = fresh.unionByName(matched)
+    else:
+        changes = fresh
+    _write_change_feed(changes, changes_out, change_version)
+
+
+def _write_change_feed(
+    changes: DataFrame, changes_out: str, change_version: int | None
+) -> None:
+    """FIRST-WRITE-WINS, atomic per version: the entry is written to a
+    tmp dir and os.replace()d into `cv=N`, and an existing complete
+    entry is never overwritten. With version = batch id this gives the
+    feed exactly-once semantics under at-least-once merge redelivery:
+    a retry BEFORE the table mutation recomputes the identical entry;
+    a retry AFTER it (when recomputation against the advanced table
+    would lie — the inserted keys now look matched) finds the entry
+    present and leaves the truthful first write in place. The feed
+    write precedes the table mutation for exactly this reason."""
+    if change_version is None:
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(changes_out) if os.path.exists(changes_out) else [])
+            if d.startswith("cv=")
+        ]
+        change_version = (max(versions) + 1) if versions else 0
+    final = os.path.join(changes_out, f"cv={change_version}")
+    if os.path.exists(final):
+        return
+    if os.path.exists(changes_out):  # sweep debris from crashed writes
+        for d in os.listdir(changes_out):
+            if d.startswith(".tmp-cv-"):
+                shutil.rmtree(os.path.join(changes_out, d), ignore_errors=True)
+    tmp = os.path.join(changes_out, f".tmp-cv-{uuid.uuid4().hex[:8]}")
+    changes.write.mode("overwrite").parquet(tmp)
+    os.replace(tmp, final)
 
 
 def _write_partitioned_leaves(
@@ -353,21 +478,9 @@ def _merge_partition_scoped(
        into a temp dir, then atomically swap each touched leaf
        directory into place. Untouched leaves keep their very files.
     """
-    from functools import reduce
-    from operator import and_, or_
-
-    touched = [
-        tuple(r) for r in incoming.select(*part_cols).distinct().collect()
-    ]
-    if not touched:
+    cond = _touched_leaf_filter(incoming, part_cols)
+    if cond is None:
         return
-    cond = reduce(
-        or_,
-        (
-            reduce(and_, (F.col(c) == F.lit(v) for c, v in zip(part_cols, t)))
-            for t in touched
-        ),
-    )
     existing = spark.read.parquet(path).filter(cond)
     merged = _plan_merge(existing, incoming, keys, update_matched)
     tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
