@@ -393,3 +393,60 @@ def test_merge_change_feed_partition_scoped(spark, tmp_path):
     assert len(f) == n
     assert (f["_op"] == "update_postimage").all()  # every key pre-existed
     assert (f["cv"] == 7).all()
+
+
+def test_pipeline_merge_emits_change_feed(spark, tmp_path):
+    """End-to-end CDF through the streaming pipeline: each status
+    MERGE batch records its applied changes under cv=<batch_id>;
+    re-running from the same checkpoint with replayed + new input
+    feeds ONLY the genuinely new keys (replays are either deduped
+    upstream or matched no-ops)."""
+    from datetime import datetime, timedelta
+
+    from timer_pulsar_spark.schemas import TIMER_ENABLED
+    from timer_pulsar_spark.streaming.pipeline import run_pipeline_blocking
+
+    BASE = datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, "app", f"t{i}", TIMER_ENABLED, "* * * * *",
+         {"method": "POST", "url": "http://mock", "header": {}, "body": ""})
+        for i in range(1, 4)
+    ]
+    timers = spark.createDataFrame(
+        rows,
+        "id long, app string, name string, status int, cron string, "
+        "notify_http_param struct<method:string,url:string,"
+        "header:map<string,string>,body:string>",
+    )
+    tasks_dir = str(tmp_path / "tasks")
+    status = str(tmp_path / "status")
+    ckpt = str(tmp_path / "ckpt")
+    feed = str(tmp_path / "feed")
+
+    def write_tasks(entries):
+        spark.createDataFrame(
+            entries, "timer_id long, run_timer timestamp, status int"
+        ).write.mode("append").parquet(tasks_dir)
+
+    batch1 = [(tid, BASE, 0) for tid in (1, 2, 3)]
+    write_tasks(batch1 + batch1)  # in-batch duplicates
+    run_pipeline_blocking(
+        spark, tasks_dir, timers, status, ckpt, changes_out=feed
+    )
+    f1 = spark.read.parquet(feed).toPandas()
+    assert sorted(f1["timer_id"]) == [1, 2, 3]
+    assert (f1["_op"] == "insert").all()
+
+    # replay timer 1 (beyond-watermark dup) + one genuinely new task
+    write_tasks([(1, BASE, 0), (2, BASE + timedelta(minutes=5), 0)])
+    run_pipeline_blocking(
+        spark, tasks_dir, timers, status, ckpt, changes_out=feed
+    )
+    f2 = spark.read.parquet(feed).toPandas()
+    new = f2[~f2["cv"].isin(f1["cv"])]
+    # the replayed key is a matched no-op (status unchanged -> update
+    # emitted only for it if it reached the merge; the genuinely new
+    # key must appear exactly once as an insert)
+    inserts = new[new["_op"] == "insert"]
+    assert sorted(inserts["timer_id"]) == [2]
+    assert spark.read.parquet(status).count() == 4

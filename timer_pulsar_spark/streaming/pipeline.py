@@ -78,6 +78,7 @@ def run_pipeline(
     source_kind: str = "files",
     metrics_registry=None,
     assume_nonempty_batches: bool = False,
+    changes_out: str | None = None,
 ):
     """Start the pipeline; with available_now=True it drains pending
     input and stops (the test/driver mode). Returns the StreamingQuery.
@@ -91,6 +92,13 @@ def run_pipeline(
       status table grows, and the watermarked dedup upstream already
       bounds duplicates to beyond-watermark replays, which the
       compacting read resolves deterministically.
+
+    changes_out (merge mode only): per-batch CHANGE DATA FEED — every
+    status MERGE also records the per-key changes it applies under
+    ``changes_out/cv=<batch_id>`` (store.merge_table's CDF; atomic,
+    first-write-wins per batch id, so foreachBatch redeliveries
+    neither duplicate nor falsify the feed). Downstream incremental
+    consumers tail the feed instead of diffing the status table.
 
     assume_nonempty_batches (append_log only): skip the per-batch
     emptiness probe — one Spark job per micro-batch instead of two
@@ -184,6 +192,8 @@ def run_pipeline(
                     ["timer_id", "run_timer"],
                     update_matched=True,
                     partition_by=["minute", "bucket"],
+                    changes_out=changes_out,
+                    change_version=batch_id if changes_out else None,
                 )
             finally:
                 executed.unpersist()
