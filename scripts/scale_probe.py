@@ -55,6 +55,7 @@ PROBES = [
     "q_dedup_minhash",
     "q_centroid_assign",
     "q_semdedup_scaled",
+    "q_pretrain_mix",
 ]
 
 
