@@ -807,3 +807,110 @@ def test_fake_broker_two_consumers_one_group(spark, tmp_path):
     # merged ack covers every partition's first wave at least
     cm = broker.committed("g1")
     assert all(int(cm.get(p, 0)) >= int(v) for p, v in end_wave1.items()), cm
+
+
+def test_fake_broker_group_membership_change_resumes_from_commits(spark, tmp_path):
+    """Rebalance: a 1-member group consumes and acks a first wave;
+    after a stop, the group RESTARTS AS TWO MEMBERS with fresh
+    checkpoints — each must resume its partitions from the group's
+    committed offsets (no re-read below the ack; at-least-once only
+    for the uncommitted tail), split the partitions exclusively, and
+    the union of both phases must cover every record."""
+    import hashlib
+    import time as _time
+
+    from timer_pulsar_spark.sources.fake_broker import FakeBroker, register
+
+    register(spark)
+    root = str(tmp_path / "broker")
+    broker = FakeBroker(root)
+    wave1 = [(f"a{i}".encode(), b"v") for i in range(30)]
+    broker.produce(wave1)
+
+    def pid_of(key: bytes) -> int:
+        return int.from_bytes(hashlib.md5(key).digest()[:4], "big") % 4
+
+    def start(member, size, out, ckpt):
+        stream = (
+            spark.readStream.format("fake_kafka")
+            .option("path", root).option("group", "g")
+            .option("memberId", str(member)).option("groupSize", str(size))
+            .load().selectExpr("cast(key as string) k")
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .trigger(processingTime="1 second").start()
+        )
+
+    out1 = str(tmp_path / "out1")
+    q = start(0, 1, out1, str(tmp_path / "ckpt1"))
+    try:
+        # flush wave drives wave 1's ack (batch N commits at batch N+1)
+        deadline = _time.time() + 120
+        flushed = False
+        while _time.time() < deadline:
+            assert q.exception() is None, q.exception()
+            try:
+                if spark.read.parquet(out1).count() >= 30 and not flushed:
+                    broker.produce([(b"flush1", b"v"), (b"flush2", b"v")])
+                    flushed = True
+                cm = broker.committed("g")
+                if flushed and sum(int(v) for v in cm.values()) >= 30:
+                    break
+            except Exception:
+                pass
+            _time.sleep(1)
+        else:
+            raise AssertionError(f"phase-1 drain: {broker.committed('g')}")
+    finally:
+        q.stop()
+    c1 = {p: int(v) for p, v in broker.committed("g").items()}
+
+    # membership change: two members, FRESH checkpoints, same group
+    broker.produce([(f"b{i}".encode(), b"v") for i in range(20)])
+    outs = [str(tmp_path / "out2a"), str(tmp_path / "out2b")]
+    qs = [
+        start(0, 2, outs[0], str(tmp_path / "ckpt2a")),
+        start(1, 2, outs[1], str(tmp_path / "ckpt2b")),
+    ]
+    try:
+        expected_tail = sum(broker.end_offsets().values()) - sum(c1.values())
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            for q2 in qs:
+                assert q2.exception() is None, q2.exception()
+            try:
+                got = sum(spark.read.parquet(o).count() for o in outs)
+                if got >= expected_tail:
+                    break
+            except Exception:
+                pass
+            _time.sleep(1)
+        else:
+            raise AssertionError("phase-2 drain")
+    finally:
+        for q2 in qs:
+            q2.stop()
+
+    phase1 = set(spark.read.parquet(out1).toPandas()["k"])
+    p2 = [spark.read.parquet(o).toPandas()["k"].tolist() for o in outs]
+    # exclusive assignment in the new generation
+    for member, ks in enumerate(p2):
+        pids = {pid_of(k.encode()) for k in ks}
+        assert pids <= {p for p in range(4) if p % 2 == member}, (member, pids)
+    phase2 = [k for ks in p2 for k in ks]
+    # resume-from-commit: nothing below the phase-1 ack is re-read —
+    # every phase-2 record sits at-or-above its partition's committed
+    # offset (checked by value: acked wave-1 'a*' keys can only appear
+    # in phase 2 if their offset was in the uncommitted tail)
+    all_keys = {f"a{i}" for i in range(30)} | {"flush1", "flush2"} | {
+        f"b{i}" for i in range(20)
+    }
+    assert phase1 | set(phase2) == all_keys
+    # no phase-2 duplicates within itself (each offset read once)
+    assert len(phase2) == len(set(phase2))
+    # the committed portion of wave 1 is NOT re-read: per partition,
+    # phase-2 count == end - committed
+    ends = {p: int(v) for p, v in broker.end_offsets().items()}
+    assert len(phase2) == sum(ends[p] - c1.get(p, 0) for p in ends)

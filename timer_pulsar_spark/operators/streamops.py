@@ -85,7 +85,63 @@ def q_stream_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_stream_execute": q_stream_execute}
+def q_stream_cdf_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHANGE-DATA-FEED consumer proof: run the same hermetic
+    pipeline (duplicates injected) with ``changes_out`` wired, then
+    reconstruct the status table FROM THE FEED ALONE — fold the
+    cv-ordered insert/update_postimage entries, last write per key
+    wins — and return it. Registered with q_stream_execute's oracle:
+    a downstream incremental consumer that only ever tails the feed
+    must converge to exactly the table the merges built. This is the
+    contract that lets a search indexer / cache / SCD2 fold sync at
+    O(changes) per batch instead of re-diffing a 100 TB table."""
+    from pyspark.sql.window import Window
+
+    work = tempfile.mkdtemp(prefix="stream_cdf_")
+    tasks_dir = os.path.join(work, "tasks")
+    status_path = os.path.join(work, "status")
+    ckpt = os.path.join(work, "ckpt")
+    feed_dir = os.path.join(work, "feed")
+
+    from ..functions.timeutil import as_utc_instant, utc_wallclock_ntz
+
+    fanned = fan_out(minute_timers(spark, sf_dir), WINDOW_START, WINDOW_END_1H)
+    tasks = fanned.select(
+        F.col("timer_id").cast("long"),
+        as_utc_instant(fanned, "run_timer").alias("run_timer"),
+        "status",
+    )
+    tasks.unionAll(tasks).write.mode("overwrite").parquet(tasks_dir)
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        run_pipeline_blocking(
+            spark,
+            tasks_dir,
+            demo_timers(spark, sf_dir),
+            status_path,
+            ckpt,
+            changes_out=feed_dir,
+        )
+    feed = spark.read.parquet(feed_dir)
+    w = Window.partitionBy("timer_id", "run_timer").orderBy(F.col("cv").desc())
+    state = (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return state.select(
+        "timer_id",
+        utc_wallclock_ntz(F.col("run_timer")).alias("run_timer"),
+        "status",
+        "output",
+    )
+
+
+QUERIES = {
+    "q_stream_execute": q_stream_execute,
+    "q_stream_cdf_consume": q_stream_cdf_consume,
+}
 # The mock pipeline is deterministic end-to-end: enabled (even-keyed)
 # timers x their trigger instants, every callback Successed with the
 # reference mock body (app/webserver/app.go:87-95), duplicates collapsed
@@ -106,3 +162,5 @@ ORACLES: dict[str, str] = {
         FROM nation WHERE n_nationkey % 2 = 0
     """,
 }
+# the feed-reconstructed table must equal the merged table
+ORACLES["q_stream_cdf_consume"] = ORACLES["q_stream_execute"]

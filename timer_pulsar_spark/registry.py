@@ -82,7 +82,7 @@ SECONDARY: list[str] = [
     "q_pmi_collocations",
     # round-5 newcomers beyond the PRIORITY window
     "q_pq_check", "q_interval_join_bucketed", "q_pretrain_mix",
-    "q_xml_roundtrip",
+    "q_xml_roundtrip", "q_stream_cdf_consume",
 ]
 
 

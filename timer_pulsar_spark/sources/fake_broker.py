@@ -149,7 +149,20 @@ class FakeKafkaStreamReader(DataSourceStreamReader):
         ]
 
     def initialOffset(self) -> dict:
-        return {str(p): 0 for p in self.assigned}
+        """A FRESH query (new checkpoint) resumes from the GROUP's
+        committed offsets, like a Kafka consumer joining a group —
+        this is what makes membership changes work: stop a 1-member
+        group, restart as 2 members with fresh checkpoints, and each
+        member picks up its partitions where the group left off
+        (earliest for never-committed partitions). An existing
+        checkpoint overrides this (Spark resumes from its own offsets,
+        the connector's usual precedence)."""
+        path = os.path.join(self.root, "groups", f"{self.group}.json")
+        committed: dict = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                committed = json.load(f)
+        return {str(p): int(committed.get(str(p), 0)) for p in self.assigned}
 
     def latestOffset(self) -> dict:
         out = {}
