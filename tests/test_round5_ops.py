@@ -450,3 +450,43 @@ def test_pipeline_merge_emits_change_feed(spark, tmp_path):
     inserts = new[new["_op"] == "insert"]
     assert sorted(inserts["timer_id"]) == [2]
     assert spark.read.parquet(status).count() == 4
+
+
+def test_snapshot_diff(spark, tmp_path):
+    """Row-level diff between two commits: added / removed / changed
+    keys with the target-side values; the complement of the change
+    feed for commits made before a feed was wired."""
+    from timer_pulsar_spark.store import snapshot_diff, write_snapshot
+
+    path = str(tmp_path / "snap")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    v0 = write_snapshot(mk([(1, "a"), (2, "b"), (3, "c")]), path)
+    v1 = write_snapshot(mk([(2, "b"), (3, "c2"), (4, "d")]), path)
+
+    d = snapshot_diff(spark, path, ["k"], v0, v1).toPandas()
+    got = sorted(map(tuple, d[["k", "_change"]].values.tolist()))
+    assert got == [(1, "removed"), (3, "changed"), (4, "added")]
+    vals = {int(r.k): r.v for _i, r in d.iterrows()}
+    assert vals[3] == "c2" and vals[4] == "d" and vals[1] is None
+    # identity diff is empty
+    assert snapshot_diff(spark, path, ["k"], v1, v1).count() == 0
+
+
+def test_vacuum_change_feed(spark, tmp_path):
+    """Feed retention below a consumer watermark: vacuumed versions
+    disappear, newer ones keep their exactly-once entries."""
+    from timer_pulsar_spark.store import merge_table, vacuum_change_feed
+
+    path = str(tmp_path / "t")
+    feed = str(tmp_path / "feed")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    for i, rows in enumerate([[(1, "a")], [(2, "b")], [(3, "c")]]):
+        merge_table(spark, path, mk(rows), ["k"],
+                    changes_out=feed, change_version=i)
+
+    removed = vacuum_change_feed(feed, 1)
+    assert removed == [0, 1]
+    f = spark.read.parquet(feed).toPandas()
+    assert sorted(f["k"]) == [3] and (f["cv"] == 2).all()
+    # idempotent
+    assert vacuum_change_feed(feed, 1) == []

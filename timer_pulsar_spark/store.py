@@ -628,6 +628,80 @@ def vacuum_snapshots(path: str, keep: int = 2) -> list[int]:
     return removable
 
 
+def snapshot_diff(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Row-level diff between two snapshot versions — the time-travel
+    audit query ("what changed between last night's commit and now"):
+    returns one row per differing key with ``_change`` ∈ {'added',
+    'removed', 'changed'} and the v_to-side values (NULLs for
+    'removed'). One FULL OUTER join on the key + a non-key column
+    comparison; at 100 TB both sides prune to the snapshot dirs and
+    the join shuffles once on the key — no driver-side diffing. The
+    complement of the change feed: CDF records changes as they are
+    APPLIED, snapshot_diff reconstructs them BETWEEN any two commits
+    (including commits made before a feed was wired)."""
+    a = read_snapshot(spark, path, v_from)
+    b = read_snapshot(spark, path, v_to)
+    val_cols = [c for c in a.columns if c not in keys]
+    a_sel = a.select(
+        *keys, *[F.col(c).alias(f"__a_{c}") for c in val_cols],
+        F.lit(True).alias("__in_a"),
+    )
+    b_sel = b.select(
+        *keys, *[F.col(c).alias(f"__b_{c}") for c in val_cols],
+        F.lit(True).alias("__in_b"),
+    )
+    j = a_sel.join(b_sel, keys, "full_outer")
+    same_vals = (
+        F.lit(True)
+        if not val_cols
+        else F.expr(
+            " AND ".join(
+                f"(__a_{c} <=> __b_{c})" for c in val_cols
+            )
+        )
+    )
+    change = (
+        F.when(F.col("__in_a").isNull(), F.lit("added"))
+        .when(F.col("__in_b").isNull(), F.lit("removed"))
+        .when(~same_vals, F.lit("changed"))
+    )
+    return (
+        j.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(
+            *keys,
+            *[F.col(f"__b_{c}").alias(c) for c in val_cols],
+            "_change",
+        )
+    )
+
+
+def vacuum_change_feed(path: str, up_to_version: int) -> list[int]:
+    """Retention for the MERGE change feed: drop cv entries a consumer
+    has durably processed (its committed watermark), keeping everything
+    newer. The feed's contract survives: versions above the watermark
+    are still exactly-once, and vacuuming below it can't affect a
+    consumer that by definition already folded those entries. Returns
+    the versions removed."""
+    if not os.path.isdir(path):
+        return []
+    removed = []
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("cv="):
+            continue
+        v = int(d.split("=", 1)[1])
+        if v <= up_to_version:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            removed.append(v)
+    return removed
+
+
 def _flip_latest(path: str, version: int) -> None:
     tmp = os.path.join(path, f".{_LATEST}.{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
