@@ -229,7 +229,21 @@ def dedup_near_pairs(
     grow: with the cap at production setting the 16x-corpus runtime
     ratio stays near-linear and recall vs the uncapped exact pairs is
     measured, not asserted (SCALE.md)."""
-    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return near_pairs_over(
+        load_table(spark, sf_dir, "documents"), spark, max_df=max_df
+    )
+
+
+def near_pairs_over(
+    docs: DataFrame, spark: SparkSession, max_df: int = SHINGLE_DF_CAP
+) -> DataFrame:
+    """The exact postings pair plan over an arbitrary document frame —
+    the building block dedup_near_pairs applies to the full table and
+    q_dedup_near_auto_check applies to a deterministic doc SAMPLE
+    above the switch threshold (ADVICE r05: the recall check must not
+    itself run the unscalable exact plan over the full corpus in
+    exactly the regime the switch exists to avoid)."""
+    d = spread(docs.select("doc_id", "text"), spark)
     shingled = with_shingles(d).select("doc_id", "shingles")
     # postings key = xxhash64(shingle), not the string: the shingle
     # shuffle moves 8-byte longs instead of ~20-char strings (measured
@@ -340,6 +354,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16x corpus). Below it, postings are exact and slightly cheaper.
 NEAR_DUP_AUTO_THRESHOLD = 100_000
 
+# recall-check sample size above the switch (ADVICE r05): exact
+# postings pairs are recomputed over ~this many hash-sampled docs, so
+# the contract check stays O(sample) while the corpus grows — the
+# check must not itself run the plan the switch exists to retire
+RECALL_SAMPLE_DOCS = 50_000
+
 
 def q_dedup_near_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-generation strategy switch (VERDICT r03 item 4): the
@@ -368,17 +388,38 @@ def q_dedup_near_auto_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical plans), and above it the 16-band × 4-row MinHash
     detection floor (1-(1-j^4)^16 ≈ 0.9998 at j = 0.8) keeps the bound
     honest. The oracle recomputes n and the switch decision from
-    count(*), so the driver verifies the switching law itself."""
+    count(*), so the driver verifies the switching law itself.
+
+    Scale-honest recall reference (ADVICE r05): BELOW the switch the
+    exact postings plan is the auto plan, so full-corpus recall is
+    free. ABOVE it, recomputing exact pairs over the full corpus is
+    precisely the cost the switch avoids — so the reference is exact
+    pairs over a deterministic doc sample (xxhash64(doc_id) bucket,
+    sized to ~RECALL_SAMPLE_DOCS docs regardless of corpus size), and
+    recall is measured on pairs with BOTH endpoints sampled. A pair's
+    Jaccard depends only on its two documents, so sample-restricted
+    exact pairs equal the full exact pair set restricted to sampled
+    endpoints — an unbiased recall estimate at O(sample) cost."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
     auto = q_dedup_near_auto(spark, sf_dir).persist()
     try:
         bad = auto.filter(F.col("jaccard") < NEAR_DUP_THRESHOLD).count()
-        exact = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+        if n >= NEAR_DUP_AUTO_THRESHOLD:
+            mod = max(1, n // RECALL_SAMPLE_DOCS)
+            in_sample = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(mod)) == 0
+            exact = near_pairs_over(
+                docs.filter(in_sample("doc_id")), spark
+            ).select("doc_a", "doc_b")
+            auto_pairs = auto.filter(
+                in_sample("doc_a") & in_sample("doc_b")
+            ).select("doc_a", "doc_b")
+        else:
+            exact = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+            auto_pairs = auto.select("doc_a", "doc_b")
         n_exact = exact.count()
-        n_hit = exact.join(
-            auto.select("doc_a", "doc_b"), ["doc_a", "doc_b"]
-        ).count()
+        n_hit = exact.join(auto_pairs, ["doc_a", "doc_b"]).count()
         recall = (n_hit / n_exact) if n_exact else 1.0
-        n = load_table(spark, sf_dir, "documents").count()
         return spark.createDataFrame(
             [
                 (

@@ -1150,13 +1150,15 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast and equi-joined against the corpus CODES on (block,
     code); summing the m looked-up entries per (query, vector) gives
     the ADC distance without touching a single corpus float. The
-    shortlist (8·k per query) then gets the standard exact-cosine
-    re-rank, so emitted scores are exact and only the candidate set is
-    approximate (rows-only gate; contract = q_pq_check).
+    shortlist (PQ_SHORTLIST = 24·k per query) then gets the standard
+    exact-cosine re-rank, so emitted scores are exact and only the
+    candidate set is approximate (rows-only gate; contract =
+    q_pq_check).
 
     Scale shape: the ADC join streams (corpus × m) code rows against a
     broadcast 640-row LUT — linear in corpus, zero full-width vector
-    reads until the 40-row-per-query re-rank."""
+    reads until the PQ_SHORTLIST (120 rows at k=5) per-query
+    re-rank."""
     assign, cb, _inertias, subdim = pq_train_encode(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
 

@@ -219,6 +219,7 @@ def merge_table(
     full_table: bool = False,
     changes_out: str | None = None,
     change_version: int | None = None,
+    change_run: str | None = None,
 ) -> None:
     """S9/T14: MERGE INTO the parquet table at `path`.
 
@@ -234,6 +235,20 @@ def merge_table(
     would relabel its own inserts as updates) — pass the micro-batch
     id from a streaming fold; omitted, the next integer version is
     used.
+    ``change_run``: binds the feed dir to ONE writer lifetime (ADVICE
+    r05 medium). Version keys alone cannot tell a legitimate
+    post-apply retry (same run, same batch id — must be a first-
+    write-wins no-op) from a DIFFERENT query restarted on a fresh
+    checkpoint (batch ids restart at 0 — its writes would silently
+    vanish under first-write-wins while the table still mutates,
+    diverging the feed). A run token (the producerId analog of the
+    fake_kafka writer marker) disambiguates: the first run-tagged
+    write stamps ``changes_out/_RUN``; any later write under a
+    different token raises BEFORE the table mutates instead of
+    silently dropping. run_pipeline derives the token from the
+    checkpoint lifetime (feed_run_token), so checkpoint-resumed
+    restarts keep writing and fresh-checkpoint restarts fail loudly.
+    None (direct callers managing their own versions) skips the check.
     Downstream incremental consumers (an SCD2 fold, a cache
     invalidator, a search indexer) read the feed instead of diffing
     table snapshots — O(changes), not O(table), per sync.
@@ -276,6 +291,7 @@ def merge_table(
                 incoming.withColumn("_op", F.lit("insert")),
                 changes_out,
                 change_version,
+                change_run,
             )
         if partition_by:
             (
@@ -314,6 +330,7 @@ def merge_table(
                     update_matched,
                     changes_out,
                     change_version,
+                    change_run,
                 )
             _merge_partition_scoped(
                 spark, path, incoming, keys, part_cols, update_matched
@@ -326,7 +343,7 @@ def merge_table(
         if changes_out is not None:
             _emit_changes(
                 existing, incoming, keys, update_matched,
-                changes_out, change_version,
+                changes_out, change_version, change_run,
             )
         merged = _plan_merge(existing, incoming, keys, update_matched)
         tmp = f"{path}.merge-{uuid.uuid4().hex[:8]}"
@@ -338,7 +355,7 @@ def merge_table(
     if changes_out is not None:
         _emit_changes(
             existing, incoming, keys, update_matched,
-            changes_out, change_version,
+            changes_out, change_version, change_run,
         )
     merged = _plan_merge(existing, incoming, keys, update_matched)
     # parquet swap: write fresh, then replace the live directory
@@ -376,6 +393,7 @@ def _emit_changes(
     update_matched: bool,
     changes_out: str,
     change_version: int | None,
+    change_run: str | None = None,
 ) -> None:
     """Compute the per-key change rows this merge will apply and write
     them version-keyed (see merge_table's changes_out doc)."""
@@ -390,11 +408,65 @@ def _emit_changes(
         changes = fresh.unionByName(matched)
     else:
         changes = fresh
-    _write_change_feed(changes, changes_out, change_version)
+    _write_change_feed(changes, changes_out, change_version, change_run)
+
+
+def feed_run_token(checkpoint_dir: str) -> str:
+    """A token with the lifetime of a streaming CHECKPOINT: minted on
+    first use, persisted inside the checkpoint dir, reused by every
+    restart that resumes the checkpoint. Passed as merge_table's
+    ``change_run``, it binds a change-feed dir to one checkpoint
+    lifetime — a fresh checkpoint gets a fresh token, so its writes to
+    an old feed dir raise instead of silently vanishing under
+    first-write-wins (its batch ids restart at 0). Spark ignores
+    unknown files in the checkpoint root, and the atomic replace makes
+    concurrent minting settle on a single token."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    tok_path = os.path.join(checkpoint_dir, "feed-run-token")
+    if os.path.exists(tok_path):
+        with open(tok_path) as fh:
+            return fh.read().strip()
+    token = uuid.uuid4().hex
+    tmp = tok_path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(token)
+    os.replace(tmp, tok_path)
+    with open(tok_path) as fh:  # re-read: a concurrent mint may have won
+        return fh.read().strip()
+
+
+def _bind_feed_run(changes_out: str, change_run: str) -> None:
+    """Stamp/verify the feed dir's run binding (ADVICE r05 medium).
+    First run-tagged write stamps ``_RUN``; a different token later
+    means a different checkpoint lifetime is reusing the dir — its
+    versions would collide with existing cv= entries and silently
+    drop under first-write-wins, so raise BEFORE any mutation."""
+    os.makedirs(changes_out, exist_ok=True)
+    marker = os.path.join(changes_out, "_RUN")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            bound = fh.read().strip()
+        if bound != change_run:
+            raise ValueError(
+                f"change feed {changes_out} is bound to run {bound!r} but "
+                f"this merge carries run {change_run!r}: a feed dir serves "
+                "ONE checkpoint lifetime (batch-id versions restart at 0 on "
+                "a fresh checkpoint and would silently vanish under first-"
+                "write-wins). Point the new query at a fresh changes_out, "
+                "or resume the original checkpoint."
+            )
+        return
+    tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        fh.write(change_run)
+    os.replace(tmp, marker)
 
 
 def _write_change_feed(
-    changes: DataFrame, changes_out: str, change_version: int | None
+    changes: DataFrame,
+    changes_out: str,
+    change_version: int | None,
+    change_run: str | None = None,
 ) -> None:
     """FIRST-WRITE-WINS, atomic per version: the entry is written to a
     tmp dir and os.replace()d into `cv=N`, and an existing complete
@@ -404,7 +476,13 @@ def _write_change_feed(
     a retry AFTER it (when recomputation against the advanced table
     would lie — the inserted keys now look matched) finds the entry
     present and leaves the truthful first write in place. The feed
-    write precedes the table mutation for exactly this reason."""
+    write precedes the table mutation for exactly this reason.
+
+    The run binding (``change_run``, see _bind_feed_run) is checked
+    FIRST: first-write-wins is only safe within one version sequence,
+    and the binding is what proves the writer belongs to it."""
+    if change_run is not None:
+        _bind_feed_run(changes_out, change_run)
     if change_version is None:
         versions = [
             int(d.split("=", 1)[1])

@@ -44,7 +44,7 @@ from pyspark.sql import types as T
 from ..config import CONFIG
 from ..schemas import TIMER_ENABLED
 from ..sources.task_stream import TASK_RECORD_SCHEMA, task_stream
-from ..store import merge_table, task_slice_columns
+from ..store import feed_run_token, merge_table, task_slice_columns
 from .notify import Transport, execute_batch, mock_transport
 
 # schema of the due-task stream (fan-out output + app tag)
@@ -99,6 +99,12 @@ def run_pipeline(
     first-write-wins per batch id, so foreachBatch redeliveries
     neither duplicate nor falsify the feed). Downstream incremental
     consumers tail the feed instead of diffing the status table.
+    The feed dir is BOUND to this pipeline's checkpoint lifetime
+    (store.feed_run_token → merge_table change_run): a restart that
+    resumes the checkpoint keeps feeding; a fresh checkpoint pointed
+    at the same changes_out raises instead of silently dropping its
+    batches (its batch ids restart at 0 and would lose every
+    first-write-wins race against the old run's entries).
 
     assume_nonempty_batches (append_log only): skip the per-batch
     emptiness probe — one Spark job per micro-batch instead of two
@@ -112,6 +118,7 @@ def run_pipeline(
     indistinguishable.
     """
     dim = timer_dim(spark, timers)
+    feed_run = feed_run_token(checkpoint_dir) if changes_out else None
 
     # S11: swap "files" for "kafka"/"pulsar" (sources/task_stream.py) to
     # consume from a real broker — same schema, same plan downstream
@@ -194,6 +201,7 @@ def run_pipeline(
                     partition_by=["minute", "bucket"],
                     changes_out=changes_out,
                     change_version=batch_id if changes_out else None,
+                    change_run=feed_run,
                 )
             finally:
                 executed.unpersist()

@@ -194,7 +194,15 @@ def _ttl_evict_fn(
             if seg_start is None:
                 seg_start, last, n, total = t, t, 1, v
             elif t - last <= _TTL_US:
-                last, n, total = t, n + 1, total + v
+                # ADVICE r05: a late-but-within-watermark event can
+                # arrive in a LATER batch with t < last (rows are only
+                # sorted within a batch). Never move the segment's
+                # last-seen backwards — that would shorten the eviction
+                # timer and split the segment prematurely — and let an
+                # early straggler extend seg_start back to where a
+                # full-order replay would have put it.
+                seg_start, last = min(seg_start, t), max(last, t)
+                n, total = n + 1, total + v
             else:  # idle past TTL inside the data: evict, restart fold
                 evicted.append((seg_start, last, n, total))
                 seg_start, last, n, total = t, t, 1, v
