@@ -173,6 +173,197 @@ def test_salted_join_equals_plain_join(spark, left, right, n_salts):
 # TTL-eviction stateful fold: split-independence + timer-timing-independence
 # ---------------------------------------------------------------------------
 
+
+class _FakeGroupState:
+    """Pure-Python stand-in for applyInPandasWithState's GroupState:
+    drives the exact generator the stream runs, no Spark."""
+
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+        self.timeout_ms = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+def _ttl_reference(evs_us, ttl_us):
+    """Full-event-time-order gap segmentation: (seg_start, n, total)."""
+    ref = []
+    seg = None
+    for t, v in sorted(evs_us):
+        if seg is None or t - seg[1] > ttl_us:
+            if seg is not None:
+                ref.append((seg[0], seg[2], seg[3]))
+            seg = [t, t, 1, v]
+        else:
+            seg[1], seg[2], seg[3] = t, seg[2] + 1, seg[3] + v
+    if seg is not None:
+        ref.append((seg[0], seg[2], seg[3]))
+    return sorted(ref)
+
+
+def _drive_ttl_fold(batches, eager_timers, wm_delay_ms):
+    """Deliver (t_us, value) batches through _ttl_evict_fn with
+    Spark's watermark/timer discipline; return emitted segment set."""
+    import pandas as pd
+
+    from timer_pulsar_spark.streaming.stateful import _ttl_evict_fn
+
+    state = _FakeGroupState()
+    emitted = []
+
+    def run(pdfs):
+        for out in _ttl_evict_fn((7,), pdfs, state):
+            for _i, r in out.iterrows():
+                emitted.append(
+                    (
+                        int(pd.Timestamp(r.seg_start).value // 1000),
+                        int(r.n_events),
+                        float(r.total),
+                    )
+                )
+
+    watermark_ms = None
+    for batch in batches:
+        if (
+            eager_timers
+            and state.exists
+            and watermark_ms is not None
+            and state.timeout_ms is not None
+            and watermark_ms > state.timeout_ms
+        ):
+            state.hasTimedOut = True
+            run(iter(()))
+            state.hasTimedOut = False
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([t for t, _v in batch], unit="us"),
+                "value": [v for _t, v in batch],
+            }
+        )
+        run(iter((pdf,)))
+        hi = max(t for t, _v in batch) // 1000
+        watermark_ms = max(watermark_ms or 0, hi - wm_delay_ms)
+    while state.exists:
+        state.hasTimedOut = True
+        run(iter(()))
+        state.hasTimedOut = False
+    return sorted(emitted)
+
+
+# gap grid that stresses the TTL boundary (TTL = 60 min = 3,600 s):
+# the (TTL, TTL+delay] band is where the old single-segment fold's
+# inline eviction was premature (bridgeable by admissible stragglers)
+_TTL_GAPS_SEC = [0, 1, 30, 59, 60, 61, 3599, 3600, 3601, 3630, 3659, 3660, 3661, 7300]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    gaps=st.lists(st.sampled_from(_TTL_GAPS_SEC), min_size=1, max_size=18),
+    jitters=st.lists(
+        st.sampled_from([0, 1, 30, 59, 60]), min_size=18, max_size=18
+    ),
+    splits=st.sets(st.integers(min_value=1, max_value=17), max_size=6),
+    eager_timers=st.booleans(),
+)
+def test_ttl_evict_fold_exact_under_watermark_bounded_disorder(
+    gaps, jitters, splits, eager_timers
+):
+    """VERDICT r06 gap: events are permuted ACROSS batches within the
+    watermark bound before delivery. Delivery order = sort by
+    (event_time + jitter) with jitter <= the 1-minute watermark delay
+    — exactly the reorderings Spark can admit (when an event is
+    delivered, everything delivered before it is at most delay ahead,
+    so the event clears the watermark). For EVERY such order, batch
+    split, and timer timing, the fold must emit the identical
+    segmentation a full-order replay produces — including stragglers
+    that bridge a gap in (TTL, TTL+delay] which the pre-r07
+    single-segment fold had already split irrevocably."""
+    from timer_pulsar_spark.streaming.stateful import (
+        _TTL_US,
+        _WM_DELAY_US,
+        WATERMARK_DELAY_MINUTES,
+    )
+
+    assert _WM_DELAY_US <= _TTL_US  # the wiring invariant under test
+
+    ts, acc = [], 0
+    for g in gaps:
+        acc += g
+        ts.append(acc)
+    evs = [(t * 1_000_000, float(i + 1)) for i, t in enumerate(ts)]
+
+    # watermark-admissible delivery order: arrival = t + jitter
+    order = sorted(
+        range(len(evs)),
+        key=lambda i: (evs[i][0] + jitters[i] * 1_000_000, evs[i][0], i),
+    )
+    delivered = [evs[i] for i in order]
+
+    cut = sorted(i for i in splits if i < len(delivered))
+    bounds = [0, *cut, len(delivered)]
+    batches = [
+        delivered[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
+    ]
+    got = _drive_ttl_fold(
+        batches, eager_timers, WATERMARK_DELAY_MINUTES * 60_000
+    )
+    assert got == _ttl_reference(evs, _TTL_US)
+
+
+def test_ttl_evict_fold_straggler_bridges_ttl_boundary_gap():
+    """Pinned counterexample to the pre-r07 single-segment fold: with
+    events at 0s, 3600s, 3659s delivered as [0s], [3659s], [3600s]
+    (the 3600s event 60s late — admissible under the 1-minute
+    watermark delay), the old fold inline-evicted [0s] on seeing the
+    apparent 3659s gap and could never undo the split, emitting two
+    segments. Full order has NO >TTL gap (3600 <= TTL, 59 <= TTL):
+    the straggler bridges the boundary and the answer is ONE segment
+    of all three events."""
+    s = 1_000_000
+    batches = [
+        [(0, 1.0)],
+        [(3659 * s, 2.0)],
+        [(3600 * s, 4.0)],
+    ]
+    got = _drive_ttl_fold(batches, eager_timers=False, wm_delay_ms=60_000)
+    assert got == [(0, 3, 7.0)]
+
+
+def test_ttl_evict_fold_emits_beyond_bound_straggler_alone():
+    """A straggler older than every stored segment's merge window
+    (impossible through the watermarked stream, possible when the fold
+    is driven directly) must surface as its own segment — never be
+    silently merged across a >TTL gap (ADVICE r06)."""
+    from timer_pulsar_spark.streaming.stateful import _TTL_US
+
+    h = 3_600_000_000  # 1 hour in µs
+    batches = [
+        [(0, 1.0)],
+        [(10 * h, 2.0)],
+        [(5 * h, 4.0)],  # 5 h from both neighbours: > TTL either way
+    ]
+    got = _drive_ttl_fold(batches, eager_timers=False, wm_delay_ms=60_000)
+    assert got == [(0, 1, 1.0), (5 * h, 1, 4.0), (10 * h, 1, 2.0)]
+    assert _TTL_US < 5 * h  # the premise: gaps really exceed TTL
+
+
 _TTL_MIN = st.integers(min_value=0, max_value=600)
 _ttl_events = st.lists(
     st.tuples(_TTL_MIN, st.integers(min_value=-5, max_value=5)),
@@ -219,31 +410,7 @@ def test_ttl_evict_fold_is_split_and_timer_timing_independent(
     ref.append((seg[0], seg[2], seg[3]))
     ref = sorted(ref)
 
-    class FakeState:
-        def __init__(self):
-            self._v = None
-            self.hasTimedOut = False
-            self.timeout_ms = None
-
-        @property
-        def exists(self):
-            return self._v is not None
-
-        @property
-        def get(self):
-            return self._v
-
-        def update(self, v):
-            self._v = tuple(v)
-
-        def remove(self):
-            self._v = None
-            self.timeout_ms = None
-
-        def setTimeoutTimestamp(self, ms):
-            self.timeout_ms = ms
-
-    state = FakeState()
+    state = _FakeGroupState()
     emitted = []
 
     def run(pdfs):

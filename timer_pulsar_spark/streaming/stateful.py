@@ -163,7 +163,27 @@ def running_totals_stream(events_stream: DataFrame) -> DataFrame:
 TTL_MINUTES = 60
 _TTL_US = TTL_MINUTES * 60 * 1_000_000
 
-_TTL_STATE = "seg_start long, last long, n int, total double"
+# Watermark delay the stream wiring must use (<= TTL — see
+# ttl_evict_stream). The fold also uses it to confirm a pending
+# segment early from data alone: once this key has seen an event at
+# t, the global watermark is >= t - delay, so any segment whose merge
+# window ends before t - delay can never be touched again.
+WATERMARK_DELAY_MINUTES = 1
+_WM_DELAY_US = WATERMARK_DELAY_MINUTES * 60 * 1_000_000
+
+# Up to TWO gap-segment summaries per key (ADVICE r06): an inline
+# eviction on a data gap in (TTL, TTL+delay] is premature — a
+# watermark-admissible straggler can still land within TTL of the old
+# segment (even BRIDGE the two segments into one), so the older
+# segment stays in state until the watermark timer or arriving data
+# proves it unreachable. With delay <= TTL a third segment can only
+# form once the oldest is already unreachable (gap arithmetic in
+# _ttl_evict_fn), so two fixed-size slots suffice at any scale.
+# s1_n == 0 encodes "no pending older segment".
+_TTL_STATE = (
+    "s1_start long, s1_last long, s1_n int, s1_total double, "
+    "s2_start long, s2_last long, s2_n int, s2_total double"
+)
 _TTL_OUT = "user_id long, seg_start timestamp, n_events int, total double"
 
 # far past every testdata event: drives the closing watermark past all
@@ -174,43 +194,85 @@ SENTINEL_TS = "2030-01-01 00:00:00"
 def _ttl_evict_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: Any
 ) -> Iterator[pd.DataFrame]:
+    """Per-key gap-segmentation fold, exact under any watermark-
+    bounded disorder (ADVICE r05/r06): for every delivery order the
+    watermark admits (each event at most WATERMARK_DELAY late, delay
+    <= TTL), the emitted segments equal a full-event-time-order
+    replay's. The single-segment version could not promise that — an
+    inline eviction on a gap in (TTL, TTL+delay] was a point of no
+    return, yet an admissible straggler could still merge with (or
+    bridge) the evicted segment. Now a segment is only emitted once
+    it is provably unreachable: (a) the event-time timer fired, so
+    watermark > newest.last + TTL >= every stored deadline; (b) a
+    third segment formed — its first event t has t - oldest.last >
+    2*TTL, so watermark >= t - delay > oldest.last + TTL already;
+    (c) this key saw data at t with t - delay > seg.last + TTL
+    (same watermark bound, data-confirmed). Merge tests are against
+    the segment's whole interval [start - TTL, last + TTL], not just
+    `last`, and an event reachable from both stored segments
+    coalesces them — the bridge a full-order replay would produce."""
     (user_id,) = key
-    evicted: list[tuple[int, int, int, float]] = []
+    evicted: list[list] = []
+
+    def _load() -> list[list]:
+        if not state.exists:
+            return []
+        r = state.get
+        segs = []
+        if r[2] > 0:  # pending older segment present
+            segs.append([r[0], r[1], r[2], r[3]])
+        segs.append([r[4], r[5], r[6], r[7]])
+        return segs
 
     if state.hasTimedOut:
-        seg_start, last, n, total = state.get
-        evicted.append((seg_start, last, n, total))
+        # watermark > newest.last + TTL >= older.last + TTL: every
+        # stored segment is past straggler reach — flush all
+        evicted.extend(_load())
         state.remove()
     else:
-        seg_start = last = n = total = None
-        if state.exists:
-            seg_start, last, n, total = state.get
+        segs = _load()
         rows = sorted(
             (int(t), float(v))
             for pdf in pdfs
             for t, v in zip(pdf["ts"].astype("int64") // 1000, pdf["value"])
         )
         for t, v in rows:
-            if seg_start is None:
-                seg_start, last, n, total = t, t, 1, v
-            elif t - last <= _TTL_US:
-                # ADVICE r05: a late-but-within-watermark event can
-                # arrive in a LATER batch with t < last (rows are only
-                # sorted within a batch). Never move the segment's
-                # last-seen backwards — that would shorten the eviction
-                # timer and split the segment prematurely — and let an
-                # early straggler extend seg_start back to where a
-                # full-order replay would have put it.
-                seg_start, last = min(seg_start, t), max(last, t)
-                n, total = n + 1, total + v
-            else:  # idle past TTL inside the data: evict, restart fold
-                evicted.append((seg_start, last, n, total))
-                seg_start, last, n, total = t, t, 1, v
-        if seg_start is not None:
-            state.update((seg_start, last, n, total))
-            # event-time eviction timer (ms): fire once the watermark
-            # passes TTL after the key's last event
-            state.setTimeoutTimestamp((last + _TTL_US) // 1000)
+            hits = [
+                s for s in segs if s[0] - _TTL_US <= t <= s[1] + _TTL_US
+            ]
+            if hits:
+                tgt = hits[0]
+                for extra in hits[1:]:  # bridge: t joins both segments
+                    tgt[1] = max(tgt[1], extra[1])
+                    tgt[2] += extra[2]
+                    tgt[3] += extra[3]
+                    segs.remove(extra)
+                tgt[0], tgt[1] = min(tgt[0], t), max(tgt[1], t)
+                tgt[2], tgt[3] = tgt[2] + 1, tgt[3] + v
+            else:
+                segs.append([t, t, 1, v])
+                segs.sort(key=lambda s: s[0])
+                # a third segment proves the oldest unreachable (its
+                # merge window ends > TTL before the watermark floor)
+                while len(segs) > 2:
+                    evicted.append(segs.pop(0))
+        # data-confirmed early flush: watermark >= newest.last - delay
+        while len(segs) > 1 and (
+            segs[-1][1] - _WM_DELAY_US > segs[0][1] + _TTL_US
+        ):
+            evicted.append(segs.pop(0))
+        if segs:
+            s1 = segs[0] if len(segs) > 1 else [0, 0, 0, 0.0]
+            s2 = segs[-1]
+            state.update(
+                (
+                    int(s1[0]), int(s1[1]), int(s1[2]), float(s1[3]),
+                    int(s2[0]), int(s2[1]), int(s2[2]), float(s2[3]),
+                )
+            )
+            # event-time timer (ms): once the watermark passes TTL
+            # after the newest segment, everything stored is flushable
+            state.setTimeoutTimestamp((s2[1] + _TTL_US) // 1000)
 
     yield pd.DataFrame(
         {
@@ -223,7 +285,15 @@ def _ttl_evict_fn(
 
 
 def ttl_evict_stream(events_stream: DataFrame) -> DataFrame:
-    """(user_id, ts, value) stream -> evicted-segment stream."""
+    """(user_id, ts, value) stream -> evicted-segment stream.
+
+    Correctness invariant (ADVICE r06): the input's watermark delay
+    must be <= TTL_MINUTES. Then every event the stream accepts
+    satisfies t >= watermark >= last_seen - delay >= last_seen - TTL,
+    so the fold's merge window (|t - last| <= TTL) covers every
+    deliverable straggler and the emitted segmentation equals a
+    full-order replay's. Callers wiring withWatermark() assert this
+    against TTL_MINUTES (see q_stream_ttl_evict)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return events_stream.groupBy("user_id").applyInPandasWithState(
@@ -347,6 +417,10 @@ def q_stream_ttl_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.move(sent_file, dest)
     os.utime(dest, (1_700_000_999, 1_700_000_999))
 
+    # ttl_evict_stream's invariant: stragglers the watermark still
+    # admits must fit the fold's merge window (ADVICE r06)
+    _WM_DELAY_MINUTES = 1
+    assert _WM_DELAY_MINUTES <= TTL_MINUTES, "watermark delay must be <= TTL"
     with replay_state_partitions(spark):
         stream = (
             spark.readStream.schema(
@@ -354,7 +428,7 @@ def q_stream_ttl_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .option("maxFilesPerTrigger", "2")
             .parquet(in_dir)
-            .withWatermark("ts", "1 minute")
+            .withWatermark("ts", f"{_WM_DELAY_MINUTES} minute")
         )
         q = (
             ttl_evict_stream(stream.select("user_id", "ts", "value"))
