@@ -360,6 +360,19 @@ NEAR_DUP_AUTO_THRESHOLD = 100_000
 # check must not itself run the plan the switch exists to retire
 RECALL_SAMPLE_DOCS = 50_000
 
+# ADVICE r06: both-endpoint sampling shrinks the reference pair set by
+# ~1/mod^2, so on a sparse-duplicate corpus the sample can hold too
+# few (or zero) exact pairs and the recall ratio degenerates. Below
+# this floor the sample is grown (mod divided by RECALL_GROW_FACTOR,
+# up to RECALL_GROW_ROUNDS times, bounding the check at
+# GROW_FACTOR^ROUNDS * the base sample); if the floor is still not
+# met at a mod > 1, the emitted ref_ok=false flags the recall
+# estimate as indeterminate instead of letting a vacuous recall=1.0
+# read as green.
+RECALL_MIN_REF_PAIRS = 10
+RECALL_GROW_FACTOR = 8
+RECALL_GROW_ROUNDS = 3
+
 
 def q_dedup_near_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-generation strategy switch (VERDICT r03 item 4): the
@@ -399,37 +412,67 @@ def q_dedup_near_auto_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall is measured on pairs with BOTH endpoints sampled. A pair's
     Jaccard depends only on its two documents, so sample-restricted
     exact pairs equal the full exact pair set restricted to sampled
-    endpoints — an unbiased recall estimate at O(sample) cost."""
+    endpoints — an unbiased recall estimate at O(sample) cost.
+
+    ADVICE r06: the reference pair count is exposed as ``n_exact``
+    and the estimate is self-auditing — when both-endpoint sampling
+    leaves fewer than RECALL_MIN_REF_PAIRS reference pairs, the
+    sample is grown (bounded geometric schedule, see
+    RECALL_GROW_ROUNDS) and, if the floor still is not met at a
+    partial sample, ``ref_ok=false`` flags recall_ok as
+    indeterminate rather than letting the vacuous recall=1.0 of an
+    empty reference read as green. Below the switch (and whenever
+    growth reaches the full corpus) the reference is complete, so
+    ref_ok is true even with few or zero pairs — there they ARE the
+    truth, not a sampling artifact."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
+    switched = n >= NEAR_DUP_AUTO_THRESHOLD
     auto = q_dedup_near_auto(spark, sf_dir).persist()
     try:
         bad = auto.filter(F.col("jaccard") < NEAR_DUP_THRESHOLD).count()
-        if n >= NEAR_DUP_AUTO_THRESHOLD:
+        if switched:
+            # grow the sample until the reference holds enough exact
+            # pairs to make the recall ratio meaningful (ADVICE r06);
+            # mod == 1 degenerates to the full-corpus reference, which
+            # is complete by definition
             mod = max(1, n // RECALL_SAMPLE_DOCS)
-            in_sample = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(mod)) == 0
-            exact = near_pairs_over(
-                docs.filter(in_sample("doc_id")), spark
-            ).select("doc_a", "doc_b")
+            for _ in range(RECALL_GROW_ROUNDS + 1):
+                in_sample = (
+                    lambda c, m=mod: F.pmod(F.xxhash64(F.col(c)), F.lit(m))
+                    == 0
+                )
+                exact = near_pairs_over(
+                    docs.filter(in_sample("doc_id")), spark
+                ).select("doc_a", "doc_b")
+                n_exact = exact.count()
+                if n_exact >= RECALL_MIN_REF_PAIRS or mod == 1:
+                    break
+                mod = max(1, mod // RECALL_GROW_FACTOR)
             auto_pairs = auto.filter(
                 in_sample("doc_a") & in_sample("doc_b")
             ).select("doc_a", "doc_b")
+            ref_complete = mod == 1
         else:
             exact = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
             auto_pairs = auto.select("doc_a", "doc_b")
-        n_exact = exact.count()
+            n_exact = exact.count()
+            ref_complete = True  # full-corpus reference, zero pairs is truth
         n_hit = exact.join(auto_pairs, ["doc_a", "doc_b"]).count()
         recall = (n_hit / n_exact) if n_exact else 1.0
         return spark.createDataFrame(
             [
                 (
                     int(n),
-                    bool(n >= NEAR_DUP_AUTO_THRESHOLD),
+                    bool(switched),
                     bool(bad == 0),
+                    int(n_exact),
                     bool(recall >= 0.7),
+                    bool(ref_complete or n_exact >= RECALL_MIN_REF_PAIRS),
                 )
             ],
-            "n long, switched boolean, pairs_sound boolean, recall_ok boolean",
+            "n long, switched boolean, pairs_sound boolean, "
+            "n_exact long, recall_ok boolean, ref_ok boolean",
         )
     finally:
         auto.unpersist()
@@ -1294,10 +1337,19 @@ ORACLES["q_dedup_minhash"] = ORACLES["q_dedup_near"]
 # below the switch threshold); its oracle-checked surface is the
 # scale-valid subset+recall contract, with the switch law recomputed
 # from count(*)
+# n_exact in the oracle is the FULL-corpus exact pair count — the
+# value the check reports in every oracle-checked regime (below the
+# switch the reference is the full exact set; the sampled branch only
+# runs on >=100k-doc corpora, beyond any oracle corpus, and is
+# covered by the mod>1 pytest cases instead)
 ORACLES["q_dedup_near_auto_check"] = f"""
     SELECT CAST(count(*) AS BIGINT) AS n,
            count(*) >= {NEAR_DUP_AUTO_THRESHOLD} AS switched,
-           true AS pairs_sound, true AS recall_ok
+           true AS pairs_sound,
+           (SELECT CAST(count(*) AS BIGINT)
+              FROM ({ORACLES["q_dedup_near"]})) AS n_exact,
+           true AS recall_ok,
+           true AS ref_ok
     FROM documents
 """
 # large/small-star computes the same component labeling as the

@@ -440,26 +440,52 @@ def _bind_feed_run(changes_out: str, change_run: str) -> None:
     First run-tagged write stamps ``_RUN``; a different token later
     means a different checkpoint lifetime is reusing the dir — its
     versions would collide with existing cv= entries and silently
-    drop under first-write-wins, so raise BEFORE any mutation."""
+    drop under first-write-wins, so raise BEFORE any mutation.
+
+    ADVICE r06 hardening: (a) a dir that already holds cv= entries but
+    no ``_RUN`` marker (written pre-binding, or by a caller passing
+    change_run=None) is NOT adopted — ownership of its version
+    sequence cannot be proven, so stamping it would re-create the
+    silent first-write-wins divergence for exactly the dirs most at
+    risk; (b) the stamp is an atomic check-and-set (hard-link a fully
+    written temp file into place — creation fails if the marker
+    exists) followed by a re-read, so two concurrent first writers
+    with different tokens settle on one winner and the loser raises
+    instead of writing."""
     os.makedirs(changes_out, exist_ok=True)
     marker = os.path.join(changes_out, "_RUN")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            bound = fh.read().strip()
-        if bound != change_run:
+    if not os.path.exists(marker):
+        if any(e.startswith("cv=") for e in os.listdir(changes_out)):
             raise ValueError(
-                f"change feed {changes_out} is bound to run {bound!r} but "
-                f"this merge carries run {change_run!r}: a feed dir serves "
-                "ONE checkpoint lifetime (batch-id versions restart at 0 on "
-                "a fresh checkpoint and would silently vanish under first-"
-                "write-wins). Point the new query at a fresh changes_out, "
-                "or resume the original checkpoint."
+                f"change feed {changes_out} already contains cv= versions "
+                "but no _RUN binding, so this run cannot prove it owns the "
+                "existing version sequence (its batch ids may collide and "
+                "silently lose under first-write-wins). Point the query at "
+                "a fresh changes_out, or — after verifying the entries "
+                "really belong to this checkpoint lineage — adopt the dir "
+                "explicitly by writing its _RUN marker with this run's "
+                "token."
             )
-        return
-    tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
-    with open(tmp, "w") as fh:
-        fh.write(change_run)
-    os.replace(tmp, marker)
+        tmp = marker + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(change_run)
+        try:
+            os.link(tmp, marker)  # atomic: fails iff a racer already won
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+    with open(marker) as fh:
+        bound = fh.read().strip()
+    if bound != change_run:
+        raise ValueError(
+            f"change feed {changes_out} is bound to run {bound!r} but "
+            f"this merge carries run {change_run!r}: a feed dir serves "
+            "ONE checkpoint lifetime (batch-id versions restart at 0 on "
+            "a fresh checkpoint and would silently vanish under first-"
+            "write-wins). Point the new query at a fresh changes_out, "
+            "or resume the original checkpoint."
+        )
 
 
 def _write_change_feed(
