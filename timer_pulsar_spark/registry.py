@@ -36,7 +36,7 @@ PRIORITY: list[str] = [
     "q_stream_join",
     # LLM-pipeline family representatives (one per family, oracle-backed)
     "q_dedup_exact", "q_dedup_near", "q_ann_topk", "q_centroid_assign",
-    "q_textstats", "q_quality",
+    "q_textstats",
     "q_sample_hash", "q_pack_sequences",
     "q_funnel", "q_multimodal_meta",
     # custom time-series join the reference class lacks (as-of join)
@@ -45,7 +45,7 @@ PRIORITY: list[str] = [
     # that sat past the budget — each replaced slot was double-covered
     # (q_json keeps P9, q_distinct keeps A3, q_groupby_minute keeps T5,
     # q_fanout/q_cron_valid keep T1-T3, q_window_bucket keeps A4/T10)
-    "q_pagerank", "q_semdedup", "q_stream_scd2", "q_bpe_check",
+    "q_pagerank", "q_stream_scd2", "q_bpe_check",
     "q_session_window",
     # r5 rotation (VERDICT r04 item 4): first driver rows for the round-4
     # newcomers + the round-5 stateful pair. Slots freed by demoting
@@ -55,9 +55,21 @@ PRIORITY: list[str] = [
     # analytic-window rep beyond §2, q_materialize keeps T9 via pytest
     # api.run_migration, q_sessionize keeps its shape via
     # q_session_window, q_dup_clusters via q_pagerank.
-    "q_bigram_lm", "q_dedup_near_auto_check", "q_scd2_lookup",
-    "q_binaryfile_ingest", "q_stream_join_outer", "q_semdedup_scaled_check",
+    "q_dedup_near_auto_check", "q_semdedup_scaled_check",
     "q_stream_running_agg", "q_stream_ttl_evict",
+    # r7 rotation (VERDICT r06 item 5): first driver rows for the six
+    # never-windowed candidates the verdict named. Slots freed by
+    # demoting r5 rows that went green in r06 and stay double-covered
+    # (see SECONDARY head): q_bigram_lm keeps its family via
+    # q_textstats + q_bpe_check, q_scd2_lookup via q_stream_scd2,
+    # q_binaryfile_ingest via q_multimodal_meta, q_stream_join_outer
+    # via q_stream_join, q_semdedup via q_semdedup_scaled_check +
+    # q_centroid_assign, q_quality via q_textstats. The two queries
+    # MODIFIED this round (q_dedup_near_auto_check schema + the TTL
+    # fold behind q_stream_ttl_evict) stay in the window so the
+    # driver re-verifies them.
+    "q_pretrain_mix", "q_interval_join_bucketed", "q_pq_check",
+    "q_stream_cdf_consume", "q_xml_roundtrip", "q_gapfill_interp",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -66,6 +78,10 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
+    # r7 demotions — green in r06, rows still covered in-window
+    "q_bigram_lm", "q_scd2_lookup", "q_binaryfile_ingest",
+    "q_stream_join_outer", "q_semdedup", "q_quality",
+    # r5 demotions
     "q_semi", "q_hash_bloom", "q_paginate", "q_lead_lag",
     "q_materialize", "q_sessionize", "q_dup_clusters", "q_scd2",
     "q_json_roundtrip", "q_trunc", "q_cron_next", "q_derived",
@@ -78,11 +94,8 @@ SECONDARY: list[str] = [
     "q_repetition", "q_entropy", "q_orc_roundtrip",
     "q_unpivot", "q_range_window", "q_heavy_hitters_sketch_check",
     "q_stream_quality", "q_ann_matmul", "q_stream_session_window",
-    "q_gapfill_interp", "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance", "q_stream_dedup_near",
+    "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance", "q_stream_dedup_near",
     "q_pmi_collocations",
-    # round-5 newcomers beyond the PRIORITY window
-    "q_pq_check", "q_interval_join_bucketed", "q_pretrain_mix",
-    "q_xml_roundtrip", "q_stream_cdf_consume",
 ]
 
 
