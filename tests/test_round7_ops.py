@@ -86,3 +86,74 @@ def test_auto_check_growth_reaches_complete_reference(
     assert row.ref_ok
     assert row.n_exact == _full_exact_pairs(dedup, spark)
     assert row.recall_ok
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (round-7 newcomer)
+# ---------------------------------------------------------------------------
+
+
+def _fps(spark, dedup, texts):
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    rows = dedup.winnow_fingerprints(docs).collect()
+    return {r.doc_id: set(r.fps) for r in rows}
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark, dedup):
+    """The winnowing guarantee (Schleimer et al. 2003): any shared
+    token run of length >= W + K - 1 forces at least one shared
+    fingerprint, whatever surrounds it."""
+    run_len = dedup.WINNOW_W + dedup.WINNOW_K - 1
+    shared_run = " ".join(f"s{i}" for i in range(run_len))
+    a = "alpha beta " + shared_run + " gamma delta"
+    b = "one two three " + shared_run
+    fps = _fps(spark, dedup, [a, b])
+    assert fps[0] & fps[1], "guaranteed shared fingerprint missing"
+
+
+def test_winnow_short_doc_keeps_global_min(spark, dedup):
+    """Docs with 1..W-1 grams keep exactly their global-min gram hash
+    (the paper's short-document rule); docs below K tokens have no
+    grams and no fingerprints."""
+    k, w = dedup.WINNOW_K, dedup.WINNOW_W
+    short = " ".join(f"t{i}" for i in range(k + w - 2))  # w-1 grams
+    tiny = " ".join(f"t{i}" for i in range(k - 1))  # no gram
+    fps = _fps(spark, dedup, [short, tiny])
+    assert len(fps[0]) == 1
+    assert fps[1] == set()
+
+
+def test_winnow_density_below_full_gram_set(spark, dedup):
+    """Winnowing is a SAMPLE of the gram hashes: on a long document
+    the kept set must be materially smaller than the full gram set
+    (expected density ~2/(W+1)) while staying non-empty."""
+    text = " ".join(f"w{i * 7 % 13}x{i}" for i in range(300))
+    fps = _fps(spark, dedup, [text])
+    n_grams = 300 - dedup.WINNOW_K + 1
+    assert 0 < len(fps[0]) < n_grams / 2
+
+
+def test_winnow_pairs_detects_partial_overlap(spark, dedup, tmp_path):
+    """End-to-end q_winnow_pairs on a corpus where two documents share
+    only a PARTIAL run (far below the 0.8 whole-set Jaccard the
+    near-dup family needs): the pair must surface. Runs on a staged
+    parquet dir so the registered query path (load_table) is what's
+    exercised."""
+    base = [f"body{i} filler{i * 3} pad{i}" for i in range(40)]
+    shared = " ".join(f"quote{i}" for i in range(12))
+    texts = [
+        " ".join(base) + " " + shared,
+        shared + " completely different tail " + " ".join(f"z{i}" for i in range(40)),
+        "unrelated " + " ".join(f"u{i}" for i in range(50)),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    pairs = dedup.q_winnow_pairs(spark, str(tmp_path)).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 1) in got
+    assert all(2 not in p for p in got)

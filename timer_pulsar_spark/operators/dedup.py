@@ -479,6 +479,104 @@ def q_dedup_near_auto_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken, SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # word k-gram size (same gram family as the shingle dedup)
+# window of consecutive k-gram hashes from which one minimum is kept:
+# any run of WINNOW_W + WINNOW_K - 1 = 6 shared tokens is GUARANTEED
+# to share a fingerprint, while only ~2/(W+1) of grams are kept
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2  # pairs must share at least this many fingerprints
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """doc_id -> winnowed fingerprint set, entirely in JVM array
+    functions (no explode, no shuffle — one projection per doc).
+
+    Robust winnowing without positions: hash every word K-gram, slide
+    a window of W consecutive gram hashes, keep each window's minimum,
+    distinct the kept values. Unlike whole-set shingling this yields
+    position-LOCAL fingerprints at ~2/(W+1) density with the classic
+    guarantee that any shared token run of length >= W + K - 1 shares
+    at least one fingerprint — the partial-overlap detector the
+    set-Jaccard family (q_dedup_near) and the hot-span detector
+    (q_dedup_span, fixed run length) don't cover. Docs with fewer
+    than W grams keep their single global-min fingerprint, as in the
+    paper's short-document rule.
+
+    The gram hash is md5 (hex string, lexicographic min) rather than
+    xxhash64: window-min SELECTION depends on hash ORDER, so the
+    DuckDB oracle must rank grams identically, and md5 is the
+    bit-identical primitive both engines share. At 100 TB the same
+    plan runs with xxhash64 minima (cheaper, 8-byte keys) — only the
+    oracle parity pins md5 here."""
+    k, w = WINNOW_K, WINNOW_W
+    df = docs.withColumn("toks", F.split(F.col("text"), " "))
+    slices = ", ".join(
+        f"slice(toks, {j + 1}, size(toks) - {k - 1})" for j in range(k)
+    )
+    fields = ", ".join(f"t['{j}']" for j in range(k))
+    grams_expr = F.expr(
+        f"transform(arrays_zip({slices}), t -> md5(concat_ws(' ', {fields})))"
+    )
+    df = df.withColumn(
+        "grams",
+        F.when(F.size("toks") >= k, grams_expr).otherwise(
+            F.array().cast("array<string>")
+        ),
+    )
+    windowed = F.expr(
+        f"array_distinct(transform(sequence(1, size(grams) - {w - 1}), "
+        f"i -> array_min(slice(grams, i, {w}))))"
+    )
+    ng = F.size("grams")
+    return df.select(
+        "doc_id",
+        F.when(ng >= w, windowed)
+        .when(ng >= 1, F.array(F.array_min("grams")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("fps"),
+    )
+
+
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs from shared winnowing
+    fingerprints: postings keyed by fingerprint (inverted index, never
+    an all-pairs join), in-group pair expansion, then one pair-keyed
+    count — the same two-shuffle shape as q_dedup_near but over the
+    ~2/(W+1)-density fingerprint sets, so the postings volume is a
+    fraction of the shingle index's. The df-cap bounds hot
+    fingerprints (boilerplate minima) exactly like hot shingles.
+    Output: pairs sharing >= WINNOW_MIN_SHARED fingerprints with
+    overlap = shared / min(|fps_a|, |fps_b|)."""
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    fps = winnow_fingerprints(d).filter(F.size("fps") > 0)
+    postings = fps.select(
+        "doc_id", F.size("fps").alias("n_fp"), F.explode("fps").alias("fp")
+    )
+    pairs = cooccurring_pairs(
+        postings, ["fp"], ["doc_id", "n_fp"], max_df=SHINGLE_DF_CAP
+    )
+    return (
+        pairs.groupBy(
+            F.col("a_doc_id").alias("doc_a"),
+            F.col("b_doc_id").alias("doc_b"),
+            F.col("a_n_fp").alias("n_a"),
+            F.col("b_n_fp").alias("n_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= WINNOW_MIN_SHARED)
+        .withColumn(
+            "overlap", F.round(F.col("shared") / F.least("n_a", "n_b"), 6)
+        )
+        .select("doc_a", "doc_b", "shared", "overlap")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (rows-only gate)
 # ---------------------------------------------------------------------------
 
@@ -1351,6 +1449,49 @@ ORACLES["q_dedup_near_auto_check"] = f"""
            true AS recall_ok,
            true AS ref_ok
     FROM documents
+"""
+# winnowing: identical gram hashing (md5 hex, lexicographic min) and
+# the same full-window/short-doc selection rule, expressed with SQL
+# window functions; pair counting over the distinct fingerprint sets
+ORACLES["q_winnow_pairs"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, CAST(u.s AS BIGINT) AS pos,
+               len(toks) - {WINNOW_K - 1} AS ng,
+               md5(array_to_string(
+                   list_slice(toks, u.s + 1, u.s + {WINNOW_K}), ' ')) AS h
+        FROM t, UNNEST(range(0, greatest(len(toks) - {WINNOW_K - 1}, 0)))
+                 AS u(s)
+    ),
+    sel AS (
+        SELECT doc_id, pos, ng,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS wmin,
+               min(h) OVER (PARTITION BY doc_id) AS gmin
+        FROM grams
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id,
+               CASE WHEN ng >= {WINNOW_W} THEN wmin ELSE gmin END AS fp
+        FROM sel
+        WHERE ng < {WINNOW_W} OR pos <= ng - {WINNOW_W}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM fps GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING count(*) >= {WINNOW_MIN_SHARED}
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           round(p.shared / least(sa.n_fp, sb.n_fp), 6) AS overlap
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
 """
 # large/small-star computes the same component labeling as the
 # min-label loop — both share the recursive-CTE transitive closure
