@@ -36,6 +36,7 @@ HEADLINERS = [
     "q_dedup_near",
     "q_dedup_minhash",
     "q_dedup_span",
+    "q_winnow_pairs",
     "q_ann_topk",
     "q_centroid_assign",
     "q_textstats",
