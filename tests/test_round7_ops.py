@@ -135,6 +135,64 @@ def test_winnow_density_below_full_gram_set(spark, dedup):
     assert 0 < len(fps[0]) < n_grams / 2
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ (round-7 newcomer)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_contract_and_bounded_model(spark):
+    """IVF-PQ: the recall/exact-rerank contract holds, every corpus
+    vector carries exactly m code rows plus one cell assignment, and
+    the model state that crossed to the driver is bounded by
+    k_coarse x dim + m x ksub x subdim — never corpus-sized."""
+    import timer_pulsar_spark.operators.similarity as sim
+    from timer_pulsar_spark.catalog import load_table
+
+    import pyspark.sql.functions as F
+
+    row = sim.q_ivfpq_check(spark, SF_DIR).collect()[0]
+    assert row.recall_ok and row.exact_rerank_ok
+
+    codes, cb, cents, subdim = sim.ivfpq_train_encode(spark, SF_DIR)
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert codes.count() == n * sim.PQ_M
+    per_vec = codes.groupBy("vec_id").agg(
+        F.countDistinct("block").alias("nb"),
+        F.countDistinct("cell_id").alias("nc"),
+    )
+    bad = per_vec.filter(
+        (F.col("nb") != sim.PQ_M) | (F.col("nc") != 1)
+    ).count()
+    assert bad == 0
+    assert len(cb) == sim.PQ_M * sim.PQ_KSUB
+    assert len(cents) == sim._N_CENTROIDS
+    assert all(0 <= c < sim.PQ_KSUB for _b, c, _cent in cb)
+
+
+def test_ivfpq_scan_is_bounded_to_probed_cells(spark):
+    """The ADC join keys on cell_id: a query's candidate set is the
+    union of its probed cells only — the nprobe/k scan bound that
+    distinguishes IVF-PQ from flat PQ's full-corpus ADC scan."""
+    import timer_pulsar_spark.operators.similarity as sim
+
+    import pyspark.sql.functions as F
+
+    codes, _cb, _cents, _subdim = sim.ivfpq_train_encode(spark, SF_DIR)
+    cell_sizes = {
+        int(r.cell_id): int(r.n)
+        for r in codes.filter(F.col("block") == 0)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(cell_sizes.values())
+    # probing nprobe of k cells can never touch the whole corpus
+    # unless the probed cells happen to contain it; with 16 cells and
+    # nprobe=8 on hash-spread seeds the bound is strict
+    top_probe = sum(sorted(cell_sizes.values())[-sim.IVFPQ_NPROBE :])
+    assert top_probe < total
+
+
 def test_winnow_pairs_detects_partial_overlap(spark, dedup, tmp_path):
     """End-to-end q_winnow_pairs on a corpus where two documents share
     only a PARTIAL run (far below the 0.8 whole-set Jaccard the

@@ -1058,16 +1058,32 @@ def pq_train_encode(
             " CAST(0 AS DOUBLE), (s, v) -> s + CAST(v AS DOUBLE) * v)))"
         ).alias("u"),
     )
-    sub = norm.select(
+    sub = _pq_blocks(norm, "u", m, subdim)
+    final_assign, cb, inertias = _pq_fit(spark, sub, ksub, iters)
+    return final_assign, cb, inertias, subdim
+
+
+def _pq_blocks(vectors: DataFrame, col: str, m: int, subdim: int) -> DataFrame:
+    """(vec_id, <col>: array<double>) -> (vec_id, block, sv) sub-block
+    rows, lineage-truncated (the PQ fit loop iterates over it)."""
+    return vectors.select(
         "vec_id",
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {m - 1}),"
-                f" b -> slice(u, b * {subdim} + 1, {subdim}))"
+                f" b -> slice({col}, b * {subdim} + 1, {subdim}))"
             )
         ).alias("block", "sv"),
     ).localCheckpoint()
 
+
+def _pq_fit(
+    spark: SparkSession, sub: DataFrame, ksub: int, iters: int
+) -> tuple[DataFrame, list, list[float]]:
+    """The distributed per-subspace Lloyd loop shared by flat PQ
+    (pq_train_encode) and IVF-PQ residual training (ivfpq_train_encode)
+    — see pq_train_encode's docstring for the E/M-step shapes.
+    Returns (codes (vec_id, block, code), codebook rows, inertias)."""
     # deterministic hash-spread seeding, ksub per block
     wseed = Window.partitionBy("block").orderBy(
         F.xxhash64(F.col("vec_id")), "vec_id"
@@ -1139,7 +1155,7 @@ def pq_train_encode(
         .select("vec_id", "block", F.col("best.code").alias("code"))
         .localCheckpoint()
     )
-    return final_assign, cb, inertias, subdim
+    return final_assign, cb, inertias
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1194,6 +1210,14 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
 
+    return _exact_rerank(e, shortlist)
+
+
+def _exact_rerank(e: DataFrame, shortlist: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) shortlist to
+    TOP_K — the shared tail of every compressed-domain ANN path, so
+    emitted scores are exact and only the candidate set is
+    approximate."""
     queries = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -1243,6 +1267,157 @@ def q_pq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_pq_check"] = _CHECK_ORACLE
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + PQ codes on residuals (the faiss IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+IVFPQ_NPROBE = 8  # coarse cells probed per query (of _N_CENTROIDS)
+
+
+def ivfpq_train_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    k_coarse: int = _N_CENTROIDS,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = 2,
+) -> tuple[DataFrame, list, list, int]:
+    """IVF-PQ index build — the composition that actually serves ANN
+    at 100 TB (Jégou et al. 2011; faiss IndexIVFPQ): a coarse k-means
+    quantizer partitions the corpus into cells, and product
+    quantization encodes each vector's RESIDUAL (u - centroid) rather
+    than the vector itself. Search then probes a few cells (bounding
+    the scan to nprobe/k of the corpus) and ranks candidates from
+    codes alone; residual encoding keeps the PQ codebook spent on the
+    small within-cell displacements instead of re-describing the
+    coarse structure.
+
+    Distributed build, bounded driver state: the coarse codebook
+    comes from kmeans_fit (broadcast E-step, (k x dim)-row M-step);
+    cell assignment + residuals are one broadcast join; the PQ
+    residual fit is the same _pq_fit loop as flat PQ. Model state
+    crossing to the driver = k_coarse x dim + m x ksub x subdim
+    floats, independent of corpus size.
+
+    Returns (codes (vec_id, cell_id, block, code), pq codebook rows,
+    coarse centroids [(cell_id, centroid)], subdim)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()[0])
+    assert dim % m == 0, (dim, m)
+    subdim = dim // m
+
+    norm = e.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(embedding,"
+            " CAST(0 AS DOUBLE), (s, v) -> s + CAST(v AS DOUBLE) * v)))"
+        ).alias("u"),
+    )
+    cents, _inertias, _n = kmeans_fit(
+        spark,
+        norm.select("vec_id", F.col("u").alias("embedding")),
+        k_coarse,
+        iters=2,
+    )
+    cdf = spark.createDataFrame(
+        [(int(cid), c) for cid, c in cents], "cell_id long, cent array<double>"
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cell_id")
+    )
+    assigned = (
+        norm.crossJoin(F.broadcast(cdf))
+        .withColumn("cos", cosine_sim(F.col("u"), F.col("cent")))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            "cell_id",
+            F.expr("zip_with(u, cent, (x, y) -> x - y)").alias("r"),
+        )
+        .localCheckpoint()
+    )
+    sub = _pq_blocks(assigned, "r", m, subdim)
+    codes, cb, _pq_inertias = _pq_fit(spark, sub, ksub, iters)
+    codes = codes.join(
+        assigned.select("vec_id", "cell_id"), "vec_id"
+    ).localCheckpoint()
+    return codes, cb, cents, subdim
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search: per query, rank the coarse cells by cosine
+    (driver-side — the coarse codebook is model state, like
+    q_ann_ivf's closure), take the IVFPQ_NPROBE closest, and build a
+    PER-CELL ADC lookup table against the query's residual in that
+    cell (q - centroid): nprobe x m x ksub entries per query. The
+    broadcast LUT equi-joins corpus codes on (cell_id, block, code) —
+    so only vectors in probed cells are scanned at all (nprobe/k of
+    the corpus; flat PQ scans everything), and within them the
+    distance comes from summing m looked-up scalars, zero corpus
+    float reads. PQ_SHORTLIST survivors get the exact-cosine re-rank.
+    Rows-only gate; contract = q_ivfpq_check."""
+    codes, cb, cents, subdim = ivfpq_train_encode(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+
+    qrows = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    C = {int(cid): np.array(c, dtype="float64") for cid, c in cents}
+    cbm: dict[tuple[int, int], np.ndarray] = {
+        (b, c): np.array(cent) for b, c, cent in cb
+    }
+    lut_rows = []
+    for r in qrows:
+        q = np.array([float(v) for v in r.embedding])
+        q = q / np.linalg.norm(q)
+        sims = {
+            cid: float(q @ (c / np.linalg.norm(c))) for cid, c in C.items()
+        }
+        probed = sorted(C, key=lambda cid: (-sims[cid], cid))[:IVFPQ_NPROBE]
+        for cid in probed:
+            qr = q - C[cid]
+            for (b, c2), cent in cbm.items():
+                d = float(
+                    ((qr[b * subdim : (b + 1) * subdim] - cent) ** 2).sum()
+                )
+                lut_rows.append((int(r.vec_id), cid, b, c2, d))
+    lut = spark.createDataFrame(
+        lut_rows, "query_id long, cell_id long, block int, code int, d double"
+    )
+
+    adc = (
+        codes.join(F.broadcast(lut), ["cell_id", "block", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id")
+    )
+    shortlist = (
+        adc.withColumn("srnk", F.row_number().over(wq))
+        .filter(F.col("srnk") <= PQ_SHORTLIST)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _exact_rerank(e, shortlist)
+
+
+def q_ivfpq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract for q_ivfpq_topk: recall vs brute force
+    above the floor, exact re-rank scores. Recall sits between flat
+    PQ (which ADC-ranks every vector) and plain IVF probing: cell
+    pruning can drop a true neighbor whose cell the query doesn't
+    probe, residual ADC is finer than raw-vector ADC within probed
+    cells (measured 0.80 at sf0.001, 0.72 at sf0.01 with nprobe=8 of
+    16 cells; 0.64/0.60 at nprobe=6 — floor 0.5 holds with margin)."""
+    return _ann_check(spark, sf_dir, q_ivfpq_topk, 0.5)
+
+
+ORACLES["q_ivfpq_check"] = _CHECK_ORACLE
 
 
 def save_pq_model(
