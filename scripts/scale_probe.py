@@ -53,6 +53,7 @@ PROBES = [
     "q_dedup_near",
     "q_dedup_near@df256",
     "q_dedup_minhash",
+    "q_winnow_pairs",
     "q_centroid_assign",
     "q_semdedup_scaled",
     "q_pretrain_mix",
