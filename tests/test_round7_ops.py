@@ -193,6 +193,33 @@ def test_ivfpq_scan_is_bounded_to_probed_cells(spark):
     assert top_probe < total
 
 
+# ---------------------------------------------------------------------------
+# Embedding linear probe (round-7 newcomer)
+# ---------------------------------------------------------------------------
+
+
+def test_embed_classifier_learns_labels_with_bounded_model(spark):
+    """Distributed softmax regression: the convex full-batch loss
+    decreases monotonically, the model is (C x dim) driver state, and
+    the scored corpus beats the majority-class prior by the
+    contract's margin — i.e. the probe learned label structure."""
+    import timer_pulsar_spark.operators.similarity as sim
+
+    W, losses, n, C = sim.embed_classifier_fit(spark, SF_DIR)
+    assert len(W) == C and len({len(w) for w in W}) == 1
+    assert all(
+        losses[i + 1] <= losses[i] + 1e-9 for i in range(len(losses) - 1)
+    )
+    assert losses[-1] < losses[0]
+
+    pdf = sim.q_embed_classifier(spark, SF_DIR).toPandas()
+    assert len(pdf) == n
+    assert pdf["pred_label"].between(0, C - 1).all()
+    acc = float((pdf["label"] == pdf["pred_label"]).mean())
+    majority = float(pdf["label"].value_counts().max()) / n
+    assert acc >= sim.EMBED_CLS_ACC_FLOOR > majority
+
+
 def test_winnow_pairs_detects_partial_overlap(spark, dedup, tmp_path):
     """End-to-end q_winnow_pairs on a corpus where two documents share
     only a PARTIAL run (far below the 0.8 whole-set Jaccard the

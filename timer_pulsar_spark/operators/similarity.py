@@ -1420,6 +1420,219 @@ def q_ivfpq_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_ivfpq_check"] = _CHECK_ORACLE
 
 
+# ---------------------------------------------------------------------------
+# Linear probe: distributed softmax regression on embeddings
+# ---------------------------------------------------------------------------
+
+EMBED_CLS_LR = 50.0
+EMBED_CLS_ITERS = 12
+# floor for the training-accuracy contract: measured 0.42 at sf0.01
+# and 0.40 at sf0.001 with the settings above, majority class 0.118
+# over 10 balanced classes — 0.3 holds with margin on fixed data
+EMBED_CLS_ACC_FLOOR = 0.3
+
+
+def embed_classifier_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    lr: float = EMBED_CLS_LR,
+    iters: int = EMBED_CLS_ITERS,
+) -> tuple[list[list[float]], list[float], int, int]:
+    """Distributed full-batch softmax regression over the embeddings
+    table against its `label` column — the LINEAR PROBE every
+    classifier-based curation step needs (quality filters, domain
+    routers, fasttext-style heads over frozen embeddings), and the
+    supervised sibling of the kmeans_fit loop: the (C x dim) weight
+    matrix is driver-held model state, each iteration broadcasts it,
+    computes per-row softmax probabilities JVM-side (zip_with dot
+    products + two vec_id windows), and folds the full-batch gradient
+    with one (C x dim)-row aggregate — per-class probability error
+    times feature value, summed over rows. The training loss rides
+    the same aggregate (attached to the pos=0 gradient rows), so each
+    iteration is exactly one Spark job and only model-sized state
+    ever crosses to the driver. Deterministic: zeros init, full
+    batch, fixed order-free sums.
+
+    At 100 TB the same loop runs with minibatch sampling (a hash
+    filter on vec_id) and more iterations; the per-iteration shapes —
+    broadcast model, map-side scoring, model-sized gradient aggregate
+    — are unchanged.
+
+    Returns (W (C x dim), per-iter losses, n rows, C classes)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    norm = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(embedding,"
+            " CAST(0 AS DOUBLE), (s, v) -> s + CAST(v AS DOUBLE) * v)))"
+        ).alias("u"),
+    ).localCheckpoint()
+    n = norm.count()
+    C = int(norm.agg(F.max("label")).collect()[0][0]) + 1
+    dim = len(norm.select("u").first()[0])
+
+    dot = (
+        "aggregate(zip_with(u, w, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    W = [[0.0] * dim for _ in range(C)]
+    losses: list[float] = []
+    wv = Window.partitionBy("vec_id")
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(c, W[c]) for c in range(C)], "cls int, w array<double>"
+        )
+        p = (
+            norm.crossJoin(F.broadcast(wdf))
+            .withColumn("z", F.expr(dot))
+            .withColumn("ez", F.exp(F.col("z") - F.max("z").over(wv)))
+            .withColumn("p", F.col("ez") / F.sum("ez").over(wv))
+            .withColumn(
+                "coef",
+                (F.col("p") - (F.col("cls") == F.col("label")).cast("double"))
+                / F.lit(float(n)),
+            )
+        )
+        grad_loss = (
+            p.select(
+                "cls",
+                "coef",
+                (F.col("cls") == F.col("label")).cast("double").alias("y"),
+                F.col("p").alias("pp"),
+                "u",
+            )
+            .select(
+                "cls", "coef", "y", "pp", F.posexplode("u").alias("pos", "v")
+            )
+            .groupBy("cls", "pos")
+            .agg(
+                F.sum(F.col("coef") * F.col("v")).alias("g"),
+                F.sum(
+                    F.when(
+                        (F.col("y") == 1.0) & (F.col("pos") == 0),
+                        -F.log(F.col("pp") + 1e-12),
+                    ).otherwise(0.0)
+                ).alias("l"),
+            )
+            .collect()
+        )
+        losses.append(sum(r.l for r in grad_loss) / n)
+        for r in grad_loss:
+            W[r.cls][r.pos] -= lr * r.g
+    return W, losses, n, C
+
+
+def q_embed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the corpus with the trained linear probe: per vector the
+    argmax-class prediction next to the true label. Deterministic
+    (fixed init/data/step count) but 12 GD iterations are beyond any
+    practical SQL oracle — rows-only gate; the oracle-checked surface
+    is q_embed_classifier_check."""
+    W, _losses, _n, C = embed_classifier_fit(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    norm = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(embedding,"
+            " CAST(0 AS DOUBLE), (s, v) -> s + CAST(v AS DOUBLE) * v)))"
+        ).alias("u"),
+    )
+    wdf = spark.createDataFrame(
+        [(c, W[c]) for c in range(C)], "cls int, w array<double>"
+    )
+    dot = (
+        "aggregate(zip_with(u, w, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("z").desc(), F.col("cls"))
+    return (
+        norm.crossJoin(F.broadcast(wdf))
+        .withColumn("z", F.expr(dot))
+        .withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id", "label", F.col("cls").alias("pred_label")
+        )
+    )
+
+
+def q_embed_classifier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract of the linear probe: full-batch
+    gradient descent on a convex loss with a safe step never
+    increases the loss (monotone + strictly improved over the run),
+    and final training accuracy clears EMBED_CLS_ACC_FLOOR — far
+    above the ~0.118 majority-class share (recomputed here from the
+    labels, never hardcoded), so the probe demonstrably learned label
+    structure rather than the prior."""
+    W, losses, n, C = embed_classifier_fit(spark, sf_dir)
+    wdf = spark.createDataFrame(
+        [(c, W[c]) for c in range(C)], "cls int, w array<double>"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    norm = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(embedding,"
+            " CAST(0 AS DOUBLE), (s, v) -> s + CAST(v AS DOUBLE) * v)))"
+        ).alias("u"),
+    )
+    dot = (
+        "aggregate(zip_with(u, w, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("z").desc(), F.col("cls"))
+    acc = (
+        norm.crossJoin(F.broadcast(wdf))
+        .withColumn("z", F.expr(dot))
+        .withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") == 1)
+        .agg(F.avg((F.col("cls") == F.col("label")).cast("double")))
+        .collect()[0][0]
+    )
+    maj = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+        / n
+    )
+    monotone = all(
+        losses[i + 1] <= losses[i] + 1e-9 for i in range(len(losses) - 1)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                len(losses),
+                bool(monotone),
+                bool(losses[-1] < losses[0]),
+                bool(acc >= EMBED_CLS_ACC_FLOOR),
+                bool(acc > maj),
+            )
+        ],
+        "iters int, loss_monotone boolean, loss_improved boolean, "
+        "acc_ok boolean, beats_majority boolean",
+    )
+
+
+ORACLES["q_embed_classifier_check"] = f"""
+    SELECT {EMBED_CLS_ITERS} AS iters, true AS loss_monotone,
+           true AS loss_improved, true AS acc_ok, true AS beats_majority
+"""
+
+
 def save_pq_model(
     spark: SparkSession, path: str, cb: list, subdim: int
 ) -> None:

@@ -97,7 +97,7 @@ SECONDARY: list[str] = [
     "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance", "q_stream_dedup_near",
     "q_pmi_collocations",
     # round-7 newcomers
-    "q_winnow_pairs", "q_ivfpq_check",
+    "q_winnow_pairs", "q_ivfpq_check", "q_embed_classifier_check",
 ]
 
 
