@@ -242,3 +242,72 @@ def test_winnow_pairs_detects_partial_overlap(spark, dedup, tmp_path):
     got = {(r.doc_a, r.doc_b) for r in pairs}
     assert (0, 1) in got
     assert all(2 not in p for p in got)
+
+
+def _stage_docs(spark, tmp_path, texts):
+    docs = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_span_scrub_cuts_non_canonical_keeps_canonical(spark, dedup, tmp_path):
+    """A span shared by two docs (and repeated within the later doc)
+    keeps exactly its global-first occurrence; every other occurrence's
+    tokens are cut, including the within-doc repeat."""
+    span = " ".join(f"s{i}" for i in range(8))
+    texts = [
+        "head0 head1 " + span + " tail0 tail1",
+        "p0 p1 p2 " + span + " mid0 mid1 " + span + " q0",
+        " ".join(f"u{i}" for i in range(20)),
+    ]
+    sf = _stage_docs(spark, tmp_path, texts)
+    rows = {r.doc_id: r for r in dedup.q_span_scrub(spark, sf).collect()}
+    assert rows[0].clean_text == texts[0] and rows[0].n_removed == 0
+    # doc 1 loses both occurrences (16 tokens), keeps everything else
+    assert rows[1].clean_text == "p0 p1 p2 mid0 mid1 q0"
+    assert rows[1].n_removed == 16
+    assert rows[1].n_tokens == len(texts[1].split(" "))
+    assert rows[2].clean_text == texts[2] and rows[2].n_removed == 0
+
+
+def test_span_scrub_overlapping_spans_union_coverage(spark, dedup, tmp_path):
+    """Two docs sharing a 9-token run: both 8-token windows inside the
+    run are hot, their coverage in the non-canonical doc unions to the
+    9 run tokens (not 16), and the canonical doc is untouched."""
+    run = " ".join(f"r{i}" for i in range(9))
+    texts = [
+        "a0 a1 " + run + " a2",
+        "b0 " + run + " b1 b2 b3",
+    ]
+    sf = _stage_docs(spark, tmp_path, texts)
+    rows = {r.doc_id: r for r in dedup.q_span_scrub(spark, sf).collect()}
+    assert rows[0].clean_text == texts[0] and rows[0].n_removed == 0
+    assert rows[1].clean_text == "b0 b1 b2 b3"
+    assert rows[1].n_removed == 9
+
+
+def test_span_scrub_invariants_on_corpus(spark, dedup):
+    """Real-corpus invariants: clean tokens are a subsequence of the
+    original tokens, and counts reconcile (n_removed = n_tokens -
+    kept), including for fully-scrubbed docs (clean_text = '')."""
+    from timer_pulsar_spark.catalog import load_table
+
+    orig = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    out = dedup.q_span_scrub(spark, SF_DIR).collect()
+    assert len(out) == len(orig)
+    scrubbed = 0
+    for r in out:
+        toks = orig[r.doc_id].split(" ")
+        kept = r.clean_text.split(" ") if r.clean_text != "" else []
+        assert r.n_tokens == len(toks)
+        assert r.n_removed == len(toks) - len(kept)
+        it = iter(toks)
+        assert all(k in it for k in kept), f"doc {r.doc_id} not a subsequence"
+        scrubbed += r.n_removed > 0
+    assert scrubbed >= 1, "corpus has planted dups; scrub must touch some"

@@ -33,7 +33,7 @@ are the training-data extension mandated by the build brief.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -850,19 +850,7 @@ def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows of (hash, doc, pos) — the same postings volume the MinHash
     banding path shuffles, and the df-cap argument from
     cooccurring_pairs applies unchanged."""
-    n = SPAN_TOKENS
-    d = load_table(spark, sf_dir, "documents")
-    d = spread(d, spark).select("doc_id", F.split("text", " ").alias("t"))
-    slices = ", ".join(f"slice(t, {k + 1}, size(t) - {n - 1})" for k in range(n))
-    fields = ", ".join(f"z['{k}']" for k in range(n))
-    spans_arr = F.expr(
-        f"transform(arrays_zip({slices}), z -> md5(concat_ws(' ', {fields})))"
-    )
-    spans = (
-        d.filter(F.size("t") >= n)
-        .select("doc_id", F.posexplode(spans_arr).alias("pos", "span_md5"))
-        .select("doc_id", F.col("pos").cast("long").alias("pos"), "span_md5")
-    )
+    spans = _span_occurrences(spark, sf_dir)
     hot = (
         spans.groupBy("span_md5")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -873,6 +861,109 @@ def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "pos", "span_md5", "n_docs")
         .orderBy("doc_id", "pos")
     )
+
+
+def _span_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, span_md5) for every SPAN_TOKENS-token span in the
+    corpus — the shared postings frame of q_dedup_span (detection) and
+    q_span_scrub (removal)."""
+    n = SPAN_TOKENS
+    d = load_table(spark, sf_dir, "documents")
+    d = spread(d, spark).select("doc_id", F.split("text", " ").alias("t"))
+    slices = ", ".join(f"slice(t, {k + 1}, size(t) - {n - 1})" for k in range(n))
+    fields = ", ".join(f"z['{k}']" for k in range(n))
+    spans_arr = F.expr(
+        f"transform(arrays_zip({slices}), z -> md5(concat_ws(' ', {fields})))"
+    )
+    return (
+        d.filter(F.size("t") >= n)
+        .select("doc_id", F.posexplode(spans_arr).alias("pos", "span_md5"))
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "span_md5")
+    )
+
+
+def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-span REMOVAL — the second half of Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better"
+    (arXiv:2107.06499) pass that q_dedup_span only detects: every
+    8-token span occurring >= 2 distinct documents keeps exactly one
+    canonical occurrence (global minimum by (doc_id, pos)), and the
+    tokens covered by every other occurrence are cut from the corpus,
+    overlapping spans unioning their coverage. Output: one row per
+    document with the scrubbed text and removal counts.
+
+    Scale shape: the span postings volume equals q_dedup_span's (one
+    scan, one hash agg for the hot set, AQE-broadcast join back).
+    Everything after is proportional to the DUPLICATED region, not the
+    corpus: covered positions come only from non-canonical occurrences
+    (rare in a real corpus), so the token-level posexplode + left-anti
+    + re-assembly runs only over the affected-document subset — the
+    untouched 99% of a 100 TB corpus passes through as whole rows with
+    no token explode, no shuffle. Canonical choice is a row_number
+    over span_md5: one extra shuffle of the (small) hot-occurrence
+    frame, deterministic under the (doc_id, pos) total order."""
+    n = SPAN_TOKENS
+    spans = _span_occurrences(spark, sf_dir)
+    hot = (
+        spans.groupBy("span_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .select("span_md5")
+    )
+    occ = spans.join(hot, "span_md5")
+    w = Window.partitionBy("span_md5").orderBy("doc_id", "pos")
+    covered = (
+        occ.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tokpos"),
+        )
+        .distinct()
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    affected = covered.select("doc_id").distinct()
+    tok = (
+        d.join(affected, "doc_id")
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("tokpos", "tok"))
+        .withColumn("tokpos", F.col("tokpos").cast("long"))
+    )
+    rebuilt = (
+        tok.join(covered, ["doc_id", "tokpos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text")
+        )
+    )
+    removed = covered.groupBy("doc_id").agg(F.count("*").alias("n_removed"))
+    n_tok = F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    aff = (
+        d.join(affected, "doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .join(removed, "doc_id")
+        .select(
+            "doc_id",
+            # a fully-covered doc has no kept tokens at all -> ''
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            n_tok,
+            "n_removed",
+        )
+    )
+    unaff = d.join(affected, "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        n_tok,
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    return aff.unionByName(unaff)
 
 
 def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
@@ -1516,6 +1607,56 @@ ORACLES["q_dedup_span"] = f"""
     SELECT s.doc_id, s.pos, s.span_md5, h.n_docs
     FROM spans s JOIN hot h USING (span_md5)
     ORDER BY s.doc_id, s.pos
+"""
+# span removal: same span hashing, canonical = row_number 1 over the
+# (doc_id, pos) total order, covered positions unioned, text rebuilt
+# from the kept tokens in position order
+ORACLES["q_span_scrub"] = f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+    ),
+    spans AS (
+        SELECT doc_id, CAST(u.s AS BIGINT) AS pos,
+               md5(array_to_string(
+                   list_slice(toks, u.s + 1, u.s + {SPAN_TOKENS}), ' '))
+                   AS span_md5
+        FROM t, UNNEST(range(0, greatest(len(toks) - {SPAN_TOKENS - 1}, 0)))
+                 AS u(s)
+    ),
+    hot AS (
+        SELECT span_md5 FROM spans GROUP BY span_md5
+        HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+    ),
+    occ AS (
+        SELECT s.doc_id, s.pos,
+               row_number() OVER (PARTITION BY s.span_md5
+                                  ORDER BY s.doc_id, s.pos) AS rn
+        FROM spans s JOIN hot h USING (span_md5)
+    ),
+    cov AS (
+        SELECT DISTINCT o.doc_id, o.pos + CAST(u.i AS BIGINT) AS tokpos
+        FROM occ o, UNNEST(range(0, {SPAN_TOKENS})) AS u(i)
+        WHERE o.rn > 1
+    ),
+    tok AS (
+        SELECT doc_id, CAST(u.i AS BIGINT) AS tokpos,
+               toks[CAST(u.i AS BIGINT) + 1] AS tok
+        FROM t, UNNEST(range(0, len(toks))) AS u(i)
+    ),
+    kept AS (
+        SELECT k.doc_id, k.tokpos, k.tok
+        FROM tok k ANTI JOIN cov c USING (doc_id, tokpos)
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY tokpos) AS clean_text
+        FROM kept GROUP BY doc_id
+    ),
+    rem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id)
+    SELECT t.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           len(t.toks) AS n_tokens,
+           coalesce(r.n_removed, 0) AS n_removed
+    FROM t LEFT JOIN agg a USING (doc_id) LEFT JOIN rem r USING (doc_id)
 """
 # the incremental fold is split-independent (min/sum are commutative),
 # so the streamed state must equal the one-shot batch aggregation
