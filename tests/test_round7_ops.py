@@ -311,3 +311,58 @@ def test_span_scrub_invariants_on_corpus(spark, dedup):
         assert all(k in it for k in kept), f"doc {r.doc_id} not a subsequence"
         scrubbed += r.n_removed > 0
     assert scrubbed >= 1, "corpus has planted dups; scrub must touch some"
+
+
+def test_qualclf_negatives_preserve_unigrams_and_are_deterministic(spark):
+    """The shuffled twin must hold EXACTLY the positive's token
+    multiset (the discriminator can only learn order), and the
+    permutation must be a pure function of (doc_id, position)."""
+    import timer_pulsar_spark.operators.textops as t
+    from timer_pulsar_spark.catalog import load_table
+
+    d = load_table(spark, SF_DIR, "documents").limit(50)
+    ex = t._qualclf_examples(d)
+    # reconstruct per-example token multisets from the bias-free rows:
+    # compare positive vs negative bucket histograms per doc — equal
+    # UNIGRAM multisets imply nothing about bigrams, so instead rebuild
+    # the shuffled arrays directly from the expression twice
+    toks = d.select("doc_id", t._toks().alias("ws")).filter("size(ws) >= 2")
+    shuf_expr = (
+        "transform(array_sort(transform(ws, (x, i) -> struct("
+        " xxhash64(concat(cast(doc_id AS string), '#', cast(i AS string))) AS k,"
+        " x AS w))), s -> s.w)"
+    )
+    a = toks.selectExpr("doc_id", f"{shuf_expr} AS s").collect()
+    b = toks.selectExpr("doc_id", f"{shuf_expr} AS s").collect()
+    orig = {r.doc_id: r.ws for r in toks.collect()}
+    assert {r.doc_id: r.s for r in a} == {r.doc_id: r.s for r in b}
+    moved = 0
+    for r in a:
+        assert sorted(r.s) == sorted(orig[r.doc_id])
+        moved += r.s != orig[r.doc_id]
+    assert moved > len(a) * 0.9, "permutation must actually reorder"
+    assert ex.filter("bucket = -1").count() == toks.count() * 2
+
+
+def test_qualclf_learns_order_with_bounded_model(spark):
+    """End-to-end contract at SF_DIR: model is DIM+1 driver floats,
+    loss is monotone + improved, and accuracy clears the floor on a
+    task whose unigram signal is zero by construction."""
+    import timer_pulsar_spark.operators.textops as t
+    from pyspark.sql import functions as F
+
+    w, losses, n = t.qualclf_fit(spark, SF_DIR)
+    assert len(w) == t.QUALCLF_DIM + 1
+    assert len(losses) == t.QUALCLF_ITERS
+    assert all(
+        losses[i + 1] <= losses[i] + 1e-9 for i in range(len(losses) - 1)
+    )
+    assert losses[-1] < losses[0]
+    scored = t.q_quality_clf(spark, SF_DIR)
+    acc = scored.agg(
+        F.avg((F.col("pred") == F.col("label")).cast("double"))
+    ).collect()[0][0]
+    assert acc >= t.QUALCLF_ACC_FLOOR, f"acc {acc}"
+    row = t.q_quality_clf_check(spark, SF_DIR).collect()[0]
+    assert row.loss_monotone and row.loss_improved
+    assert row.acc_ok and row.beats_majority
