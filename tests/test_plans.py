@@ -213,3 +213,25 @@ def test_runtime_bloom_filter_prunes_smj_probe_side(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """q_runtime_filter's 100 TB regime: under its conf scope the
+    executed plan must build a bloom over the filtered orders keys
+    (bloom_filter_agg) and apply it beneath the lineitem shuffle
+    (bloom_filter_might_contain) — the semi-join reduction that keeps
+    non-qualifying fact rows off the wire."""
+    from timer_pulsar_spark.operators.relational import (
+        _runtime_filter_join,
+        runtime_filter_scope,
+    )
+
+    with runtime_filter_scope(spark):
+        df = _runtime_filter_join(spark, SF_DIR)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    # and the probe really sits on the fact (lineitem) scan side
+    probe_side = plan.split("might_contain")[1]
+    assert "l_orderkey" in plan.split("might_contain")[0].splitlines()[-1] or "l_orderkey" in probe_side

@@ -35,6 +35,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1117,11 +1119,82 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning — the semi-join reduction
+    that keeps a 100 TB fact scan from shuffling rows a selective dim
+    filter is about to discard: Spark's InjectRuntimeFilter builds a
+    bloom over the filtered orders keys and pushes
+    bloom_filter_might_contain(l_orderkey) beneath the lineitem
+    shuffle, so ~4/5 of the fact rows (the non-URGENT orders' lines)
+    die at the scan instead of crossing the wire.
+
+    The optimization is conf-gated by size thresholds tuned for real
+    clusters: the application side must scan >= 10 GiB (crossed
+    trivially at 100 TB, never by the local testdata), so this query
+    scopes the threshold down — and disables broadcast, as a 100 TB
+    plan would — to produce locally the exact plan shape a cluster
+    gets for free. The scoped confs are restored before returning;
+    the join MATERIALIZES inside the scope (localCheckpoint) because
+    runtime-filter injection happens at physical-planning time, not
+    DataFrame-construction time. tests/test_plans.py gates the
+    bloom_filter_agg / might_contain pair in the executed plan."""
+    with runtime_filter_scope(spark):
+        return _runtime_filter_join(spark, sf_dir).localCheckpoint()
+
+
+@contextmanager
+def runtime_filter_scope(spark: SparkSession):
+    """Conf scope reproducing the 100 TB planning regime locally: the
+    application-side size gate at 0 (a real fact table crosses the
+    10 GiB default on its own) and broadcast off (a real filtered dim
+    is past broadcast size). Restored on exit; also entered by the
+    plan gate in tests/test_plans.py."""
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        yield
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def _runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL (same aliases, same rounding)
 # ---------------------------------------------------------------------------
 
 ORACLES: dict[str, str] = {
+    "q_runtime_filter": """
+        SELECT o_orderpriority, count(*) AS cnt,
+               round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY o_orderpriority
+    """,
     "q_scan": """
         SELECT l_orderkey, l_extendedprice, l_shipdate
         FROM lineitem
