@@ -366,3 +366,43 @@ def test_qualclf_learns_order_with_bounded_model(spark):
     row = t.q_quality_clf_check(spark, SF_DIR).collect()[0]
     assert row.loss_monotone and row.loss_improved
     assert row.acc_ok and row.beats_majority
+
+
+def test_pca_matches_numpy_reference(spark):
+    """The distributed one-pass moments must reproduce the numpy PCA
+    of the same matrix: same eigenvalues, same (sign-canonicalized)
+    top-k basis, to float-sum-order tolerance."""
+    import numpy as np
+
+    import timer_pulsar_spark.operators.similarity as sim
+    from timer_pulsar_spark.catalog import load_table
+
+    mean, V, eigvals, n = sim.pca_fit(spark, SF_DIR)
+    X = np.array(
+        [
+            r.embedding
+            for r in load_table(spark, SF_DIR, "embeddings")
+            .orderBy("vec_id")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    assert n == len(X)
+    ref_mean = X.mean(axis=0)
+    ref_cov = np.cov(X, rowvar=False, bias=True)
+    w, U = np.linalg.eigh(ref_cov)
+    order = np.argsort(w)[::-1]
+    w, U = w[order], U[:, order].T
+    for c in range(sim.PCA_K):
+        if U[c, np.argmax(np.abs(U[c]))] < 0:
+            U[c] = -U[c]
+    assert np.max(np.abs(mean - ref_mean)) < 1e-9
+    assert np.max(np.abs(eigvals - w)) < 1e-8
+    assert np.max(np.abs(V - U[: sim.PCA_K])) < 1e-6
+    row = sim.q_pca_check(spark, SF_DIR).collect()[0]
+    assert row.orthonormal and row.eigs_descending
+    assert row.recon_matches_residual
+    # projection really is 8-dim and bounded by the data scale
+    proj = sim.q_pca_project(spark, SF_DIR)
+    assert proj.count() == n
+    assert len(proj.first().pc) == sim.PCA_K

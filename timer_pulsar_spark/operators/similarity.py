@@ -1633,6 +1633,161 @@ ORACLES["q_embed_classifier_check"] = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# distributed PCA (embedding compression/whitening — the reduction
+# SemDeDup-style pipelines run before clustering 100 TB of embeddings)
+# ---------------------------------------------------------------------------
+
+PCA_K = 8
+PCA_RECON_TOL = 0.05
+
+
+def pca_fit(
+    spark: SparkSession, sf_dir: str, k: int = PCA_K
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """One-pass distributed PCA. Arrow batches accumulate second
+    moments with one BLAS X^T X per batch and emit (i, j, s) partials
+    — dim² + dim + 1 rows per batch regardless of batch row count — a
+    single hash aggregation reduces them, and the driver
+    eigendecomposes the dim×dim covariance (64×64 = 4 KB: only the
+    MODEL crosses the driver, never vectors). Eigenvectors are
+    sign-canonicalized (largest-|coordinate| entry positive) so the
+    basis is deterministic up to float-sum order.
+
+    Returns (mean (dim,), components (k, dim) row-orthonormal,
+    eigenvalues descending (dim,), n)."""
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def moments(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            d = X.shape[1]
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "i": np.repeat(np.arange(d), d),
+                            "j": np.tile(np.arange(d), d),
+                            "s": (X.T @ X).ravel(),
+                        }
+                    ),
+                    pd.DataFrame(
+                        {"i": -1, "j": np.arange(d), "s": X.sum(axis=0)}
+                    ),
+                    pd.DataFrame({"i": [-2], "j": [0], "s": [float(len(X))]}),
+                ]
+            )
+
+    rows = (
+        e.mapInPandas(moments, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+        .collect()
+    )
+    n = int(next(r.s for r in rows if r.i == -2))
+    dim = max(r.j for r in rows) + 1
+    sums = np.zeros(dim)
+    S = np.zeros((dim, dim))
+    for r in rows:
+        if r.i == -1:
+            sums[r.j] = r.s
+        elif r.i >= 0:
+            S[r.i, r.j] = r.s
+    mean = sums / n
+    cov = S / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1]
+    eigvals = eigvals[order]
+    V = eigvecs[:, order].T  # rows = components
+    for c in range(V.shape[0]):  # deterministic sign
+        if V[c, np.argmax(np.abs(V[c]))] < 0:
+            V[c] = -V[c]
+    return mean, V[:k], eigvals, n
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project every embedding onto the top-PCA_K principal components
+    (broadcast (k×dim) model, one matmul per Arrow batch) — the 8×
+    -smaller representation downstream clustering/dedup would consume.
+    Rows-only gate (eigenvectors are deterministic only up to
+    float-sum order across partitions); the oracle-checked surface is
+    q_pca_check."""
+    mean, V, _eigvals, _n = pca_fit(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            P = np.round((X - mean) @ V.T, 4)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "pc": list(P)}
+            )
+
+    return e.mapInPandas(project, "vec_id long, pc array<double>")
+
+
+def q_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract of the distributed PCA: the basis is
+    row-orthonormal, eigenvalues are non-negative and sorted
+    descending, and — the fit's global correctness in one number —
+    the DISTRIBUTED mean reconstruction error of the top-k projection
+    equals the residual eigenvalue mass (|avg‖x−x̂‖² − Σλ_{>k}| ≤
+    PCA_RECON_TOL · Σλ): a covariance assembled wrong anywhere would
+    break that identity."""
+    mean, V, eigvals, n = pca_fit(spark, sf_dir)
+    orthonormal = bool(
+        np.max(np.abs(V @ V.T - np.eye(V.shape[0]))) < 1e-8
+    )
+    descending = bool(
+        np.all(np.diff(eigvals) <= 1e-9) and eigvals[-1] > -1e-9
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+
+    def err(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf["embedding"]), dtype=np.float64) - mean
+            r2 = (X * X).sum(axis=1) - ((X @ V.T) ** 2).sum(axis=1)
+            yield pd.DataFrame({"e": [float(r2.sum())], "c": [len(X)]})
+
+    tot = (
+        e.mapInPandas(err, "e double, c long")
+        .agg(F.sum("e").alias("e"), F.sum("c").alias("c"))
+        .collect()[0]
+    )
+    avg_err = tot.e / tot.c
+    resid = float(eigvals[V.shape[0]:].sum())
+    total = float(eigvals.sum())
+    recon_ok = bool(abs(avg_err - resid) <= PCA_RECON_TOL * total)
+    return spark.createDataFrame(
+        [
+            (
+                int(mean.shape[0]),
+                int(V.shape[0]),
+                int(n),
+                orthonormal,
+                descending,
+                recon_ok,
+            )
+        ],
+        "dim int, k int, n int, orthonormal boolean, "
+        "eigs_descending boolean, recon_matches_residual boolean",
+    )
+
+
+ORACLES["q_pca_check"] = f"""
+    SELECT 64 AS dim, {PCA_K} AS k,
+           CAST(count(*) AS INT) AS n, true AS orthonormal,
+           true AS eigs_descending, true AS recon_matches_residual
+    FROM embeddings
+"""
+
+
 def save_pq_model(
     spark: SparkSession, path: str, cb: list, subdim: int
 ) -> None:
