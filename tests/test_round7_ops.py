@@ -406,3 +406,41 @@ def test_pca_matches_numpy_reference(spark):
     proj = sim.q_pca_project(spark, SF_DIR)
     assert proj.count() == n
     assert len(proj.first().pc) == sim.PCA_K
+
+
+def test_kcenter_matches_numpy_greedy_reference(spark):
+    """The distributed farthest-first traversal must pick exactly the
+    same centers, in the same order, as a driver-side numpy replay of
+    Gonzalez's algorithm (deterministic: per-row distances, vec_id
+    tie-break) — and the contract booleans must all hold."""
+    import numpy as np
+
+    import timer_pulsar_spark.operators.similarity as sim
+    from timer_pulsar_spark.catalog import load_table
+
+    rows = (
+        load_table(spark, SF_DIR, "embeddings")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sel = [0]
+    dmin = 1.0 - U @ U[0]
+    expect = [(1, int(ids[0]))]
+    for rank in range(2, sim.KCENTER_K + 1):
+        # argmax with vec_id tie-break = first max in id order
+        far = int(np.lexsort((ids, -dmin))[0])
+        expect.append((rank, int(ids[far])))
+        dmin = np.minimum(dmin, 1.0 - U @ U[far])
+    got = [
+        (r.rank, r.vec_id)
+        for r in sim.q_kcenter_select(spark, SF_DIR)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == expect
+    row = sim.q_kcenter_check(spark, SF_DIR).collect()[0]
+    assert row.radii_nonincreasing and row.covered_by_last_radius
+    assert row.centers_separated

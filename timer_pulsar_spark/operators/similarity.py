@@ -1788,6 +1788,130 @@ ORACLES["q_pca_check"] = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# greedy k-center coreset selection (farthest-first traversal)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 16
+
+
+def kcenter_select(
+    spark: SparkSession, sf_dir: str, k: int = KCENTER_K
+) -> tuple[list[tuple[int, int, float]], DataFrame]:
+    """Greedy k-center / farthest-first traversal (Gonzalez 1985) —
+    the diversity-maximizing coreset selection data-pruning pipelines
+    use to pick representative exemplars: start from the lowest
+    vec_id, then k−1 times add the point FARTHEST (cosine distance)
+    from the selected set. Classic guarantee: coverage radius ≤ 2×
+    optimal, and the selected centers are mutually ≥ R_final apart —
+    both verified by q_kcenter_check.
+
+    Scale shape: driver state is the k selected (id, vector) pairs
+    and each round is ONE distributed argmax returning ONE row (order
+    by dmin desc, tie-broken by vec_id). dmin is recomputed from the
+    immutable base frame against the current center literals — O(n·k)
+    work in the last round and O(n·k²) total, linear in n with a tiny
+    constant at coreset-scale k; the alternative (incremental dmin
+    carried via localCheckpoint) trades k corpus-sized checkpoint
+    writes for the k² factor and wins only when k grows past ~10³.
+    Deterministic: distances are per-row float ops (no
+    cross-partition sum order anywhere), ties break on vec_id."""
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .localCheckpoint()
+    )
+    first = e.orderBy("vec_id").first()
+    centers: list[tuple[int, list[float]]] = [
+        (int(first.vec_id), [float(v) for v in first.embedding])
+    ]
+    picks: list[tuple[int, int, float]] = [(1, int(first.vec_id), float("nan"))]
+
+    def dmin_col() -> Column:
+        dists = [
+            F.lit(1.0)
+            - cosine_sim(
+                F.col("embedding"),
+                F.array(*[F.lit(float(v)) for v in emb]),
+            )
+            for _cid, emb in centers
+        ]
+        return F.least(*dists) if len(dists) > 1 else dists[0]
+
+    for rank in range(2, k + 1):
+        far = (
+            e.withColumn("dmin", dmin_col())
+            .orderBy(F.col("dmin").desc(), "vec_id")
+            .first()
+        )
+        centers.append((int(far.vec_id), [float(v) for v in far.embedding]))
+        picks.append((rank, int(far.vec_id), float(far.dmin)))
+    covered = e.withColumn("dmin", dmin_col())
+    return picks, covered
+
+
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The selected coreset: (rank, vec_id, radius) where radius is
+    the coverage radius at the moment of selection (the point's
+    distance to the previously-selected set; NaN for the seed).
+    Rows-only gate (k chained argmaxes are beyond practical SQL); the
+    oracle-checked surface is q_kcenter_check."""
+    picks, _covered = kcenter_select(spark, sf_dir)
+    return spark.createDataFrame(
+        [(r, v, round(d, 6) if d == d else None) for r, v, d in picks],
+        "rank int, vec_id long, radius double",
+    )
+
+
+def q_kcenter_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract of greedy k-center: selection radii are
+    nonincreasing (each pick is the farthest remaining point, so the
+    uncovered radius can only shrink), the final DISTRIBUTED coverage
+    radius max_x min_c d(x, c) is ≤ the last selection radius, and
+    the selected centers are mutually ≥ final-radius apart (the
+    separation property behind the 2-approximation bound)."""
+    import math
+
+    picks, covered = kcenter_select(spark, sf_dir)
+    radii = [d for _r, _v, d in picks[1:]]
+    monotone = all(
+        radii[i + 1] <= radii[i] + 1e-9 for i in range(len(radii) - 1)
+    )
+    r_final = covered.agg(F.max("dmin")).collect()[0][0]
+    e = load_table(spark, sf_dir, "embeddings")
+    sel_ids = [v for _r, v, _d in picks]
+    sel = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in e.filter(F.col("vec_id").isin(sel_ids)).collect()
+    }
+    min_sep = math.inf
+    for i, a in enumerate(sel_ids):
+        for b in sel_ids[i + 1 :]:
+            u, v = sel[a], sel[b]
+            cos = float(
+                u @ v / (np.linalg.norm(u) * np.linalg.norm(v))
+            )
+            min_sep = min(min_sep, 1.0 - cos)
+    return spark.createDataFrame(
+        [
+            (
+                len(picks),
+                bool(monotone),
+                bool(r_final <= radii[-1] + 1e-9),
+                bool(min_sep >= r_final - 1e-9),
+            )
+        ],
+        "k int, radii_nonincreasing boolean, covered_by_last_radius boolean, "
+        "centers_separated boolean",
+    )
+
+
+ORACLES["q_kcenter_check"] = f"""
+    SELECT {KCENTER_K} AS k, true AS radii_nonincreasing,
+           true AS covered_by_last_radius, true AS centers_separated
+"""
+
+
 def save_pq_model(
     spark: SparkSession, path: str, cb: list, subdim: int
 ) -> None:
