@@ -36,7 +36,9 @@ HEADLINERS = [
     "q_dedup_near",
     "q_dedup_minhash",
     "q_dedup_span",
+    "q_span_scrub",
     "q_winnow_pairs",
+    "q_pca_project",
     "q_ann_topk",
     "q_centroid_assign",
     "q_textstats",
@@ -383,6 +385,39 @@ def bench_bpe(spark, sf_dir: str, merges: int = 64) -> dict:
     }
 
 
+def bench_qualclf(spark, sf_dir: str) -> dict:
+    """Quality-discriminator training throughput: 12 full-batch GD
+    iterations, each ONE driver round trip collecting DIM+1 rows —
+    reported as its own section (not a headliner) because a trainer's
+    wall is iters × per-iter job latency, which would swamp the
+    single-pass headline total without measuring anything new about
+    scan/shuffle health. acc is TRAINING accuracy on the balanced
+    real-vs-shuffled pairs (majority = 0.5); the oracle-gated contract
+    lives in q_quality_clf_check."""
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.operators.textops import (
+        QUALCLF_ACC_FLOOR,
+        QUALCLF_ITERS,
+        _qualclf_scored,
+    )
+
+    t0 = time.perf_counter()
+    scored, losses = _qualclf_scored(spark, sf_dir)
+    acc = scored.agg(
+        F.avg((F.col("pred") == F.col("label")).cast("double"))
+    ).collect()[0][0]
+    wall = round(time.perf_counter() - t0, 2)
+    return {
+        "iters": QUALCLF_ITERS,
+        "driver_round_trips": QUALCLF_ITERS,
+        "wall_sec": wall,
+        "acc": round(acc, 4),
+        "acc_floor": QUALCLF_ACC_FLOOR,
+        "loss_improved": bool(losses[-1] < losses[0]),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -444,6 +479,7 @@ def main() -> None:
     delay = side("delay_slo", bench_delay_slo, spark)
     bpe = side("bpe_64", bench_bpe, spark, sf_dir, 64)
     bpe_sat = side("bpe_saturation", bench_bpe, spark, sf_dir, 256)
+    qualclf = side("qualclf_train", bench_qualclf, spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     # explicit self-grading vs BASELINE.md's derived targets:
@@ -468,6 +504,10 @@ def main() -> None:
             merge_io.get("untouched_byte_identical")
             and merge_io.get("touched_pct", 100.0) <= 5.0
         ),
+        # the discriminator must beat its floor on the bench corpus too
+        "qualclf_acc_ok": bool(
+            qualclf.get("acc", 0.0) >= qualclf.get("acc_floor", 1.0)
+        ),
         "all_queries_ok": not errors,
     }
     line = {
@@ -483,6 +523,7 @@ def main() -> None:
         "delay_slo": delay,
         "bpe_64": bpe,
         "bpe_saturation": bpe_sat,
+        "qualclf_train": qualclf,
         "targets": targets,
         "sf": sf_from_dir(sf_dir),
     }

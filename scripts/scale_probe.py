@@ -54,9 +54,11 @@ PROBES = [
     "q_dedup_near@df256",
     "q_dedup_minhash",
     "q_winnow_pairs",
+    "q_span_scrub",
     "q_centroid_assign",
     "q_semdedup_scaled",
     "q_pretrain_mix",
+    "q_pca_project",
 ]
 
 
@@ -280,6 +282,19 @@ def main() -> None:
         "O(n·k) = O(n²/cell) — the flat form measured 16.6x wall at 16x",
         "data; embedding replicas are circularly shifted so no cross-copy",
         "pair space is planted.",
+        "",
+        "q_span_scrub adds the REMOVAL pass on top of q_dedup_span's",
+        "postings: the span hash agg is the linear part, and everything",
+        "after (token explode, anti-join, re-assembly) touches only the",
+        "affected-document subset — replicas dilute the duplicated",
+        "fraction, so its ratio should track the postings cost, not the",
+        "rebuild.",
+        "",
+        "q_pca_project is fit + project: Arrow batches emit fixed-size",
+        "(dim² + dim + 1)-row moment partials regardless of batch rows,",
+        "one hash agg reduces them, the driver eigendecomposes 64×64,",
+        "and projection is one broadcast matmul per batch — the whole",
+        "thing is two linear passes with O(dim²) driver state.",
         "",
         "## SemDeDup k-cap: driver state bounded as the corpus grows",
         "",

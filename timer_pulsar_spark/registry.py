@@ -31,7 +31,7 @@ PRIORITY: list[str] = [
     # T rows — time-series core (§2.6)
     "q_groupby_minute", "q_window_bucket", "q_dedup_merge",
     # metrics sink (S13) + raw SQL (S4) + timer domain (T1-T4)
-    "q_metrics_summary", "q_sql", "q_fanout", "q_cron_valid",
+    "q_metrics_summary", "q_sql", "q_fanout",
     # streaming (oracle-checked interval join)
     "q_stream_join",
     # LLM-pipeline family representatives (one per family, oracle-backed)
@@ -39,13 +39,11 @@ PRIORITY: list[str] = [
     "q_textstats",
     "q_sample_hash", "q_pack_sequences",
     "q_funnel", "q_multimodal_meta",
-    # custom time-series join the reference class lacks (as-of join)
-    "q_asof",
     # r4 rotation (VERDICT r03 item 8): first driver rows for families
     # that sat past the budget — each replaced slot was double-covered
     # (q_json keeps P9, q_distinct keeps A3, q_groupby_minute keeps T5,
     # q_fanout/q_cron_valid keep T1-T3, q_window_bucket keeps A4/T10)
-    "q_pagerank", "q_stream_scd2", "q_bpe_check",
+    "q_stream_scd2",
     "q_session_window",
     # r5 rotation (VERDICT r04 item 4): first driver rows for the round-4
     # newcomers + the round-5 stateful pair. Slots freed by demoting
@@ -56,7 +54,7 @@ PRIORITY: list[str] = [
     # api.run_migration, q_sessionize keeps its shape via
     # q_session_window, q_dup_clusters via q_pagerank.
     "q_dedup_near_auto_check", "q_semdedup_scaled_check",
-    "q_stream_running_agg", "q_stream_ttl_evict",
+    "q_stream_ttl_evict",
     # r7 rotation (VERDICT r06 item 5): first driver rows for the six
     # never-windowed candidates the verdict named. Slots freed by
     # demoting r5 rows that went green in r06 and stay double-covered
@@ -70,6 +68,19 @@ PRIORITY: list[str] = [
     # driver re-verifies them.
     "q_pretrain_mix", "q_interval_join_bucketed", "q_pq_check",
     "q_stream_cdf_consume", "q_xml_roundtrip", "q_gapfill_interp",
+    # r7 continuation: the five operators BUILT this round — new code
+    # must be in the window the round it ships. Slots freed by
+    # demoting rows hash-green in r06 whose family stays covered
+    # in-window (see SECONDARY head): q_cron_valid keeps T2 via
+    # q_fanout (whose cron expansion validates every pattern it
+    # fans), q_asof keeps its custom-join family via
+    # q_interval_join_bucketed, q_pagerank's dup-graph family rides
+    # q_dedup_near + the committed full sweep, q_bpe_check's
+    # tokenize family rides q_textstats + the sweep, and
+    # q_stream_running_agg's stateful family keeps TWO in-window
+    # reps (q_stream_ttl_evict, q_stream_cdf_consume).
+    "q_span_scrub", "q_quality_clf_check", "q_runtime_filter",
+    "q_pca_check", "q_kcenter_check",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -78,6 +89,10 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
+    # r7-continuation demotions — hash-green in r06, family coverage
+    # argued at the PRIORITY tail above; first to re-enter on budget+1
+    "q_cron_valid", "q_asof", "q_pagerank", "q_bpe_check",
+    "q_stream_running_agg",
     # r7 demotions — green in r06, rows still covered in-window
     "q_bigram_lm", "q_scd2_lookup", "q_binaryfile_ingest",
     "q_stream_join_outer", "q_semdedup", "q_quality",
