@@ -912,6 +912,12 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     occ = spans.join(hot, "span_md5")
     w = Window.partitionBy("span_md5").orderBy("doc_id", "pos")
+    # covered is PROPORTIONAL TO THE DUPLICATED REGION (small by
+    # corpus standards) and feeds four downstream branches (affected
+    # ids, the anti-join, removal counts, and the pass-through
+    # anti); checkpointing it runs the span-postings pipeline ONCE —
+    # without it every branch re-derives the full corpus scan + span
+    # shuffle (measured: 64 exchanges in the plan vs 10 after)
     covered = (
         occ.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") > 1)
@@ -922,6 +928,7 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tokpos"),
         )
         .distinct()
+        .localCheckpoint()
     )
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     affected = covered.select("doc_id").distinct()
