@@ -444,3 +444,42 @@ def test_kcenter_matches_numpy_greedy_reference(spark):
     row = sim.q_kcenter_check(spark, SF_DIR).collect()[0]
     assert row.radii_nonincreasing and row.covered_by_last_radius
     assert row.centers_separated
+
+
+def test_split_leakproof_no_near_dup_straddles_splits(spark, dedup):
+    """THE property the op exists for: every near-dup pair lands in
+    one split (q_split_assign's doc-keyed hash provably cannot ensure
+    this), transitively through clusters; and non-clustered docs keep
+    the plain doc-hash assignment (stable as the graph grows)."""
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.operators import sampling
+
+    assign = sampling.q_split_leakproof(spark, SF_DIR)
+    pairs = dedup.q_dedup_near(spark, SF_DIR).select("doc_a", "doc_b")
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    straddling = (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter("split_a != split_b")
+        .count()
+    )
+    assert straddling == 0
+    # singletons: split equals the doc-keyed rule
+    clustered = dedup.q_dup_clusters(spark, SF_DIR).select("doc_id")
+    singles = assign.join(clustered, "doc_id", "left_anti")
+    bucket = sampling.hash_bucket(F.col("doc_id"))
+    expect = (
+        F.when(bucket < sampling.SPLIT_TRAIN, "train")
+        .when(bucket < sampling.SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    mismatches = singles.filter(F.col("split") != expect).count()
+    assert mismatches == 0
+    assert singles.count() > 0
+    # all three splits exist at this SF
+    assert assign.select("split").distinct().count() == 3

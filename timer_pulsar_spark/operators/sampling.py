@@ -104,6 +104,43 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakproof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: contamination-safe split] train/val/test assignment
+    keyed by NEAR-DUP CLUSTER, not document: q_split_assign's per-doc
+    hash leaks eval data whenever two near-duplicates hash to
+    different splits (a training doc is then a paraphrase of a test
+    doc — the contamination that inflates benchmarks). Here every doc
+    carries its connected-component label from the near-dup pair
+    graph (q_dup_clusters; singletons key by their own id), and the
+    90/5/5 hash split is taken on that key — A~B and B~C land
+    together even though A~C was never tested, because the component
+    is the unit, not the pair.
+
+    Scale shape: the cluster frame is proportional to the CLUSTERED
+    subset (tiny in a real corpus), so the join back to documents
+    broadcasts; everything upstream is q_dedup_near + O(diameter)
+    label-propagation rounds, both already bounded (SCALE.md). Same
+    md5 bucket as every sampling op — bit-stable across engines, so
+    membership is recomputable by any downstream consumer."""
+    from .dedup import q_dup_clusters
+
+    clusters = q_dup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("split_key"),
+    )
+    b = hash_bucket(F.col("split_key"))
+    split = (
+        F.when(b < SPLIT_TRAIN, "train")
+        .when(b < SPLIT_VAL, "val")
+        .otherwise("test")
+    )
+    return keyed.select(
+        "doc_id", "split_key", split.alias("split")
+    ).orderBy("doc_id")
+
+
 def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[curation: weighted mixture] downsample each language at its
     mixture rate (en 100%, de/fr/es 50%, zh 25%) in one pass. The rate
@@ -471,6 +508,31 @@ ORACLES: dict[str, str] = {
         FROM keyed ORDER BY shard, pos
     """,
 }
+
+
+def _leakproof_oracle_sql() -> str:
+    # the cluster labeling is exactly q_dup_clusters' oracle, embedded
+    # as a CTE (nested WITH RECURSIVE is legal DuckDB); the split CASE
+    # is q_split_assign's, keyed on the cluster label
+    from .dedup import ORACLES as _DEDUP_ORACLES
+
+    kb = _bucket_sql("split_key")
+    return f"""
+        WITH clusters AS ({_DEDUP_ORACLES["q_dup_clusters"]}),
+        keyed AS (
+            SELECT d.doc_id,
+                   coalesce(c.cluster_id, d.doc_id) AS split_key
+            FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        )
+        SELECT doc_id, split_key,
+               CASE WHEN {kb} < {SPLIT_TRAIN} THEN 'train'
+                    WHEN {kb} < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keyed ORDER BY doc_id
+    """
+
+
+ORACLES["q_split_leakproof"] = _leakproof_oracle_sql()
 
 QUERIES = {
     name: fn

@@ -43,7 +43,6 @@ PRIORITY: list[str] = [
     # that sat past the budget — each replaced slot was double-covered
     # (q_json keeps P9, q_distinct keeps A3, q_groupby_minute keeps T5,
     # q_fanout/q_cron_valid keep T1-T3, q_window_bucket keeps A4/T10)
-    "q_stream_scd2",
     "q_session_window",
     # r5 rotation (VERDICT r04 item 4): first driver rows for the round-4
     # newcomers + the round-5 stateful pair. Slots freed by demoting
@@ -79,8 +78,11 @@ PRIORITY: list[str] = [
     # tokenize family rides q_textstats + the sweep, and
     # q_stream_running_agg's stateful family keeps TWO in-window
     # reps (q_stream_ttl_evict, q_stream_cdf_consume).
+    # (q_stream_scd2 demoted for the sixth: green r06, stateful family
+    # keeps two in-window reps and the SCD2 shape rides q_scd2_lookup
+    # at the SECONDARY head)
     "q_span_scrub", "q_quality_clf_check", "q_runtime_filter",
-    "q_pca_check", "q_kcenter_check",
+    "q_pca_check", "q_kcenter_check", "q_split_leakproof",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -92,7 +94,7 @@ SECONDARY: list[str] = [
     # r7-continuation demotions — hash-green in r06, family coverage
     # argued at the PRIORITY tail above; first to re-enter on budget+1
     "q_cron_valid", "q_asof", "q_pagerank", "q_bpe_check",
-    "q_stream_running_agg",
+    "q_stream_running_agg", "q_stream_scd2",
     # r7 demotions — green in r06, rows still covered in-window
     "q_bigram_lm", "q_scd2_lookup", "q_binaryfile_ingest",
     "q_stream_join_outer", "q_semdedup", "q_quality",
