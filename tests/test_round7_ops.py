@@ -483,3 +483,28 @@ def test_split_leakproof_no_near_dup_straddles_splits(spark, dedup):
     assert singles.count() > 0
     # all three splits exist at this SF
     assert assign.select("split").distinct().count() == 3
+
+
+def test_stream_quality_clf_equals_batch_scoring(spark, tmp_path):
+    """Serving parity: the micro-batch replay with a PINNED model must
+    reproduce the one-shot batch scoring doc-for-doc (pred exactly;
+    score to float-sum-order tolerance) — the stateless-scoring
+    property that makes the deploy path trustworthy."""
+    import timer_pulsar_spark.operators.textops as t
+    from timer_pulsar_spark.catalog import load_table
+
+    w, _losses, _n = t.qualclf_fit(spark, SF_DIR)
+    streamed = t.stream_quality_clf_run(
+        spark, SF_DIR, str(tmp_path / "serve"), w
+    )
+    batch = t._qualclf_score_frame(
+        spark, load_table(spark, SF_DIR, "documents"), w
+    )
+    s = {r.ex_id: r for r in streamed.collect()}
+    b = {r.ex_id: r for r in batch.collect()}
+    assert set(s) == set(b) and len(s) > 0
+    for ex_id, br in b.items():
+        sr = s[ex_id]
+        assert (sr.doc_id, sr.label) == (br.doc_id, br.label)
+        assert abs(sr.score - br.score) < 1e-9, ex_id
+        assert sr.pred == br.pred

@@ -1518,10 +1518,15 @@ def qualclf_fit(
     return w, losses, n
 
 
-def _qualclf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w, losses, n = qualclf_fit(spark, sf_dir)
+def _qualclf_score_frame(
+    spark: SparkSession, docs: DataFrame, w: dict[int, float]
+) -> DataFrame:
+    """Score an arbitrary documents frame with a FIXED model: per-doc
+    feature build + one broadcast join + one per-example sum. Stateless
+    per document — the property that makes the streaming twin equal
+    the batch scoring under any batch split."""
     wdf = spark.createDataFrame(list(w.items()), "bucket int, wt double")
-    feats = _qualclf_examples(load_table(spark, sf_dir, "documents"))
+    feats = _qualclf_examples(docs)
     return (
         feats.join(F.broadcast(wdf), "bucket")
         .groupBy("ex_id", "y")
@@ -1533,6 +1538,13 @@ def _qualclf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("z") > 0).cast("int").alias("pred"),
             F.round("z", 6).alias("score"),
         )
+    )
+
+
+def _qualclf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w, losses, _n = qualclf_fit(spark, sf_dir)
+    return _qualclf_score_frame(
+        spark, load_table(spark, sf_dir, "documents"), w
     ), losses
 
 
@@ -1583,6 +1595,71 @@ ORACLES["q_quality_clf_check"] = f"""
     SELECT {QUALCLF_ITERS} AS iters, true AS loss_monotone,
            true AS loss_improved, true AS acc_ok, true AS beats_majority
 """
+
+
+def q_stream_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model SERVING as a stream — the deploy half of the quality
+    discriminator: train offline ONCE (qualclf_fit), then score each
+    arriving document shard statelessly with the broadcast model,
+    batch-id-keyed exactly-once sink. Scoring is per-document, so the
+    union over any batch split equals the one-shot batch scoring
+    (pytest parity vs _qualclf_score_frame under the same weights —
+    no SQL oracle exists for a trained model's outputs, so this is a
+    rows-only registration like its batch twin)."""
+    import tempfile
+
+    w, _losses, _n = qualclf_fit(spark, sf_dir)
+    return stream_quality_clf_run(
+        spark, sf_dir, tempfile.mkdtemp(prefix="stream_qualclf_"), w
+    )
+
+
+def stream_quality_clf_run(
+    spark: SparkSession, sf_dir: str, work: str, w: dict[int, float]
+) -> DataFrame:
+    """Replayable core of q_stream_quality_clf, split out so tests can
+    drive it with a PINNED model (two fits differ in float-sum order;
+    parity must compare scoring, not refitting). Same exactly-once
+    recipe as stream_quality_run: checkpointed availableNow replay,
+    per-batch overwrite keyed by batch id."""
+    import os
+
+    in_dir = os.path.join(work, "docs")
+    out = os.path.join(work, "scored")
+    ckpt = os.path.join(work, "ckpt")
+
+    if not os.path.exists(in_dir):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).repartition(8).write.mode("overwrite").parquet(in_dir)
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        _qualclf_score_frame(spark, batch_df, w).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"batch={batch_id}"))
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(score)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [], "ex_id long, doc_id long, label int, pred int, score double"
+        )
+    return spark.read.parquet(out).drop("batch")
 
 QUERIES = {
     name: fn
