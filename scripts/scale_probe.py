@@ -59,6 +59,7 @@ PROBES = [
     "q_semdedup_scaled",
     "q_pretrain_mix",
     "q_pca_project",
+    "q_kcenter_select",
 ]
 
 
@@ -295,6 +296,11 @@ def main() -> None:
         "one hash agg reduces them, the driver eigendecomposes 64×64,",
         "and projection is one broadcast matmul per batch — the whole",
         "thing is two linear passes with O(dim²) driver state.",
+        "",
+        "q_kcenter_select is the iterative-argmax pattern: 16 rounds,",
+        "each one distributed scan + a ONE-ROW collect; per-round work",
+        "is O(n·round) distance evals, so the ratio should stay linear",
+        "in rows with a small constant.",
         "",
         "## SemDeDup k-cap: driver state bounded as the corpus grows",
         "",
