@@ -451,12 +451,31 @@ def main() -> None:
     # shapes so the timed pass measures steady-state compute
     warm_ok = [n for n in present if run_noop(n)]
 
+    # Sub-second headliners swing ±40% round-to-round from JIT/IO noise
+    # (VERDICT r06: q_dedup_exact 0.29<->0.43 s, q_fanout 0.29<->0.39 s),
+    # drowning real regressions. Report min-of-3 for any query whose
+    # first timed rep lands under 1 s — the min is the steady-state
+    # compute floor; the extra reps cost <2 s total at sf0.1.
     timings: dict[str, float] = {}
+    reps_used: dict[str, int] = {}
     for name in warm_ok:
         t0 = time.perf_counter()
-        if run_noop(name):
-            timings[name] = round(time.perf_counter() - t0, 3)
-            print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        if not run_noop(name):
+            continue
+        best = time.perf_counter() - t0
+        reps = 1
+        while best < 1.0 and reps < 3:
+            t0 = time.perf_counter()
+            if not run_noop(name):
+                break
+            best = min(best, time.perf_counter() - t0)
+            reps += 1
+        timings[name] = round(best, 3)
+        reps_used[name] = reps
+        print(
+            f"# {name}: {timings[name]:.3f}s (min of {reps})",
+            file=sys.stderr,
+        )
 
     def side(name: str, fn, *args, **kwargs) -> dict:
         try:
@@ -515,6 +534,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_reps": reps_used,  # min-of-N: N>1 for sub-second rows
         "errors": errors,
         "pipeline": pipeline,  # merge mode (continuity with r1-r4 key)
         "pipeline_merge": pipeline,
