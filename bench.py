@@ -46,6 +46,7 @@ HEADLINERS = [
     "q_bm25",
     "q_bigram_lm",
     "q_domain_cap",
+    "q_dsir_weights",
     "q_sample_hash",
     "q_pack_sequences",
     "q_pretrain_mix",

@@ -110,3 +110,52 @@ def test_contamination_broadcasts_benchmark_side(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def _write_documents(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_dsir_ranks_target_like_docs_first(spark, tmp_path):
+    """Planted corpus: the target slice speaks 'alpha beta gamma';
+    raw docs 1-2 share that vocabulary, raw docs 3-4 speak a disjoint
+    one. DSIR must weight the target-like raw docs strictly higher and
+    select them first — the Xie et al. resampling contract."""
+    tgt_text = "alpha beta gamma alpha beta"
+    _write_documents(
+        spark, str(tmp_path),
+        [
+            (100, tgt_text, "en", "src0", len(tgt_text)),
+            (101, "beta gamma alpha gamma", "en", "src0", 22),
+            (1, "alpha beta gamma beta", "en", "src1", 21),
+            (2, "gamma alpha beta alpha", "en", "src2", 22),
+            (3, "zeta eta theta iota", "en", "src1", 19),
+            (4, "iota theta eta zeta", "en", "src2", 19),
+        ],
+    )
+    w = {
+        r.doc_id: r.llr
+        for r in smp.q_dsir_weights(spark, str(tmp_path)).collect()
+    }
+    assert set(w) == {1, 2, 3, 4}  # target slice is never scored
+    assert min(w[1], w[2]) > max(w[3], w[4])
+    assert w[1] > 0 > w[3]  # target-like above the prior, alien below
+    sel = [
+        r.doc_id
+        for r in smp.q_dsir_sample(spark, str(tmp_path)).collect()
+    ]
+    assert set(sel[:2]) == {1, 2}
+
+
+def test_dsir_ratio_model_broadcasts(spark):
+    """The B-row log-ratio table must broadcast back onto the gram
+    stream — a shuffle join there keys the full exploded corpus by
+    bucket (256 values!) at 100 TB. Also pin the two-corpus-pass
+    shape: the windowed totals keep the model subtree single-scan."""
+    df = smp.q_dsir_weights(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Scan parquet") == 2

@@ -376,7 +376,163 @@ def q_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DSIR (Xie et al., NeurIPS 2023 "Data Selection for Language Models
+# via Importance Resampling"): score raw documents by how much more
+# likely their hashed n-gram features are under a target-domain bag-of-
+# grams model than under the raw-pool model. 8 hex chars = 32 bits,
+# exact in both engines' 64-bit ints.
+DSIR_BUCKETS = 256
+DSIR_HEX = 8
+DSIR_TARGET_SOURCE = "src0"  # the "curated domain sample" stand-in
+DSIR_N = 200                 # q_dsir_sample selection size
+
+
+def _gram_rows(d: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket) rows: every unigram and word-bigram of
+    text, md5-hashed into DSIR_BUCKETS feature buckets. Same guarded
+    sequence idiom as textops._bigram_rows (sequence(1,0) DESCENDS in
+    Spark, so 1-word docs must short-circuit to no bigrams)."""
+    grams_expr = (
+        "concat(ws, CASE WHEN size(ws) < 2 THEN array()::array<string>"
+        " ELSE transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) END)"
+    )
+    return (
+        d.select("doc_id", "source", F.split(F.col("text"), " ").alias("ws"))
+        .select("doc_id", "source", F.explode(F.expr(grams_expr)).alias("g"))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("g"), 1, DSIR_HEX), 16, 10).cast(
+                    "long"
+                )
+                % DSIR_BUCKETS
+            ).alias("bucket"),
+        )
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: DSIR importance weights] per-document log-likelihood
+    ratio between a target-domain hashed-n-gram model and the raw-pool
+    model (Xie et al. 2023): docs whose gram distribution looks like
+    the target domain score high and get selected for pretraining.
+    Target = the DSIR_TARGET_SOURCE slice; raw = every other source.
+    Add-one smoothing over DSIR_BUCKETS buckets on both models.
+
+    Scale shape: the two bucket-count models are ONE hash aggregate
+    keyed by bucket — at most DSIR_BUCKETS keys, map-side combined to
+    ≤ B rows per task, so the shuffle is O(B·partitions) no matter the
+    corpus size; model totals fold over that B-row frame. Scoring
+    broadcasts the B-row log-ratio table back onto the exploded gram
+    stream (no shuffle) and the per-doc sum is one linear, pre-combined
+    groupBy — the same shape as q_unigram_lm, linear at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    g = _gram_rows(d)
+    is_t = F.col("source") == DSIR_TARGET_SOURCE
+    model = g.groupBy("bucket").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("c_tgt"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("c_raw"),
+    )
+    # model totals as an unpartitioned window over the ≤ B-row model
+    # frame (single 256-row task), NOT a separate scalar agg joined
+    # back: a scalar-agg subtree is not reused by Catalyst, so it would
+    # re-scan the corpus — this keeps the whole query at two corpus
+    # passes (model + scoring) instead of three
+    w_all = Window.partitionBy(F.lit(1))
+    B = F.lit(float(DSIR_BUCKETS))
+    ratio = model.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_tgt") + 1.0) / (F.sum("c_tgt").over(w_all) + B)
+            )
+            - F.log(
+                (F.col("c_raw") + 1.0) / (F.sum("c_raw").over(w_all) + B)
+            )
+        ).alias("lr"),
+    )
+    return (
+        g.filter(~is_t)
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("lr"), 6).alias("llr"),
+            F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("llr_per_gram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: DSIR selection] the resampling step: keep the DSIR_N
+    raw documents whose hashed-n-gram profile is most target-like
+    (highest llr, doc_id tiebreak — deterministic, so re-runs and the
+    oracle select the identical set). Compiles to a TakeOrdered top-k
+    over q_dsir_weights' output: no extra corpus pass, no global sort
+    materialization."""
+    return (
+        q_dsir_weights(spark, sf_dir)
+        .orderBy(F.col("llr").desc(), "doc_id")
+        .limit(DSIR_N)
+    )
+
+
+def _dsir_gram_bucket_sql() -> str:
+    """DuckDB twin of _gram_rows (1-indexed lists; range(a,b) is
+    half-open, so range(1, len(ws)) stops at the last bigram start)."""
+    return f"""
+        SELECT doc_id, source,
+               (('0x' || substr(md5(g), 1, {DSIR_HEX}))::BIGINT
+                % {DSIR_BUCKETS}) AS bucket
+        FROM (
+            SELECT doc_id, source,
+                   unnest(string_split(text, ' ') ||
+                          list_transform(range(1, len(string_split(text, ' '))),
+                              i -> string_split(text, ' ')[i] || ' ' ||
+                                   string_split(text, ' ')[i+1])) AS g
+            FROM documents)
+    """
+
+
+def _dsir_weights_sql() -> str:
+    return f"""
+        WITH g AS ({_dsir_gram_bucket_sql()}),
+        model AS (
+            SELECT bucket,
+                   sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                            THEN 1 ELSE 0 END) AS c_tgt,
+                   sum(CASE WHEN source = '{DSIR_TARGET_SOURCE}'
+                            THEN 0 ELSE 1 END) AS c_raw
+            FROM g GROUP BY bucket
+        ),
+        totals AS (
+            SELECT sum(c_tgt) AS t_tgt, sum(c_raw) AS t_raw FROM model
+        ),
+        ratio AS (
+            SELECT bucket,
+                   ln((c_tgt + 1.0) / (t_tgt + {DSIR_BUCKETS}.0))
+                   - ln((c_raw + 1.0) / (t_raw + {DSIR_BUCKETS}.0)) AS lr
+            FROM model, totals
+        )
+        SELECT g.doc_id,
+               count(*) AS n_grams,
+               round(sum(r.lr), 6) AS llr,
+               round(sum(r.lr) / count(*), 6) AS llr_per_gram
+        FROM g JOIN ratio r USING (bucket)
+        WHERE g.source <> '{DSIR_TARGET_SOURCE}'
+        GROUP BY g.doc_id
+    """
+
+
 ORACLES: dict[str, str] = {
+    "q_dsir_weights": f"SELECT * FROM ({_dsir_weights_sql()}) ORDER BY doc_id",
+    "q_dsir_sample": f"""
+        SELECT * FROM ({_dsir_weights_sql()})
+        ORDER BY llr DESC, doc_id LIMIT {DSIR_N}
+    """,
     "q_pretrain_mix": """
         WITH gated AS (
             SELECT * FROM documents
