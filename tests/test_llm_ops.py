@@ -298,3 +298,48 @@ def test_dedup_near_auto_switches_strategy(spark, monkeypatch):
     big = dedup.q_dedup_near_auto(spark, SF_DIR).toPandas()
     mh = _q("q_dedup_minhash")(spark, SF_DIR).toPandas()
     assert key(big) == key(mh) == key(base)
+
+
+def test_dedup_incremental_three_verdicts(spark, tmp_path):
+    """Planted split corpus: an incoming copy of an existing text is
+    exact_dup (and near, jaccard 1 — exact takes precedence), a
+    one-token variant of an existing 50-token text is near_dup
+    (3-gram jaccard 45/51 ~ 0.88), and an unrelated doc is new."""
+    import hashlib
+
+    from timer_pulsar_spark.operators.dedup import (
+        INCR_EXISTING_PCT,
+        q_dedup_incremental,
+    )
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 100
+
+    ex_ids = [i for i in range(1000) if bucket(i) < INCR_EXISTING_PCT]
+    inc_ids = [i for i in range(1000) if bucket(i) >= INCR_EXISTING_PCT]
+    base = " ".join(f"w{i}" for i in range(50))
+    variant = " ".join(f"w{i}" for i in range(49)) + " CHANGED"
+    alien = " ".join(f"z{i}" for i in range(50))
+    rows = [
+        (ex_ids[0], base, "en", "src0", len(base)),
+        (ex_ids[1], "other existing text entirely", "en", "src0", 28),
+        (inc_ids[0], base, "en", "src1", len(base)),       # exact copy
+        (inc_ids[1], variant, "en", "src1", len(variant)), # near variant
+        (inc_ids[2], alien, "en", "src1", len(alien)),     # brand new
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = {
+        r.doc_id: r
+        for r in q_dedup_incremental(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {inc_ids[0], inc_ids[1], inc_ids[2]}
+    copy, near, new = out[inc_ids[0]], out[inc_ids[1]], out[inc_ids[2]]
+    assert copy.verdict == "exact_dup" and copy.n_exact == 1
+    assert copy.n_near == 1  # jaccard 1 counts as near too
+    assert near.verdict == "near_dup" and near.n_exact == 0
+    assert near.n_near == 1
+    assert new.verdict == "new" and new.n_exact == 0 and new.n_near == 0

@@ -1245,6 +1245,128 @@ def _pagerank_oracle_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# Incremental ingestion dedup: new batch vs existing corpus, no self-join
+# ---------------------------------------------------------------------------
+
+INCR_EXISTING_PCT = 80  # md5-bucket share standing in for "the corpus"
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: classify every INCOMING document as
+    exact duplicate / near duplicate / new AGAINST THE EXISTING CORPUS,
+    without ever pairing the corpus with itself. This is the operation
+    a 100 TB pipeline runs on every ingest batch — q_dedup_exact /
+    q_dedup_near deduplicate a corpus against itself; this gate keeps
+    an already-deduplicated corpus clean as data arrives.
+
+    The existing/incoming split is the content-stable md5 bucket
+    (same idiom as operators/sampling.py): existing = bucket < 80,
+    incoming = the rest, so the query is hermetic and oracle-checkable.
+
+    Scale shape — the whole point is what does NOT happen:
+    - the existing side is reduced to two slim derived frames, a
+      (text-hash → count) dim and a shingle-hash postings index with a
+      per-shingle document-frequency cap (SHINGLE_DF_CAP, same hot-key
+      bound as q_dedup_near). In production both are MAINTAINED
+      incrementally (append per batch), so per-ingest cost is
+      O(batch + matched postings), never O(corpus);
+    - candidates come from a keyed JOIN of incoming postings against
+      existing postings — output is |inc|x|ex| per shingle, and since
+      the batch is small that beats in-group pair expansion, whose
+      member scan is C(df, 2)-shaped regardless of sides;
+    - existing x existing pairs can never form (the sides are separate
+      relations), so jaccard work scales with the batch, not the
+      corpus;
+    - the size-ratio prune (jaccard <= min/max of set sizes) rides the
+      join condition, cutting candidate rows before the pair
+      aggregation, exactly as in near_pairs_over.
+
+    Output per incoming doc: n_exact (existing docs with identical
+    text), n_near (existing docs at word-3-gram jaccard >=
+    NEAR_DUP_THRESHOLD — includes identical ones, jaccard 1), and the
+    verdict with exact taking precedence."""
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+        ).cast("long")
+        % 100
+    )
+    existing = d.filter(bucket < INCR_EXISTING_PCT)
+    incoming = d.filter(bucket >= INCR_EXISTING_PCT)
+
+    # exact tier: slim (hash -> count) dim; at scale this dim is the
+    # maintained dedup index, bucketed on h so the join co-locates
+    exdim = existing.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    inc_exact = (
+        incoming.select("doc_id", F.md5("text").alias("h"))
+        .join(exdim, "h", "left")
+        .select("doc_id", F.coalesce("n_exact", F.lit(0)).alias("n_exact"))
+    )
+
+    def postings(df: DataFrame) -> DataFrame:
+        sh = with_shingles(df).select("doc_id", "shingles")
+        return sh.select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+
+    ex_p = postings(existing)
+    # df-cap on the EXISTING index only (the side that can have hot
+    # keys at scale); exact at every tested SF — sf0.1 max df is 25
+    df_ok = (
+        ex_p.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("sh")
+    )
+    ex_p = ex_p.join(df_ok, "sh", "left_semi").select(
+        F.col("sh"),
+        F.col("doc_id").alias("ex_doc"),
+        F.col("n_sh").alias("n_ex"),
+    )
+    inc_p = postings(incoming).select(
+        "sh", F.col("doc_id").alias("inc_doc"), F.col("n_sh").alias("n_inc")
+    )
+    cand = inc_p.join(ex_p, "sh").filter(
+        F.least("n_inc", "n_ex")
+        >= NEAR_DUP_THRESHOLD * F.greatest("n_inc", "n_ex")
+    )
+    near = (
+        cand.groupBy("inc_doc", "ex_doc", "n_inc", "n_ex")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(
+            F.col("shared")
+            / (F.col("n_inc") + F.col("n_ex") - F.col("shared"))
+            >= NEAR_DUP_THRESHOLD
+        )
+        .groupBy(F.col("inc_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+    return (
+        inc_exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_exact",
+            F.coalesce("n_near", F.lit(0)).alias("n_near"),
+            F.when(F.col("n_exact") > 0, "exact_dup")
+            .when(F.coalesce("n_near", F.lit(0)) > 0, "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 ORACLES: dict[str, str] = {
     "q_dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
@@ -1667,6 +1789,62 @@ ORACLES["q_span_scrub"] = f"""
 """
 # the incremental fold is split-independent (min/sum are commutative),
 # so the streamed state must equal the one-shot batch aggregation
+ORACLES["q_dedup_incremental"] = f"""
+    WITH split AS (
+        SELECT doc_id, text,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                % 100) AS b
+        FROM documents
+    ),
+    existing AS (SELECT doc_id, text FROM split WHERE b < {INCR_EXISTING_PCT}),
+    incoming AS (SELECT doc_id, text FROM split WHERE b >= {INCR_EXISTING_PCT}),
+    exdim AS (
+        SELECT md5(text) AS h, count(*) AS n_exact FROM existing GROUP BY 1
+    ),
+    ex_p AS (
+        SELECT doc_id AS ex_doc, len(shingles) AS n_ex,
+               unnest(shingles) AS sh
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS shingles
+            FROM existing)
+    ),
+    inc_p AS (
+        SELECT doc_id AS inc_doc, len(shingles) AS n_inc,
+               unnest(shingles) AS sh
+        FROM (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' ')) - 1),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i+1] || ' ' ||
+                            string_split(text, ' ')[i+2])) AS shingles
+            FROM incoming)
+    ),
+    near AS (
+        SELECT inc_doc AS doc_id, count(*) AS n_near FROM (
+            SELECT inc_doc, ex_doc, n_inc, n_ex, count(*) AS shared
+            FROM inc_p JOIN ex_p USING (sh)
+            GROUP BY 1, 2, 3, 4
+            HAVING count(*) * 1.0 / (n_inc + n_ex - count(*))
+                   >= {NEAR_DUP_THRESHOLD}
+        ) GROUP BY 1
+    )
+    SELECT i.doc_id,
+           coalesce(e.n_exact, 0) AS n_exact,
+           coalesce(n.n_near, 0) AS n_near,
+           CASE WHEN coalesce(e.n_exact, 0) > 0 THEN 'exact_dup'
+                WHEN coalesce(n.n_near, 0) > 0 THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM incoming i
+    LEFT JOIN exdim e ON md5(i.text) = e.h
+    LEFT JOIN near n ON i.doc_id = n.doc_id
+    ORDER BY i.doc_id
+"""
 ORACLES["q_stream_dedup_exact"] = ORACLES["q_dedup_exact"]
 
 
