@@ -343,3 +343,56 @@ def test_dedup_incremental_three_verdicts(spark, tmp_path):
     assert near.verdict == "near_dup" and near.n_exact == 0
     assert near.n_near == 1
     assert new.verdict == "new" and new.n_exact == 0 and new.n_near == 0
+
+
+def test_source_overlap_estimator_tracks_exact(spark, tmp_path):
+    """Planted overlap: sources A and B hold 200 distinct texts each
+    and share 100 (jaccard 1/3); C is disjoint. With n=200 > k=64 the
+    bottom-k sketch genuinely estimates (at sf0.01 every source fits
+    inside one sketch, so this is the only place the estimator is
+    exercised): the estimate must be deterministic and land within the
+    ~4-sigma KMV band of the exact value, and disjoint pairs must read
+    exactly zero in both columns."""
+    from timer_pulsar_spark.operators.analytics import (
+        OVERLAP_K,
+        q_source_overlap,
+    )
+
+    docs = []
+    did = 0
+    for i in range(300):  # 0-99 shared, 100-199 A-only, 200-299 B-only
+        text = f"shared text number {i} " + " ".join(
+            f"tok{i}x{j}" for j in range(5)
+        )
+        srcs = (
+            ["A", "B"] if i < 100 else (["A"] if i < 200 else ["B"])
+        )
+        for s in srcs:
+            docs.append((did, text, "en", s, len(text)))
+            did += 1
+    for i in range(50):
+        docs.append((did, f"c only text {i}", "en", "C", 14))
+        did += 1
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    rows = {
+        (r.src_a, r.src_b): r
+        for r in q_source_overlap(spark, str(tmp_path)).collect()
+    }
+    ab = rows[("A", "B")]
+    assert (ab.n_a, ab.n_b, ab.inter) == (200, 200, 100)
+    assert abs(ab.jaccard_exact - 1 / 3) < 1e-6
+    j = 1 / 3
+    sigma = (j * (1 - j) / OVERLAP_K) ** 0.5
+    assert abs(ab.jaccard_est - j) <= 4 * sigma
+    assert rows[("A", "C")].jaccard_est == 0.0
+    assert rows[("A", "C")].jaccard_exact == 0.0
+    # determinism: the sketch is hash-ordered, not sampled
+    again = {
+        (r.src_a, r.src_b): r.jaccard_est
+        for r in q_source_overlap(spark, str(tmp_path)).collect()
+    }
+    assert again[("A", "B")] == ab.jaccard_est

@@ -870,5 +870,148 @@ ORACLES["q_corpus_card"] = """
     FROM documents GROUP BY lang, source
 """
 
+OVERLAP_K = 64  # bottom-k sketch size per source
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[dataset diligence] pairwise CONTENT overlap between sources —
+    the question every multi-source corpus assembly asks (how much of
+    dump B is already in dump A?) — answered two ways in one row:
+
+    - **exact** jaccard of the distinct content-hash sets, computed
+      WITHOUT a pairwise set join: group hashes once, collect each
+      hash's source set (≤ |sources| entries), and expand in-group
+      pairs — one linear pass, shared hashes only;
+    - a **bottom-k sketch estimate** (k smallest hash values per
+      source, the classic KMV/bottom-k estimator): merge two sketches,
+      re-take the k smallest, and count how many sit in both. The
+      sketch is what survives 100 TB — per source it is k values,
+      mergeable across partitions and across days, so the estimate
+      needs no re-scan of either corpus — and publishing the exact
+      value next to it makes the estimator's error measurable in the
+      result itself.
+
+    Everything is keyed on a 48-bit md5 prefix of the text (engine-
+    portable, collision odds ~n²/2⁴⁹), so the whole row set is
+    deterministic and fully oracle-checkable. The source-pair frame is
+    |sources|² rows — driver-trivial at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
+    hs = d.select("source", h.alias("h")).distinct()
+    per_src = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    # exact intersections: per-hash source sets -> in-group pairs
+    pairs_expr = (
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), "
+        "y -> struct(x AS a, y AS b))))"
+    )
+    inter = (
+        hs.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("src_a"), F.col("p.b").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # bottom-k sketch: row_number <= k compiles to the map-side
+    # WindowGroupLimit, so only k rows per source reach the reducer
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= OVERLAP_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    # |sources|² pair frame: the non-equi (src_a < src_b) join over two
+    # handful-row relations is a bounded nested-loop by construction
+    est = (
+        sk.select(F.col("source").alias("src_a"), F.col("sk").alias("sk_a"))
+        .join(
+            sk.select(
+                F.col("source").alias("src_b"), F.col("sk").alias("sk_b")
+            ),
+            F.col("src_a") < F.col("src_b"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.expr(
+                f"size(filter(slice(array_sort(array_union(sk_a, sk_b)),"
+                f" 1, {OVERLAP_K}),"
+                " x -> array_contains(sk_a, x) AND array_contains(sk_b, x)))"
+                f" / size(slice(array_sort(array_union(sk_a, sk_b)),"
+                f" 1, {OVERLAP_K}))"
+            ).alias("jest"),
+        )
+    )
+    na = per_src.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = per_src.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    jexact = F.coalesce("inter", F.lit(0)) / (
+        F.col("n_a") + F.col("n_b") - F.coalesce("inter", F.lit(0))
+    )
+    return (
+        est.join(na, "src_a")
+        .join(nb, "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.coalesce("inter", F.lit(0)).alias("inter"),
+            F.round(jexact, 6).alias("jaccard_exact"),
+            F.round("jest", 6).alias("jaccard_est"),
+            F.round(F.abs(F.col("jest") - jexact), 6).alias("abs_err"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+ORACLES["q_source_overlap"] = f"""
+    WITH hs AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+        FROM documents
+    ),
+    per_src AS (SELECT source, count(*) AS n FROM hs GROUP BY 1),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    ),
+    sk AS (
+        SELECT source, list_sort(list(h)) AS sk FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hs)
+        WHERE rn <= {OVERLAP_K} GROUP BY source
+    ),
+    est AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               len(list_filter(
+                       list_sort(list_distinct(a.sk || b.sk))[1:{OVERLAP_K}],
+                       x -> list_contains(a.sk, x)
+                            AND list_contains(b.sk, x))) * 1.0
+               / len(list_sort(list_distinct(a.sk || b.sk))[1:{OVERLAP_K}])
+                   AS jest
+        FROM sk a JOIN sk b ON a.source < b.source
+    )
+    SELECT e.src_a, e.src_b, pa.n AS n_a, pb.n AS n_b,
+           coalesce(i.inter, 0) AS inter,
+           round(coalesce(i.inter, 0) * 1.0
+                 / (pa.n + pb.n - coalesce(i.inter, 0)), 6) AS jaccard_exact,
+           round(e.jest, 6) AS jaccard_est,
+           round(abs(e.jest - coalesce(i.inter, 0) * 1.0
+                 / (pa.n + pb.n - coalesce(i.inter, 0))), 6) AS abs_err
+    FROM est e
+    JOIN per_src pa ON pa.source = e.src_a
+    JOIN per_src pb ON pb.source = e.src_b
+    LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+    ORDER BY e.src_a, e.src_b
+"""
+
 QUERIES["q_dist_rank"] = q_dist_rank
 QUERIES["q_corpus_card"] = q_corpus_card
+QUERIES["q_source_overlap"] = q_source_overlap
