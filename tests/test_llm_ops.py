@@ -396,3 +396,28 @@ def test_source_overlap_estimator_tracks_exact(spark, tmp_path):
         for r in q_source_overlap(spark, str(tmp_path)).collect()
     }
     assert again[("A", "B")] == ab.jaccard_est
+
+
+def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
+    """A corpus planted with freq(rank i) = round(2000/i) must fit
+    slope ~ -1 with near-perfect R2, while the repo's synthetic
+    testdata (31 near-uniform tokens) reads slope -0.18 / R2 0.06 —
+    the degenerate-corpus flag the operator exists to raise."""
+    from timer_pulsar_spark.operators.textops import q_zipf_fit
+
+    toks = []
+    for i in range(1, 101):
+        toks += [f"w{i:03d}"] * round(2000 / i)
+    docs = [
+        (j, " ".join(toks[j * 200 : (j + 1) * 200]), "en", "src0", 999)
+        for j in range((len(toks) + 199) // 200)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    row = q_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row.n_terms == 100
+    assert -1.05 <= row.slope <= -0.95
+    assert row.r2 > 0.99

@@ -1661,6 +1661,64 @@ def stream_quality_clf_run(
         )
     return spark.read.parquet(out).drop("batch")
 
+ZIPF_TOP = 1000  # head of the rank-frequency curve the fit runs on
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[corpus sanity] least-squares fit of Zipf's law over the token
+    rank-frequency head: slope/intercept/R² of ln(freq) ~ ln(rank) for
+    the ZIPF_TOP most frequent terms. Natural text sits near slope −1
+    with high R²; a corpus whose curve is flat (boilerplate flood) or
+    cliff-shaped (template explosion) fails the eyeball test this
+    automates. Degenerate corpora (machine logs, DNA-like alphabets)
+    are exactly what this flags during ingestion diligence.
+
+    Scale shape: one vocabulary hash aggregate (map-side combined),
+    then a TakeOrdered top-k — never a global sort or a full-vocab
+    window — and the regression runs on the k-row frame (ties broken
+    by term so both engines rank identically). Driver/exchange volume
+    is O(k) past the frequency agg."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = freq.orderBy(F.col("cnt").desc(), "term").limit(ZIPF_TOP)
+    from pyspark.sql.window import Window
+
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("cnt").desc(), "term"))
+    )
+    y, x = F.log("cnt"), F.log("rank")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+ORACLES["q_zipf_fit"] = f"""
+    WITH freq AS (
+        SELECT term, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+    ),
+    top AS (SELECT term, cnt FROM freq ORDER BY cnt DESC, term LIMIT {ZIPF_TOP}),
+    ranked AS (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        FROM top
+    )
+    SELECT count(*) AS n_terms,
+           round(regr_slope(ln(cnt), ln(rank)), 6) AS slope,
+           round(regr_intercept(ln(cnt), ln(rank)), 6) AS intercept,
+           round(regr_r2(ln(cnt), ln(rank)), 6) AS r2
+    FROM ranked
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
