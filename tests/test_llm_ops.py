@@ -421,3 +421,36 @@ def test_zipf_fit_recovers_planted_power_law(spark, tmp_path):
     assert row.n_terms == 100
     assert -1.05 <= row.slope <= -0.95
     assert row.r2 > 0.99
+
+
+def test_embed_prune_respects_per_cell_budget(spark):
+    """Every cell prunes EXACTLY ceil(0.1 * cell_n) vectors (the
+    guaranteed budget), they are that cell's weakest by (cosine,
+    vec_id), and pruned sets from two runs are identical."""
+    import math
+
+    from timer_pulsar_spark.operators.similarity import (
+        PRUNE_FRAC,
+        q_centroid_assign,
+        q_embed_prune,
+    )
+
+    pruned = q_embed_prune(spark, SF_DIR).collect()
+    by_cell: dict[int, list] = {}
+    for r in pruned:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    full = q_centroid_assign(spark, SF_DIR).collect()
+    cells: dict[int, list] = {}
+    for r in full:
+        cells.setdefault(r.cell_id, []).append(r)
+    assert set(by_cell) <= set(cells)
+    for cid, members in cells.items():
+        budget = math.ceil(len(members) * PRUNE_FRAC)
+        got = by_cell.get(cid, [])
+        assert len(got) == budget
+        weakest = sorted(members, key=lambda r: (r.cosine, r.vec_id))[
+            :budget
+        ]
+        assert sorted(r.vec_id for r in got) == sorted(
+            r.vec_id for r in weakest
+        )

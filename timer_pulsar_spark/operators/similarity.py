@@ -336,6 +336,45 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRUNE_FRAC = 0.10  # least-central share removed per cell
+
+
+def q_embed_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prototypicality pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws"): within every quantization cell, flag the
+    PRUNE_FRAC least-central vectors — the lowest cosine to their own
+    centroid — as prune candidates. Distance-to-prototype rank is the
+    standard cheap data-pruning signal for embedding corpora (noise /
+    mislabeled / off-manifold points sit at cell edges).
+
+    Rank-based, not threshold-based, on purpose: a z-score cut
+    compares against float moments whose last bits are engine- and
+    order-dependent, while "bottom ceil(0.1·n) by (rounded cosine,
+    vec_id)" selects the identical set everywhere — and gives the
+    operator a guaranteed pruning budget per cell, which is what a
+    100 TB curation pass actually provisions for.
+
+    Scale shape: q_centroid_assign's broadcast-codebook map + ONE
+    window keyed by cell_id (bounded cardinality, uniform cells);
+    per-cell counts ride the same window frame, no second shuffle."""
+    assigned = q_centroid_assign(spark, sf_dir)
+    wc = Window.partitionBy("cell_id")
+    wr = Window.partitionBy("cell_id").orderBy(F.col("cosine").asc(), "vec_id")
+    return (
+        assigned.withColumn("cell_n", F.count(F.lit(1)).over(wc))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= F.ceil(F.col("cell_n") * PRUNE_FRAC))
+        .select(
+            "vec_id",
+            "cell_id",
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+            "cell_n",
+        )
+        .orderBy("cell_id", "rk")
+    )
+
+
 def q_embed_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding normalization — the map-side preprocessing step every
     vector pipeline runs before cosine retrieval (unit vectors turn
@@ -637,6 +676,19 @@ def q_stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stateless per-row assignment against a fixed codebook is
 # batch-split-independent: the incremental index must equal the batch one
 ORACLES["q_stream_centroid_assign"] = ORACLES["q_centroid_assign"]
+ORACLES["q_embed_prune"] = f"""
+    WITH assigned AS ({ORACLES["q_centroid_assign"]}),
+    sized AS (
+        SELECT vec_id, cell_id, cosine,
+               count(*) OVER (PARTITION BY cell_id) AS cell_n,
+               row_number() OVER (PARTITION BY cell_id
+                                  ORDER BY cosine ASC, vec_id) AS rk
+        FROM assigned
+    )
+    SELECT vec_id, cell_id, cosine, CAST(rk AS INT) AS rk, cell_n
+    FROM sized WHERE rk <= ceil(cell_n * {PRUNE_FRAC})
+    ORDER BY cell_id, rk
+"""
 
 # identical arithmetic contract: the numpy-matmul kernel must reproduce
 # the JVM brute-force result bit-for-bit at 6 decimals
