@@ -114,6 +114,22 @@ AUDITED: dict[str, str] = {
         "beneath a bloom_filter_might_contain predicate — non-qualifying "
         "fact rows die before the join exchange."
     ),
+    "q_dsir_weights": (
+        "DSIR scoring: the raw-pool predicate is pushed to the scoring "
+        "scan (PushedFilters Not(EqualTo(source,src0))), the 256-row "
+        "log-ratio model reaches the gram stream as a "
+        "BroadcastHashJoin, and the plan holds exactly TWO corpus scans "
+        "— model totals fold in as an unpartitioned window over the "
+        "model frame instead of a third scan."
+    ),
+    "q_dedup_incremental": (
+        "Incremental ingestion gate: the existing corpus appears only "
+        "as slim derived relations (text-hash dim, df-capped shingle "
+        "postings); candidates come from an equi-join of incoming vs "
+        "existing postings keyed by the 8-byte shingle hash with the "
+        "size-ratio prune in the join condition — no self-join subtree, "
+        "so existing x existing pairs are structurally absent."
+    ),
 }
 
 

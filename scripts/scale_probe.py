@@ -60,6 +60,12 @@ PROBES = [
     "q_pretrain_mix",
     "q_pca_project",
     "q_kcenter_select",
+    # r7 additions: the DSIR bucket models are a fixed-256-key agg +
+    # broadcast-back (should track the linear gram explode); the
+    # incremental dedup gate is postings-join-shaped, so its cost
+    # follows the batch side and the matched posting volume
+    "q_dsir_weights",
+    "q_dedup_incremental",
 ]
 
 
