@@ -32,18 +32,15 @@ PRIORITY: list[str] = [
     "q_groupby_minute", "q_window_bucket", "q_dedup_merge",
     # metrics sink (S13) + raw SQL (S4) + timer domain (T1-T4)
     "q_metrics_summary", "q_sql", "q_fanout",
-    # streaming (oracle-checked interval join)
-    "q_stream_join",
     # LLM-pipeline family representatives (one per family, oracle-backed)
     "q_dedup_exact", "q_dedup_near", "q_ann_topk", "q_centroid_assign",
     "q_textstats",
-    "q_sample_hash", "q_pack_sequences",
-    "q_funnel", "q_multimodal_meta",
+    "q_sample_hash",
+    "q_multimodal_meta",
     # r4 rotation (VERDICT r03 item 8): first driver rows for families
     # that sat past the budget — each replaced slot was double-covered
     # (q_json keeps P9, q_distinct keeps A3, q_groupby_minute keeps T5,
     # q_fanout/q_cron_valid keep T1-T3, q_window_bucket keeps A4/T10)
-    "q_session_window",
     # r5 rotation (VERDICT r04 item 4): first driver rows for the round-4
     # newcomers + the round-5 stateful pair. Slots freed by demoting
     # double-covered rows (see SECONDARY head): q_semi keeps J1 via
@@ -52,7 +49,7 @@ PRIORITY: list[str] = [
     # analytic-window rep beyond §2, q_materialize keeps T9 via pytest
     # api.run_migration, q_sessionize keeps its shape via
     # q_session_window, q_dup_clusters via q_pagerank.
-    "q_dedup_near_auto_check", "q_semdedup_scaled_check",
+    "q_dedup_near_auto_check",
     "q_stream_ttl_evict",
     # r7 rotation (VERDICT r06 item 5): first driver rows for the six
     # never-windowed candidates the verdict named. Slots freed by
@@ -83,6 +80,20 @@ PRIORITY: list[str] = [
     # at the SECONDARY head)
     "q_span_scrub", "q_quality_clf_check", "q_runtime_filter",
     "q_pca_check", "q_kcenter_check", "q_split_leakproof",
+    # r7 continuation, second wave — the operators built in the
+    # follow-on session, in-window the round they ship (q_dsir_sample
+    # rides q_dsir_weights: same model/score computation + a TakeOrdered).
+    # Slots freed by demoting rows hash-green in r06 with argued
+    # in-window family coverage: q_stream_join (streaming family keeps
+    # q_stream_ttl_evict + q_stream_cdf_consume + the new
+    # q_interval_join_bucketed), q_session_window (window family keeps
+    # q_window_bucket + q_gapfill_interp), q_semdedup_scaled_check
+    # (embedding-cell family gains q_embed_prune + keeps
+    # q_centroid_assign), q_funnel (events analytics keeps
+    # q_topk_per_group + q_gapfill_interp), q_pack_sequences (sampling
+    # keeps q_sample_hash + q_pretrain_mix).
+    "q_dsir_weights", "q_dedup_incremental", "q_source_overlap",
+    "q_zipf_fit", "q_embed_prune",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -91,6 +102,10 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
+    # r7-continuation second-wave demotions + the derivative DSIR
+    # selection (rides q_dsir_weights in-window)
+    "q_dsir_sample", "q_stream_join", "q_session_window",
+    "q_semdedup_scaled_check", "q_funnel", "q_pack_sequences",
     # r7-continuation demotions — hash-green in r06, family coverage
     # argued at the PRIORITY tail above; first to re-enter on budget+1
     "q_cron_valid", "q_asof", "q_pagerank", "q_bpe_check",
