@@ -413,36 +413,23 @@ def _gram_rows(d: DataFrame) -> DataFrame:
     )
 
 
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """[curation: DSIR importance weights] per-document log-likelihood
-    ratio between a target-domain hashed-n-gram model and the raw-pool
-    model (Xie et al. 2023): docs whose gram distribution looks like
-    the target domain score high and get selected for pretraining.
-    Target = the DSIR_TARGET_SOURCE slice; raw = every other source.
-    Add-one smoothing over DSIR_BUCKETS buckets on both models.
-
-    Scale shape: the two bucket-count models are ONE hash aggregate
-    keyed by bucket — at most DSIR_BUCKETS keys, map-side combined to
-    ≤ B rows per task, so the shuffle is O(B·partitions) no matter the
-    corpus size; model totals fold over that B-row frame. Scoring
-    broadcasts the B-row log-ratio table back onto the exploded gram
-    stream (no shuffle) and the per-doc sum is one linear, pre-combined
-    groupBy — the same shape as q_unigram_lm, linear at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
+def dsir_ratio_model(d: DataFrame) -> DataFrame:
+    """The ≤ DSIR_BUCKETS-row log-ratio table: per feature bucket,
+    ln p_target(b) − ln p_raw(b) with add-one smoothing. ONE hash
+    aggregate keyed by bucket — map-side combined to ≤ B rows per task
+    at any corpus size; model totals fold in as an unpartitioned window
+    over the B-row model frame (single small task), NOT a separate
+    scalar agg joined back: a scalar-agg subtree is not reused by
+    Catalyst, so it would re-scan the corpus."""
     g = _gram_rows(d)
     is_t = F.col("source") == DSIR_TARGET_SOURCE
     model = g.groupBy("bucket").agg(
         F.sum(F.when(is_t, 1).otherwise(0)).alias("c_tgt"),
         F.sum(F.when(is_t, 0).otherwise(1)).alias("c_raw"),
     )
-    # model totals as an unpartitioned window over the ≤ B-row model
-    # frame (single 256-row task), NOT a separate scalar agg joined
-    # back: a scalar-agg subtree is not reused by Catalyst, so it would
-    # re-scan the corpus — this keeps the whole query at two corpus
-    # passes (model + scoring) instead of three
     w_all = Window.partitionBy(F.lit(1))
     B = F.lit(float(DSIR_BUCKETS))
-    ratio = model.select(
+    return model.select(
         "bucket",
         (
             F.log(
@@ -453,17 +440,37 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("lr"),
     )
+
+
+def _dsir_score(docs: DataFrame, ratio: DataFrame) -> DataFrame:
+    """Score the raw-pool docs of a frame against a (bucket, lr) model:
+    broadcast the B-row table onto the exploded gram stream (no
+    shuffle), then one linear pre-combined per-doc sum."""
+    g = _gram_rows(docs).filter(F.col("source") != DSIR_TARGET_SOURCE)
     return (
-        g.filter(~is_t)
-        .join(F.broadcast(ratio), "bucket")
+        g.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.round(F.sum("lr"), 6).alias("llr"),
             F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias("llr_per_gram"),
         )
-        .orderBy("doc_id")
     )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: DSIR importance weights] per-document log-likelihood
+    ratio between a target-domain hashed-n-gram model and the raw-pool
+    model (Xie et al. 2023): docs whose gram distribution looks like
+    the target domain score high and get selected for pretraining.
+    Target = the DSIR_TARGET_SOURCE slice; raw = every other source.
+    Add-one smoothing over DSIR_BUCKETS buckets on both models.
+
+    Scale shape: dsir_ratio_model's single bounded-key aggregate +
+    _dsir_score's broadcast-join-and-fold — two corpus passes total
+    (model + scoring), the same linear shape as q_unigram_lm."""
+    d = load_table(spark, sf_dir, "documents")
+    return _dsir_score(d, dsir_ratio_model(d)).orderBy("doc_id")
 
 
 def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -478,6 +485,57 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("llr").desc(), "doc_id")
         .limit(DSIR_N)
     )
+
+
+def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: DSIR at ingest] the streaming twin of q_dsir_weights,
+    ORACLE-checked: the log-ratio model is fit OFFLINE once (its ≤ 256
+    rows are the only state collected — the DSIR analog of a trained
+    classifier checkpoint), then the corpus replays as a multi-batch
+    file stream and every arriving shard is scored statelessly against
+    the frozen broadcast model. Scoring is per-document, so the union
+    over any batch split equals the one-shot batch weights — which is
+    how targeted selection actually deploys at 100 TB: new data is
+    scored as it lands, at O(shard) per shard, and the model is only
+    refit on a schedule, never per ingest."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_dsir_")
+    in_dir = os.path.join(work, "docs")
+    out = os.path.join(work, "scored")
+    ckpt = os.path.join(work, "ckpt")
+
+    d = load_table(spark, sf_dir, "documents")
+    d.repartition(8).write.mode("overwrite").parquet(in_dir)
+    # freeze the model: materialize the B-row table once — re-using the
+    # lazy frame inside foreachBatch would re-run the two model
+    # aggregates against the static table on EVERY micro-batch
+    ratio = spark.createDataFrame(dsir_ratio_model(d).collect())
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        _dsir_score(batch_df, ratio).write.mode("append").parquet(out)
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real batches
+            .parquet(in_dir)
+            .writeStream.foreachBatch(score)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+    return spark.read.parquet(out).select(
+        "doc_id", "n_grams", "llr", "llr_per_gram"
+    ).orderBy("doc_id")
 
 
 def _dsir_gram_bucket_sql() -> str:
@@ -529,6 +587,9 @@ def _dsir_weights_sql() -> str:
 
 ORACLES: dict[str, str] = {
     "q_dsir_weights": f"SELECT * FROM ({_dsir_weights_sql()}) ORDER BY doc_id",
+    # frozen model + stateless per-doc scoring => the streamed union
+    # must equal the one-shot batch weights row-for-row
+    "q_stream_dsir": f"SELECT * FROM ({_dsir_weights_sql()}) ORDER BY doc_id",
     "q_dsir_sample": f"""
         SELECT * FROM ({_dsir_weights_sql()})
         ORDER BY llr DESC, doc_id LIMIT {DSIR_N}
