@@ -411,7 +411,9 @@ def bench_qualclf(spark, sf_dir: str) -> dict:
     wall = round(time.perf_counter() - t0, 2)
     return {
         "iters": QUALCLF_ITERS,
-        "driver_round_trips": QUALCLF_ITERS,
+        # one trip per iteration + the one-time curvature-majorizer
+        # collect that preconditions the update
+        "driver_round_trips": QUALCLF_ITERS + 1,
         "wall_sec": wall,
         "acc": round(acc, 4),
         "acc_floor": QUALCLF_ACC_FLOOR,

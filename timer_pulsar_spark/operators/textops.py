@@ -1399,9 +1399,16 @@ ORACLES["q_bpe_check"] = (
 # ---------------------------------------------------------------------------
 
 QUALCLF_DIM = 2048   # hashed bigram buckets; driver state = DIM+1 doubles
-QUALCLF_LR = 6.0     # safe: per-example ||x||^2 <= ~2 -> L <= 0.5, lr < 2/L
+# Step scale for the diagonally-preconditioned (MM-majorizer) update:
+# H ≼ ¼·XᵀX ≼ diag(¼·Σᵢ x_ib·||x_i||₁) by Jensen, so a full step
+# (lr = 1) against that bound is monotone descent BY CONSTRUCTION.
+# The earlier plain-GD step stalled at scale: the bias coordinate
+# (x = 1 everywhere) capped the stable global rate at ~4 while the
+# L1-normalized bigram coordinates (x ~ 1/doc_len) needed rates
+# thousands of times larger — loss sat at ln 2 forever at sf0.1.
+QUALCLF_LR = 1.0
 QUALCLF_ITERS = 12
-QUALCLF_ACC_FLOOR = 0.6  # observed ~0.76-0.80; majority class is exactly 0.5
+QUALCLF_ACC_FLOOR = 0.6  # sf0.001/0.01 ~0.80; sf0.1 0.608 (signal, not noise: deterministic)
 
 
 def _qualclf_examples(d: DataFrame) -> DataFrame:
@@ -1473,10 +1480,26 @@ def qualclf_fit(
     DIM+1 rows. Only the model crosses the driver; shuffle volume per
     iteration is O(nnz features), independent of DIM. Same
     driver-state / convergence contract as embed_classifier_fit
-    (similarity.py), applied to a text-derived feature space."""
+    (similarity.py), applied to a text-derived feature space.
+
+    The update is DIAGONALLY PRECONDITIONED by the per-coordinate
+    curvature majorizer D_bb = ¼·Σᵢ x_ib·||x_i||₁ (collected once —
+    one extra DIM-row trip before the loop; ||x_i||₁ = 2 by
+    construction: L1-normalized bigrams + bias). Plain GD cannot fit
+    this feature scaling: the bias column (x = 1 in every example)
+    bounds the stable global step at ~4 while the ~1/doc_len bigram
+    coordinates need steps thousands of times larger, so the loss sits
+    at ln 2 forever on larger corpora. A full MM step against D is
+    monotone descent by construction (H ≼ ¼XᵀX ≼ D via Jensen) — the
+    guarantee q_quality_clf_check asserts empirically."""
     d = load_table(spark, sf_dir, "documents")
     feats = _qualclf_examples(d).localCheckpoint()
     n = feats.filter(F.col("bucket") == -1).count()
+    # per-coordinate majorizer: ||x_i||_1 = 2 for every example
+    precond: dict[int, float] = {
+        r.bucket: 0.25 * 2.0 * r.s1 + 1e-12
+        for r in feats.groupBy("bucket").agg(F.sum("x").alias("s1")).collect()
+    }
     w: dict[int, float] = {b: 0.0 for b in range(-1, QUALCLF_DIM)}
     losses: list[float] = []
     for _ in range(iters):
@@ -1492,7 +1515,7 @@ def qualclf_fit(
                 "y",
                 (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))).alias("p"),
             )
-            .withColumn("coef", (F.col("p") - F.col("y")) / F.lit(float(n)))
+            .withColumn("coef", F.col("p") - F.col("y"))
         )
         grad_loss = (
             feats.join(pf.select("ex_id", "p", "coef"), "ex_id")
@@ -1514,7 +1537,7 @@ def qualclf_fit(
         )
         losses.append(sum(r.l for r in grad_loss) / n)
         for r in grad_loss:
-            w[r.bucket] -= lr * r.g
+            w[r.bucket] -= lr * r.g / precond[r.bucket]
     return w, losses, n
 
 
