@@ -454,3 +454,37 @@ def test_embed_prune_respects_per_cell_budget(spark):
         assert sorted(r.vec_id for r in got) == sorted(
             r.vec_id for r in weakest
         )
+
+
+def test_stream_sketch_fold_equals_batch_sketch(spark, tmp_path):
+    """Mergeability, end to end: folding per-batch bottom-k sketches
+    across a multi-batch replay must land on EXACTLY the one-shot
+    batch sketch — on a corpus big enough (n > k per source) that the
+    fold genuinely discards and re-merges values every batch."""
+    from timer_pulsar_spark.operators.analytics import (
+        q_source_overlap,
+        q_stream_source_overlap,
+    )
+
+    docs = []
+    did = 0
+    for i in range(300):
+        text = f"shared body {i} " + " ".join(f"t{i}x{j}" for j in range(4))
+        for s in ["A", "B"] if i < 100 else (["A"] if i < 200 else ["B"]):
+            docs.append((did, text, "en", s, len(text)))
+            did += 1
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    streamed = {
+        (r.src_a, r.src_b): r.jaccard_est
+        for r in q_stream_source_overlap(spark, str(tmp_path)).collect()
+    }
+    batch = {
+        (r.src_a, r.src_b): r.jaccard_est
+        for r in q_source_overlap(spark, str(tmp_path)).collect()
+    }
+    assert streamed == batch and ("A", "B") in streamed
+    assert 0 < streamed[("A", "B")] < 1

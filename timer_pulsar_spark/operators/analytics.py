@@ -1012,6 +1012,154 @@ ORACLES["q_source_overlap"] = f"""
     ORDER BY e.src_a, e.src_b
 """
 
+def q_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGEABLE-SKETCH fold, oracle-checked: maintain the
+    per-source bottom-k sketch ACROSS micro-batches (per batch: sketch
+    the arrivals, set-union with the stored sketch, re-take the k
+    smallest) and compute the pairwise overlap estimates from the final
+    folded state. Bottom-k is a mergeable summary, so the fold result
+    is arrival-order- and batch-split-INDEPENDENT and must equal the
+    one-shot batch sketch — the property that lets a 100 TB pipeline
+    keep per-source overlap live at O(k) state per source. The merge is
+    also idempotent (set union), so a redelivered batch cannot corrupt
+    the state — sketch folds are retry-safe for free, unlike counters.
+
+    State versioning: each batch writes state_<batch_id> and the next
+    reads the highest-numbered dir — no read-while-overwrite, and a
+    retried batch rewrites its own version with identical content."""
+    import os
+    import re
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_kmv_")
+    in_dir = os.path.join(work, "docs")
+    ckpt = os.path.join(work, "ckpt")
+
+    d = load_table(spark, sf_dir, "documents")
+    d.repartition(8).write.mode("overwrite").parquet(in_dir)
+    empty = F.array().cast("array<bigint>")
+
+    def latest_state() -> str | None:
+        vs = [
+            int(m.group(1))
+            for e in os.listdir(work)
+            if (m := re.match(r"state_(\d+)$", e))
+        ]
+        return os.path.join(work, f"state_{max(vs)}") if vs else None
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        h = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
+        bs = batch_df.select("source", h.alias("h")).distinct()
+        w = Window.partitionBy("source").orderBy("h")
+        sk = (
+            bs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= OVERLAP_K)
+            .groupBy("source")
+            .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+        )
+        prev_dir = latest_state()
+        if prev_dir is not None:
+            prev = spark.read.parquet(prev_dir).select(
+                "source", F.col("sk").alias("sk_prev")
+            )
+            sk = (
+                sk.join(prev, "source", "full_outer")
+                .select(
+                    "source",
+                    F.slice(
+                        F.array_sort(
+                            F.array_union(
+                                F.coalesce("sk", empty),
+                                F.coalesce("sk_prev", empty),
+                            )
+                        ),
+                        1,
+                        OVERLAP_K,
+                    ).alias("sk"),
+                )
+            )
+        sk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(work, f"state_{batch_id}")
+        )
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real folds
+            .parquet(in_dir)
+            .writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    sk = spark.read.parquet(latest_state())
+    est = (
+        sk.select(F.col("source").alias("src_a"), F.col("sk").alias("sk_a"))
+        .join(
+            sk.select(
+                F.col("source").alias("src_b"), F.col("sk").alias("sk_b")
+            ),
+            F.col("src_a") < F.col("src_b"),
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.size("sk_a").alias("n_sk_a"),
+            F.size("sk_b").alias("n_sk_b"),
+            F.round(
+                F.expr(
+                    f"size(filter(slice(array_sort(array_union(sk_a, sk_b)),"
+                    f" 1, {OVERLAP_K}),"
+                    " x -> array_contains(sk_a, x)"
+                    " AND array_contains(sk_b, x)))"
+                    f" / size(slice(array_sort(array_union(sk_a, sk_b)),"
+                    f" 1, {OVERLAP_K}))"
+                ),
+                6,
+            ).alias("jaccard_est"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+    return est
+
+
+# the folded sketch must equal the one-shot sketch (mergeability), so
+# the oracle is the batch-side KMV estimate computed straight in SQL
+ORACLES["q_stream_source_overlap"] = f"""
+    WITH hs AS (
+        SELECT DISTINCT source,
+               ('0x' || substr(md5(text), 1, 12))::BIGINT AS h
+        FROM documents
+    ),
+    sk AS (
+        SELECT source, list_sort(list(h)) AS sk FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+            FROM hs)
+        WHERE rn <= {OVERLAP_K} GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(len(a.sk) AS INT) AS n_sk_a,
+           CAST(len(b.sk) AS INT) AS n_sk_b,
+           round(len(list_filter(
+                     list_sort(list_distinct(a.sk || b.sk))[1:{OVERLAP_K}],
+                     x -> list_contains(a.sk, x)
+                          AND list_contains(b.sk, x))) * 1.0
+                 / len(list_sort(list_distinct(a.sk || b.sk))[1:{OVERLAP_K}]),
+                 6) AS jaccard_est
+    FROM sk a JOIN sk b ON a.source < b.source
+    ORDER BY src_a, src_b
+"""
+
 QUERIES["q_dist_rank"] = q_dist_rank
 QUERIES["q_corpus_card"] = q_corpus_card
 QUERIES["q_source_overlap"] = q_source_overlap
+QUERIES["q_stream_source_overlap"] = q_stream_source_overlap
