@@ -159,3 +159,34 @@ def test_dsir_ratio_model_broadcasts(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert plan.count("Scan parquet") == 2
+
+
+def test_pack_bfd_exact_bins_and_determinism(spark, tmp_path):
+    """Planted packing instance with a known BFD solution
+    (budget 512): sizes [400, 300, 212, 112, 100] pack as
+    {400+112}, {300+212}, {100} — best-fit-decreasing puts 212 with
+    300 (not with 400, where first-fit would leave 112 homeless) —
+    plus an oversize 600-token doc in its own singleton bin. Re-run
+    must emit identical rows."""
+    from timer_pulsar_spark.operators.sampling import q_pack_bfd
+
+    sizes = [400, 300, 212, 112, 100, 600]
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(sz)), "en", "src0", 1)
+        for i, sz in enumerate(sizes)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = [
+        (r.bin_rank, r.n_docs, r.bin_tokens)
+        for r in q_pack_bfd(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 1, 600), (2, 2, 512), (3, 2, 512), (4, 1, 100)]
+    again = [
+        (r.bin_rank, r.n_docs, r.bin_tokens)
+        for r in q_pack_bfd(spark, str(tmp_path)).collect()
+    ]
+    assert again == got

