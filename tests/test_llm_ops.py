@@ -488,3 +488,66 @@ def test_stream_sketch_fold_equals_batch_sketch(spark, tmp_path):
     }
     assert streamed == batch and ("A", "B") in streamed
     assert 0 < streamed[("A", "B")] < 1
+
+
+def test_dup_profile_consistent_with_exact_dedup(spark):
+    """Cross-operator consistency: any document that q_dedup_exact
+    groups with at least one other copy (dup_cnt >= 2) must profile at
+    dup_frac == 1.0 when it is long enough to contain a span — its
+    every 8-token span occurs in >= 2 docs by construction. And no
+    dup_frac may leave [0, 1]."""
+    from timer_pulsar_spark.operators.dedup import (
+        SPAN_TOKENS,
+        q_dedup_exact,
+        q_dup_profile,
+    )
+
+    prof = {r.doc_id: r for r in q_dup_profile(spark, SF_DIR).collect()}
+    assert all(0.0 <= r.dup_frac <= 1.0 for r in prof.values())
+    groups = q_dedup_exact(spark, SF_DIR).collect()
+    from timer_pulsar_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_DIR, "documents")
+    dup_hashes = {g.text_hash for g in groups if g.dup_cnt >= 2}
+    dup_docs = [
+        (r.doc_id, r.n)
+        for r in d.select(
+            "doc_id",
+            F.md5("text").alias("h"),
+            F.size(F.split("text", " ")).alias("n"),
+        ).collect()
+        if r.h in dup_hashes
+    ]
+    for doc_id, n in dup_docs:
+        if n >= SPAN_TOKENS:
+            assert prof[doc_id].dup_frac == 1.0, doc_id
+
+
+def test_dup_profile_planted_full_and_partial(spark, tmp_path):
+    """Planted: two identical 20-token docs profile at dup_frac 1.0;
+    a doc sharing only its first 10 tokens with them covers exactly
+    positions 0..9 (the 3 spans starting at 0,1,2 union to 10 tokens
+    of its 20 -> 0.5); an unrelated doc profiles at 0."""
+    from timer_pulsar_spark.operators.dedup import q_dup_profile
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    tail_a = " ".join(f"a{i}" for i in range(10))
+    tail_c = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (1, f"{shared} {tail_a}", "en", "src0", 1),
+        (2, f"{shared} {tail_a}", "en", "src1", 1),  # exact copy of 1
+        (3, f"{shared} {tail_c}", "en", "src2", 1),  # shares first 10
+        (4, " ".join(f"z{i}" for i in range(20)), "en", "src3", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    prof = {
+        r.doc_id: r for r in q_dup_profile(spark, str(tmp_path)).collect()
+    }
+    assert prof[1].dup_frac == 1.0 and prof[2].dup_frac == 1.0
+    assert prof[1].dup_heavy and prof[2].dup_heavy
+    assert prof[3].covered_tokens == 10 and prof[3].dup_frac == 0.5
+    assert prof[4].dup_frac == 0.0 and not prof[4].dup_heavy

@@ -882,6 +882,69 @@ def _span_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_HEAVY_FRAC = 0.2  # flag docs with >= this duplicated-token share
+
+
+def q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication PROFILE — the memorization-risk metric
+    of the Lee et al. substring-dedup line: for every document, the
+    fraction of its tokens lying inside ANY cross-document duplicated
+    SPAN_TOKENS-token span (all occurrences count, including the
+    canonical first — a document whose content exists elsewhere is a
+    memorization risk even if it is the copy the scrub pass would
+    keep). Corpus curation uses this to rank documents for removal or
+    down-sampling where q_span_scrub's surgical token removal is too
+    aggressive, and model evals use it to stratify memorization
+    probes.
+
+    Scale shape: the same single span-postings pipeline as
+    q_dedup_span (one hash agg on the span hash, AQE-broadcast join
+    back), plus one per-doc distinct-position count — covered
+    positions are proportional to the duplicated region, not the
+    corpus. Zero-coverage docs ride a left join, never a second
+    scan."""
+    spans = _span_occurrences(spark, sf_dir)
+    hot = (
+        spans.groupBy("span_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .select("span_md5")
+    )
+    covered = (
+        spans.join(hot, "span_md5")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("pos"), F.col("pos") + F.lit(SPAN_TOKENS - 1)
+                )
+            ).alias("tokpos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select("doc_id", n_tok.alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 6
+            ).alias("dup_frac"),
+            (
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens")
+                >= DUP_HEAVY_FRAC
+            ).alias("dup_heavy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-span REMOVAL — the second half of Lee et al.'s
     "Deduplicating Training Data Makes Language Models Better"
@@ -1789,6 +1852,35 @@ ORACLES["q_span_scrub"] = f"""
 """
 # the incremental fold is split-independent (min/sum are commutative),
 # so the streamed state must equal the one-shot batch aggregation
+ORACLES["q_dup_profile"] = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    spans AS (
+        SELECT doc_id, CAST(u.s AS BIGINT) AS pos,
+               md5(array_to_string(
+                   list_slice(toks, u.s + 1, u.s + {SPAN_TOKENS}), ' '))
+                   AS span_md5
+        FROM t, UNNEST(range(0, greatest(len(toks) - {SPAN_TOKENS - 1}, 0)))
+                 AS u(s)
+    ), hot AS (
+        SELECT span_md5 FROM spans GROUP BY span_md5
+        HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+    ), covered AS (
+        SELECT doc_id, count(*) AS covered_tokens FROM (
+            SELECT DISTINCT s.doc_id, s.pos + u.k AS tokpos
+            FROM spans s JOIN hot h USING (span_md5),
+                 UNNEST(range(0, {SPAN_TOKENS})) AS u(k)
+        ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           coalesce(c.covered_tokens, 0) AS covered_tokens,
+           round(coalesce(c.covered_tokens, 0) * 1.0 / len(t.toks), 6)
+               AS dup_frac,
+           coalesce(c.covered_tokens, 0) * 1.0 / len(t.toks)
+               >= {DUP_HEAVY_FRAC} AS dup_heavy
+    FROM t LEFT JOIN covered c USING (doc_id)
+    ORDER BY t.doc_id
+"""
 ORACLES["q_dedup_incremental"] = f"""
     WITH split AS (
         SELECT doc_id, text,
