@@ -66,6 +66,12 @@ PROBES = [
     # follows the batch side and the matched posting volume
     "q_dsir_weights",
     "q_dedup_incremental",
+    # the duplication profile shares q_dedup_span's postings pipeline
+    # (should track q_span_scrub's curve); the BFD packer is the one
+    # python-kernel stage — its O(n log n) bisect loop is the thing to
+    # watch as per-lang groups grow
+    "q_dup_profile",
+    "q_pack_bfd",
 ]
 
 

@@ -1383,19 +1383,24 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sh"),
         )
 
-    ex_p = postings(existing)
     # df-cap on the EXISTING index only (the side that can have hot
-    # keys at scale); exact at every tested SF — sf0.1 max df is 25
-    df_ok = (
-        ex_p.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # keys at scale); exact at every tested SF — sf0.1 max df is 25.
+    # The cap is a COUNT WINDOW over sh, not an aggregate joined back:
+    # the agg+semi-join form re-derives the whole existing-postings
+    # pipeline twice (Catalyst does not reuse the subtree), and the
+    # window's hash partitioning on sh is exactly what the candidate
+    # join needs next, so the one shuffle serves both.
+    ex_p = (
+        postings(existing)
+        .withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        )
         .filter(F.col("df") <= SHINGLE_DF_CAP)
-        .select("sh")
-    )
-    ex_p = ex_p.join(df_ok, "sh", "left_semi").select(
-        F.col("sh"),
-        F.col("doc_id").alias("ex_doc"),
-        F.col("n_sh").alias("n_ex"),
+        .select(
+            F.col("sh"),
+            F.col("doc_id").alias("ex_doc"),
+            F.col("n_sh").alias("n_ex"),
+        )
     )
     inc_p = postings(incoming).select(
         "sh", F.col("doc_id").alias("inc_doc"), F.col("n_sh").alias("n_inc")
