@@ -33,9 +33,11 @@ HEADLINERS = [
     "q_sessionize",
     # LLM-pipeline ops (registered from round 2 on; skipped if absent)
     "q_dedup_exact",
+    "q_dedup_incremental",
     "q_dedup_near",
     "q_dedup_minhash",
     "q_dedup_span",
+    "q_dup_profile",
     "q_span_scrub",
     "q_winnow_pairs",
     "q_pca_project",
