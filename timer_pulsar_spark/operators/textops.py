@@ -1394,6 +1394,91 @@ ORACLES["q_bpe_check"] = (
 )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[tokenize: apply the tokenizer] the corpus-tokenization stage a
+    training pipeline runs after vocabulary construction: train the
+    merge list (bpe_train), tokenize the DISTINCT-WORD table (already
+    the trainer's final state — each word's symbol array IS its token
+    sequence), and join the word→token-count map back onto the corpus
+    to report per-document whitespace tokens, BPE tokens, and
+    FERTILITY (BPE/ws ratio — the tokenizer-quality number data teams
+    track per language/domain; rising fertility flags domain drift the
+    vocabulary no longer covers).
+
+    Scale shape: tokenization cost is |distinct words| (the trainer's
+    own frame), never corpus rows — the corpus pays one explode + one
+    vocab-sized join (AQE broadcasts while the vocab fits) + one
+    pre-combined per-doc sum. Training is bounded driver state
+    (bpe_train's batched top-N collects). Rows-only gate: the merge
+    list is beyond a SQL oracle; q_bpe_encode_check is the oracle
+    surface."""
+    _merges, words = bpe_train(spark, sf_dir)
+    wmap = words.select("w", F.size("syms").alias("n_syms"))
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("w"))
+    return (
+        toks.join(wmap, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ws_tokens"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(F.col("n_bpe_tokens") / F.col("n_ws_tokens"), 6),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_bpe_encode_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract of corpus tokenization: every vocab
+    word's symbol sequence reconstructs the word exactly (lossless
+    round-trip — the property that lets detokenization recover the
+    corpus), token counts sit in [1, len(word)], every corpus word is
+    covered by the vocabulary (inner-join loses nothing), and the
+    per-document BPE token mass equals the vocabulary-side mass
+    (cnt·n_syms summed over words) — the cross-frame accounting that
+    catches a wrong join or a dropped word class."""
+    _merges, words = bpe_train(spark, sf_dir)
+    vocab = words.agg(
+        F.every(F.concat_ws("", F.col("syms")) == F.col("w")).alias(
+            "recon"
+        ),
+        F.every(
+            (F.size("syms") >= 1) & (F.size("syms") <= F.length("w"))
+        ).alias("bounds"),
+        F.sum(F.size("syms") * F.col("cnt")).alias("vocab_mass"),
+    ).collect()[0]
+    enc = q_bpe_encode(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    corpus = enc.agg(
+        F.sum("n_bpe_tokens").alias("bpe_mass"),
+        F.sum("n_ws_tokens").alias("ws_mass"),
+    ).collect()[0]
+    ws_total = d.select(
+        F.sum(F.size(_toks())).alias("t")
+    ).collect()[0]["t"]
+    return spark.createDataFrame(
+        [
+            (
+                bool(vocab.recon),
+                bool(vocab.bounds),
+                bool(corpus.ws_mass == ws_total),
+                bool(corpus.bpe_mass == vocab.vocab_mass),
+            )
+        ],
+        "roundtrip_ok boolean, bounds_ok boolean, coverage_ok boolean, "
+        "mass_ok boolean",
+    )
+
+
+ORACLES["q_bpe_encode_check"] = (
+    "SELECT true AS roundtrip_ok, true AS bounds_ok,"
+    " true AS coverage_ok, true AS mass_ok"
+)
+
+
 # ---------------------------------------------------------------------------
 # learned quality classifier (CCNet / GPT-3-style discriminator)
 # ---------------------------------------------------------------------------

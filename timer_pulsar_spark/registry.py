@@ -106,7 +106,7 @@ SECONDARY: list[str] = [
     # selection (rides q_dsir_weights in-window)
     "q_dsir_sample", "q_stream_dsir", "q_stream_source_overlap",
     "q_pack_bfd_check",  # the rows-only packer itself sits in the tail
-    "q_dup_profile",
+    "q_dup_profile", "q_bpe_encode_check",
     "q_stream_join", "q_session_window",
     "q_semdedup_scaled_check", "q_funnel", "q_pack_sequences",
     # r7-continuation demotions — hash-green in r06, family coverage
