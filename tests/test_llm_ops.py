@@ -345,6 +345,104 @@ def test_dedup_incremental_three_verdicts(spark, tmp_path):
     assert new.verdict == "new" and new.n_exact == 0 and new.n_near == 0
 
 
+def test_dedup_incremental_df_cap_parity_when_cap_binds(spark, tmp_path):
+    """ADVICE r07: the oracle must mirror the existing-side df cap, so
+    Spark/oracle parity is definitional rather than a coincidence of
+    testdata never holding a hot shingle. Plant a corpus where ONE
+    shingle's existing-side df exceeds SHINGLE_DF_CAP: its postings are
+    dropped by BOTH engines (the incoming copy of that text still reads
+    exact_dup through the uncapped hash dim, but n_near = 0 — uncapped
+    it would equal the hot group's size), while a cold-shingle near
+    pair is still found."""
+    import hashlib
+
+    import duckdb
+
+    import timer_pulsar_spark.operators.dedup as dedup
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 100
+
+    ex_ids = [i for i in range(2000) if bucket(i) < dedup.INCR_EXISTING_PCT]
+    inc_ids = [i for i in range(2000) if bucket(i) >= dedup.INCR_EXISTING_PCT]
+    n_hot = dedup.SHINGLE_DF_CAP + 100  # 1100 existing copies of one text
+    assert len(ex_ids) >= n_hot + 1
+    hot = "common hot gram"  # 3 tokens -> exactly one (hot) shingle
+    base = " ".join(f"w{i}" for i in range(50))
+    variant = " ".join(f"w{i}" for i in range(49)) + " CHANGED"
+    rows = [(ex_ids[k], hot) for k in range(n_hot)]
+    rows.append((ex_ids[n_hot], base))
+    rows.append((inc_ids[0], hot))      # exact copy of the hot text
+    rows.append((inc_ids[1], variant))  # near pair via cold shingles
+    pq = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(pq)
+
+    got = {
+        r.doc_id: r for r in dedup.q_dedup_incremental(spark, str(tmp_path)).collect()
+    }
+    copy, near = got[inc_ids[0]], got[inc_ids[1]]
+    # hash dim is uncapped: the exact tier still sees every copy
+    assert copy.verdict == "exact_dup" and copy.n_exact == n_hot
+    # the ONLY shared shingle is over the cap: near tier must drop it
+    assert copy.n_near == 0
+    assert near.verdict == "near_dup" and near.n_near == 1
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = con.execute(dedup.ORACLES["q_dedup_incremental"]).df()
+    con.close()
+    w = {
+        int(r.doc_id): r for _, r in want.iterrows()
+    }
+    assert set(w) == set(got)
+    for did in got:
+        assert int(w[did].n_exact) == got[did].n_exact, did
+        assert int(w[did].n_near) == got[did].n_near, did
+        assert w[did].verdict == got[did].verdict, did
+
+
+def test_kmv_fold_retry_after_crash_window(spark, tmp_path):
+    """ADVICE r07: a batch redelivered AFTER its state_<id> dir was
+    written but BEFORE the checkpoint committed must not read the dir
+    it is overwriting (pre-fix: the fold read latest_state() — its own
+    crashed attempt's dir — and Spark raised 'Cannot overwrite a path
+    that is also being read from', wedging the stream on that batch).
+    The fold now reads the strictly-older predecessor, so the retry
+    recomputes identical content from the same inputs."""
+    from timer_pulsar_spark.operators.analytics import (
+        kmv_fold_batch,
+        kmv_latest_state,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}", "A" if i % 2 else "B") for i in range(200)],
+        "doc_id long, text string, source string",
+    )
+    work = str(tmp_path)
+
+    def state(v: int):
+        rows = spark.read.parquet(f"{work}/state_{v}").collect()
+        return sorted((r.source, tuple(r.sk)) for r in rows)
+
+    kmv_fold_batch(spark, work, docs.filter("doc_id < 100"), 0)
+    kmv_fold_batch(spark, work, docs.filter("doc_id >= 100"), 1)
+    committed = state(1)
+
+    # crash window: state_1 is on disk, the checkpoint never committed,
+    # the stream redelivers batch 1 — the retry must succeed and leave
+    # the identical folded state
+    kmv_fold_batch(spark, work, docs.filter("doc_id >= 100"), 1)
+    assert state(1) == committed
+    assert kmv_latest_state(work).endswith("state_1")
+    # and the predecessor lookup really excludes the batch's own dir
+    assert kmv_latest_state(work, before=1).endswith("state_0")
+    assert kmv_latest_state(work, before=0) is None
+
+
 def test_source_overlap_estimator_tracks_exact(spark, tmp_path):
     """Planted overlap: sources A and B hold 200 distinct texts each
     and share 100 (jaccard 1/3); C is disjoint. With n=200 > k=64 the

@@ -269,39 +269,45 @@ def _drive_ttl_fold(batches, eager_timers, wm_delay_ms):
 
 # gap grid that stresses the TTL boundary (TTL = 60 min = 3,600 s):
 # the (TTL, TTL+delay] band is where the old single-segment fold's
-# inline eviction was premature (bridgeable by admissible stragglers)
-_TTL_GAPS_SEC = [0, 1, 30, 59, 60, 61, 3599, 3600, 3601, 3630, 3659, 3660, 3661, 7300]
+# inline eviction was premature (bridgeable by admissible stragglers);
+# 7100-7201 stress the same band when delay = TTL (ADVICE r07)
+_TTL_GAPS_SEC = [0, 1, 30, 59, 60, 61, 3599, 3600, 3601, 3630, 3659, 3660, 3661, 7100, 7199, 7200, 7201, 7300]
 
 
 @settings(max_examples=120, deadline=None)
 @given(
     gaps=st.lists(st.sampled_from(_TTL_GAPS_SEC), min_size=1, max_size=18),
-    jitters=st.lists(
-        st.sampled_from([0, 1, 30, 59, 60]), min_size=18, max_size=18
+    jitter_fracs=st.lists(
+        st.sampled_from([0.0, 0.001, 0.5, 0.99, 1.0]),
+        min_size=18,
+        max_size=18,
     ),
     splits=st.sets(st.integers(min_value=1, max_value=17), max_size=6),
     eager_timers=st.booleans(),
+    delay_min=st.sampled_from([1, 10, 60]),
 )
 def test_ttl_evict_fold_exact_under_watermark_bounded_disorder(
-    gaps, jitters, splits, eager_timers
+    gaps, jitter_fracs, splits, eager_timers, delay_min
 ):
-    """VERDICT r06 gap: events are permuted ACROSS batches within the
-    watermark bound before delivery. Delivery order = sort by
-    (event_time + jitter) with jitter <= the 1-minute watermark delay
-    — exactly the reorderings Spark can admit (when an event is
+    """VERDICT r06 gap + ADVICE r07: events are permuted ACROSS batches
+    within the watermark bound before delivery. Delivery order = sort
+    by (event_time + jitter) with jitter <= the wiring's watermark
+    delay — exactly the reorderings Spark can admit (when an event is
     delivered, everything delivered before it is at most delay ahead,
-    so the event clears the watermark). For EVERY such order, batch
-    split, and timer timing, the fold must emit the identical
-    segmentation a full-order replay produces — including stragglers
-    that bridge a gap in (TTL, TTL+delay] which the pre-r07
-    single-segment fold had already split irrevocably."""
-    from timer_pulsar_spark.streaming.stateful import (
-        _TTL_US,
-        _WM_DELAY_US,
-        WATERMARK_DELAY_MINUTES,
-    )
+    so the event clears the watermark). The delay itself is drawn from
+    {1 min, 10 min, TTL}: the fold's contract is exactness for EVERY
+    wiring delay <= TTL, not just the 1-minute default — the pre-r08
+    data-confirmed early flush compared against the hardcoded 1-minute
+    constant and evicted prematurely under larger (still admissible)
+    delays. For every such order, batch split, delay, and timer
+    timing, the fold must emit the identical segmentation a full-order
+    replay produces — including stragglers that bridge a gap in
+    (TTL, TTL+delay] which the pre-r07 single-segment fold had already
+    split irrevocably."""
+    from timer_pulsar_spark.streaming.stateful import _TTL_US, TTL_MINUTES
 
-    assert _WM_DELAY_US <= _TTL_US  # the wiring invariant under test
+    assert delay_min <= TTL_MINUTES  # the wiring invariant under test
+    delay_us = delay_min * 60_000_000
 
     ts, acc = [], 0
     for g in gaps:
@@ -310,9 +316,10 @@ def test_ttl_evict_fold_exact_under_watermark_bounded_disorder(
     evs = [(t * 1_000_000, float(i + 1)) for i, t in enumerate(ts)]
 
     # watermark-admissible delivery order: arrival = t + jitter
+    jitters_us = [int(f * delay_us) for f in jitter_fracs]
     order = sorted(
         range(len(evs)),
-        key=lambda i: (evs[i][0] + jitters[i] * 1_000_000, evs[i][0], i),
+        key=lambda i: (evs[i][0] + jitters_us[i], evs[i][0], i),
     )
     delivered = [evs[i] for i in order]
 
@@ -321,9 +328,7 @@ def test_ttl_evict_fold_exact_under_watermark_bounded_disorder(
     batches = [
         delivered[a:b] for a, b in zip(bounds, bounds[1:]) if b > a
     ]
-    got = _drive_ttl_fold(
-        batches, eager_timers, WATERMARK_DELAY_MINUTES * 60_000
-    )
+    got = _drive_ttl_fold(batches, eager_timers, delay_min * 60_000)
     assert got == _ttl_reference(evs, _TTL_US)
 
 
@@ -343,6 +348,26 @@ def test_ttl_evict_fold_straggler_bridges_ttl_boundary_gap():
         [(3600 * s, 4.0)],
     ]
     got = _drive_ttl_fold(batches, eager_timers=False, wm_delay_ms=60_000)
+    assert got == [(0, 3, 7.0)]
+
+
+def test_ttl_evict_fold_straggler_bridges_under_ttl_sized_delay():
+    """Pinned counterexample to the pre-r08 early-flush rule (ADVICE
+    r07): with a wiring delay of TTL (60 min — admissible per the
+    documented contract delay <= TTL), events at 0s, 3600s, 7199s
+    delivered as [0s], [7199s], [3600s] (the 3600s event 3,599s late,
+    within the delay). The old flush compared against the hardcoded
+    1-minute constant: after [7199s] it evicted the 0s segment
+    (7199 - 60 > 0 + 3600) although the still-admissible 3600s
+    straggler bridges both segments. Full order has NO >TTL gap
+    (3600 <= TTL, 3599 <= TTL): the answer is ONE segment."""
+    s = 1_000_000
+    batches = [
+        [(0, 1.0)],
+        [(7199 * s, 2.0)],
+        [(3600 * s, 4.0)],
+    ]
+    got = _drive_ttl_fold(batches, eager_timers=False, wm_delay_ms=3_600_000)
     assert got == [(0, 3, 7.0)]
 
 

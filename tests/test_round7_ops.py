@@ -72,20 +72,38 @@ def test_auto_check_degenerate_sample_flags_ref_not_ok(
     assert row.pairs_sound  # soundness is sample-independent
 
 
-def test_auto_check_growth_reaches_complete_reference(
-    spark, monkeypatch, dedup
-):
-    """With the normal growth budget, a sparse sample keeps growing
-    (mod -> mod/8 -> ... -> 1); once it reaches the full corpus the
-    reference is complete by definition and ref_ok is true even if
-    the corpus genuinely holds few near-dup pairs."""
+def test_auto_check_growth_floors_at_mod_two(spark, monkeypatch, dedup):
+    """ADVICE r07: the growth schedule must never degenerate to
+    mod == 1 — a FULL-corpus run of the exact postings plan, exactly
+    the quadratic-candidate plan the auto-switch exists to retire.
+    Start just above the verdict's n=150k shape (initial mod = 3) with
+    an unmeetable pair floor: the single grow round must land on the
+    mod == 2 floor (never 1), every reference run must be a strict
+    subset of the corpus, and the unmet floor must surface as
+    ref_ok=false instead of an unbounded recompute."""
+    from timer_pulsar_spark.catalog import load_table
+
+    n = load_table(spark, SF_DIR, "documents").count()
     monkeypatch.setattr(dedup, "NEAR_DUP_AUTO_THRESHOLD", 1)
-    monkeypatch.setattr(dedup, "RECALL_SAMPLE_DOCS", 1)  # start tiny
+    monkeypatch.setattr(dedup, "RECALL_SAMPLE_DOCS", max(1, n // 3))
+    monkeypatch.setattr(dedup, "RECALL_MIN_REF_PAIRS", 10**9)
+
+    sampled_doc_counts: list[int] = []
+    real = dedup.near_pairs_over
+
+    def recording(docs_df, sp, **kw):
+        sampled_doc_counts.append(docs_df.count())
+        return real(docs_df, sp, **kw)
+
+    monkeypatch.setattr(dedup, "near_pairs_over", recording)
 
     row = dedup.q_dedup_near_auto_check(spark, SF_DIR).collect()[0]
-    assert row.ref_ok
-    assert row.n_exact == _full_exact_pairs(dedup, spark)
-    assert row.recall_ok
+    assert sampled_doc_counts, "reference never ran"
+    # the cost bound: NO reference run ever touched the full corpus
+    assert all(c < n for c in sampled_doc_counts)
+    # floor unmet at mod == 2 -> indeterminate, not silently green
+    assert not row.ref_ok
+    assert row.pairs_sound  # soundness is sample-independent
 
 
 # ---------------------------------------------------------------------------

@@ -1012,6 +1012,78 @@ ORACLES["q_source_overlap"] = f"""
     ORDER BY e.src_a, e.src_b
 """
 
+def kmv_latest_state(work: str, before: int | None = None) -> str | None:
+    """Highest-numbered state_<id> dir under ``work``; with ``before``,
+    only versions strictly below it — the predecessor a (re)delivered
+    batch must fold onto (ADVICE r07)."""
+    import os
+    import re
+
+    vs = [
+        int(m.group(1))
+        for e in os.listdir(work)
+        if (m := re.match(r"state_(\d+)$", e))
+        and (before is None or int(m.group(1)) < before)
+    ]
+    return os.path.join(work, f"state_{max(vs)}") if vs else None
+
+
+def kmv_fold_batch(
+    spark: SparkSession, work: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """One mergeable-sketch fold step: sketch the batch, set-union with
+    the PREDECESSOR state (the highest version strictly below this
+    batch_id), re-take the k smallest, write state_<batch_id>.
+
+    Retry safety (ADVICE r07): the previous form read latest_state()
+    unfiltered — after a crash in the window between the state write
+    and the checkpoint commit, the redelivered batch's latest state IS
+    its own state_<batch_id> dir, so the fold lazily read the very
+    path it was overwriting (Spark: "Cannot overwrite a path that is
+    also being read from"), wedging the stream on that batch. Reading
+    the strictly-older predecessor instead makes the retry recompute
+    the identical fold from the same inputs and atomically supersede
+    any partial dir the crashed attempt left — no read-under-write,
+    and idempotent by construction rather than by luck. Module-level
+    so the retry path is directly testable."""
+    import os
+
+    empty = F.array().cast("array<bigint>")
+    h = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
+    bs = batch_df.select("source", h.alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    sk = (
+        bs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= OVERLAP_K)
+        .groupBy("source")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    prev_dir = kmv_latest_state(work, before=batch_id)
+    if prev_dir is not None:
+        prev = spark.read.parquet(prev_dir).select(
+            "source", F.col("sk").alias("sk_prev")
+        )
+        sk = (
+            sk.join(prev, "source", "full_outer")
+            .select(
+                "source",
+                F.slice(
+                    F.array_sort(
+                        F.array_union(
+                            F.coalesce("sk", empty),
+                            F.coalesce("sk_prev", empty),
+                        )
+                    ),
+                    1,
+                    OVERLAP_K,
+                ).alias("sk"),
+            )
+        )
+    sk.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(work, f"state_{batch_id}")
+    )
+
+
 def q_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MERGEABLE-SKETCH fold, oracle-checked: maintain the
     per-source bottom-k sketch ACROSS micro-batches (per batch: sketch
@@ -1024,11 +1096,12 @@ def q_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     also idempotent (set union), so a redelivered batch cannot corrupt
     the state — sketch folds are retry-safe for free, unlike counters.
 
-    State versioning: each batch writes state_<batch_id> and the next
-    reads the highest-numbered dir — no read-while-overwrite, and a
-    retried batch rewrites its own version with identical content."""
+    State versioning: each batch writes state_<batch_id> after folding
+    onto the highest version STRICTLY OLDER than itself
+    (kmv_fold_batch), so a retried batch recomputes its own version
+    from the same predecessor with identical content instead of
+    reading the dir it overwrites (ADVICE r07)."""
     import os
-    import re
     import tempfile
 
     work = tempfile.mkdtemp(prefix="stream_kmv_")
@@ -1037,50 +1110,9 @@ def q_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     d.repartition(8).write.mode("overwrite").parquet(in_dir)
-    empty = F.array().cast("array<bigint>")
-
-    def latest_state() -> str | None:
-        vs = [
-            int(m.group(1))
-            for e in os.listdir(work)
-            if (m := re.match(r"state_(\d+)$", e))
-        ]
-        return os.path.join(work, f"state_{max(vs)}") if vs else None
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        h = F.conv(F.substring(F.md5("text"), 1, 12), 16, 10).cast("long")
-        bs = batch_df.select("source", h.alias("h")).distinct()
-        w = Window.partitionBy("source").orderBy("h")
-        sk = (
-            bs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= OVERLAP_K)
-            .groupBy("source")
-            .agg(F.sort_array(F.collect_list("h")).alias("sk"))
-        )
-        prev_dir = latest_state()
-        if prev_dir is not None:
-            prev = spark.read.parquet(prev_dir).select(
-                "source", F.col("sk").alias("sk_prev")
-            )
-            sk = (
-                sk.join(prev, "source", "full_outer")
-                .select(
-                    "source",
-                    F.slice(
-                        F.array_sort(
-                            F.array_union(
-                                F.coalesce("sk", empty),
-                                F.coalesce("sk_prev", empty),
-                            )
-                        ),
-                        1,
-                        OVERLAP_K,
-                    ).alias("sk"),
-                )
-            )
-        sk.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(work, f"state_{batch_id}")
-        )
+        kmv_fold_batch(spark, work, batch_df, batch_id)
 
     from ..streaming import replay_state_partitions
 
@@ -1100,7 +1132,7 @@ def q_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             if q.isActive:
                 q.stop()
 
-    sk = spark.read.parquet(latest_state())
+    sk = spark.read.parquet(kmv_latest_state(work))
     est = (
         sk.select(F.col("source").alias("src_a"), F.col("sk").alias("sk_a"))
         .join(

@@ -364,9 +364,12 @@ RECALL_SAMPLE_DOCS = 50_000
 # ~1/mod^2, so on a sparse-duplicate corpus the sample can hold too
 # few (or zero) exact pairs and the recall ratio degenerates. Below
 # this floor the sample is grown (mod divided by RECALL_GROW_FACTOR,
-# up to RECALL_GROW_ROUNDS times, bounding the check at
-# GROW_FACTOR^ROUNDS * the base sample); if the floor is still not
-# met at a mod > 1, the emitted ref_ok=false flags the recall
+# up to RECALL_GROW_ROUNDS times, FLOORED at mod == 2 so the schedule
+# can never degenerate into a full-corpus exact run just above the
+# switch threshold — ADVICE r07 — bounding the check at
+# GROW_FACTOR^ROUNDS * the base sample, worst case half the corpus
+# only in the regime where half the corpus IS sample-sized); if the
+# floor is still not met, the emitted ref_ok=false flags the recall
 # estimate as indeterminate instead of letting a vacuous recall=1.0
 # read as green.
 RECALL_MIN_REF_PAIRS = 10
@@ -421,10 +424,11 @@ def q_dedup_near_auto_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     RECALL_GROW_ROUNDS) and, if the floor still is not met at a
     partial sample, ``ref_ok=false`` flags recall_ok as
     indeterminate rather than letting the vacuous recall=1.0 of an
-    empty reference read as green. Below the switch (and whenever
-    growth reaches the full corpus) the reference is complete, so
-    ref_ok is true even with few or zero pairs — there they ARE the
-    truth, not a sampling artifact."""
+    empty reference read as green. Growth is floored at mod == 2
+    (ADVICE r07) so the schedule never degenerates into the
+    full-corpus exact plan the switch retired. Below the switch the
+    reference is complete, so ref_ok is true even with few or zero
+    pairs — there they ARE the truth, not a sampling artifact."""
     docs = load_table(spark, sf_dir, "documents")
     n = docs.count()
     switched = n >= NEAR_DUP_AUTO_THRESHOLD
@@ -433,10 +437,18 @@ def q_dedup_near_auto_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad = auto.filter(F.col("jaccard") < NEAR_DUP_THRESHOLD).count()
         if switched:
             # grow the sample until the reference holds enough exact
-            # pairs to make the recall ratio meaningful (ADVICE r06);
-            # mod == 1 degenerates to the full-corpus reference, which
-            # is complete by definition
-            mod = max(1, n // RECALL_SAMPLE_DOCS)
+            # pairs to make the recall ratio meaningful (ADVICE r06).
+            # The schedule is FLOORED at mod == 2 (ADVICE r07): just
+            # above the switch threshold the initial mod is small
+            # (n = 150k gives mod = 3) and one divide-by-8 would land
+            # on mod == 1 — a FULL-corpus run of the exact postings
+            # plan, precisely the quadratic-candidate plan the switch
+            # exists to retire, voiding the advertised
+            # GROW_FACTOR^ROUNDS-times-base cost bound. At the floor
+            # the reference is still a strict sample, so an unmet pair
+            # floor surfaces as ref_ok=false (indeterminate recall)
+            # instead of an unbounded recompute.
+            mod = max(2, n // RECALL_SAMPLE_DOCS)
             for _ in range(RECALL_GROW_ROUNDS + 1):
                 in_sample = (
                     lambda c, m=mod: F.pmod(F.xxhash64(F.col(c)), F.lit(m))
@@ -446,13 +458,13 @@ def q_dedup_near_auto_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                     docs.filter(in_sample("doc_id")), spark
                 ).select("doc_a", "doc_b")
                 n_exact = exact.count()
-                if n_exact >= RECALL_MIN_REF_PAIRS or mod == 1:
+                if n_exact >= RECALL_MIN_REF_PAIRS or mod == 2:
                     break
-                mod = max(1, mod // RECALL_GROW_FACTOR)
+                mod = max(2, mod // RECALL_GROW_FACTOR)
             auto_pairs = auto.filter(
                 in_sample("doc_a") & in_sample("doc_b")
             ).select("doc_a", "doc_b")
-            ref_complete = mod == 1
+            ref_complete = False  # mod >= 2: always a strict sample
         else:
             exact = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
             auto_pairs = auto.select("doc_a", "doc_b")
@@ -1898,17 +1910,22 @@ ORACLES["q_dedup_incremental"] = f"""
     exdim AS (
         SELECT md5(text) AS h, count(*) AS n_exact FROM existing GROUP BY 1
     ),
+    -- the existing-side df cap is mirrored from the Spark plan
+    -- (ADVICE r07): without it, parity silently depended on testdata
+    -- never holding a shingle with existing-side df > SHINGLE_DF_CAP
     ex_p AS (
-        SELECT doc_id AS ex_doc, len(shingles) AS n_ex,
-               unnest(shingles) AS sh
-        FROM (
-            SELECT doc_id,
-                   list_distinct(list_transform(
-                       range(1, len(string_split(text, ' ')) - 1),
-                       i -> string_split(text, ' ')[i] || ' ' ||
-                            string_split(text, ' ')[i+1] || ' ' ||
-                            string_split(text, ' ')[i+2])) AS shingles
-            FROM existing)
+        SELECT ex_doc, n_ex, sh FROM (
+            SELECT doc_id AS ex_doc, len(shingles) AS n_ex,
+                   unnest(shingles) AS sh
+            FROM (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, len(string_split(text, ' ')) - 1),
+                           i -> string_split(text, ' ')[i] || ' ' ||
+                                string_split(text, ' ')[i+1] || ' ' ||
+                                string_split(text, ' ')[i+2])) AS shingles
+                FROM existing)
+        ) QUALIFY count(*) OVER (PARTITION BY sh) <= {SHINGLE_DF_CAP}
     ),
     inc_p AS (
         SELECT doc_id AS inc_doc, len(shingles) AS n_inc,

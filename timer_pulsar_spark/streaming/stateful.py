@@ -163,11 +163,12 @@ def running_totals_stream(events_stream: DataFrame) -> DataFrame:
 TTL_MINUTES = 60
 _TTL_US = TTL_MINUTES * 60 * 1_000_000
 
-# Watermark delay the stream wiring must use (<= TTL — see
-# ttl_evict_stream). The fold also uses it to confirm a pending
-# segment early from data alone: once this key has seen an event at
-# t, the global watermark is >= t - delay, so any segment whose merge
-# window ends before t - delay can never be touched again.
+# Default watermark delay the registered wiring uses. The FOLD itself
+# never depends on this value (ADVICE r07): every unreachability rule
+# inside _ttl_evict_fn bounds the watermark with delay <= TTL only, so
+# any wiring whose withWatermark() delay is at most TTL_MINUTES gets
+# the exact-under-disorder guarantee — a caller choosing e.g. 10
+# minutes is NOT flushed prematurely against this 1-minute default.
 WATERMARK_DELAY_MINUTES = 1
 _WM_DELAY_US = WATERMARK_DELAY_MINUTES * 60 * 1_000_000
 
@@ -205,9 +206,11 @@ def _ttl_evict_fn(
     it is provably unreachable: (a) the event-time timer fired, so
     watermark > newest.last + TTL >= every stored deadline; (b) a
     third segment formed — its first event t has t - oldest.last >
-    2*TTL, so watermark >= t - delay > oldest.last + TTL already;
-    (c) this key saw data at t with t - delay > seg.last + TTL
-    (same watermark bound, data-confirmed). Merge tests are against
+    2*TTL, so watermark >= t - delay >= t - TTL > oldest.last + TTL
+    already; (c) this key saw data at t with t - TTL > seg.last + TTL
+    (watermark >= t - delay >= t - TTL, data-confirmed — the bound
+    uses TTL, not the wiring's actual delay, so it holds for EVERY
+    admissible delay <= TTL, ADVICE r07). Merge tests are against
     the segment's whole interval [start - TTL, last + TTL], not just
     `last`, and an event reachable from both stored segments
     coalesces them — the bridge a full-order replay would produce."""
@@ -257,8 +260,13 @@ def _ttl_evict_fn(
                 while len(segs) > 2:
                     evicted.append(segs.pop(0))
         # data-confirmed early flush: watermark >= newest.last - delay
+        # >= newest.last - TTL for every contract-admissible delay, so
+        # comparing against TTL (not the wiring's delay, which the fold
+        # cannot see) is the tightest bound that is safe for ALL of
+        # them (ADVICE r07 — _WM_DELAY_US here would evict prematurely
+        # under a wiring with delay > 1 minute)
         while len(segs) > 1 and (
-            segs[-1][1] - _WM_DELAY_US > segs[0][1] + _TTL_US
+            segs[-1][1] - _TTL_US > segs[0][1] + _TTL_US
         ):
             evicted.append(segs.pop(0))
         if segs:
