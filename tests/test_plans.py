@@ -137,11 +137,36 @@ def test_pivot_no_cartesian_no_python(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_dedup_near_single_scan(spark):
-    """The near-dup pipeline must scan documents exactly once (the
-    in-group pair generation design)."""
+def test_dedup_near_scans_and_predrop(spark):
+    """The near-dup pipeline generates pairs in-group (no postings
+    self-join), so it scans documents exactly twice: once to count
+    per-shingle document frequency for the hot-key pre-drop, once for
+    the postings themselves (VERDICT r07 — the second scan is the
+    price of dropping over-cap keys BEFORE the postings shuffle
+    instead of clustering a hot key's postings into one reducer just
+    to discard them)."""
     plan = _plan(spark, "q_dedup_near")
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
+
+
+def test_postings_df_cap_predrops_before_the_shuffle(spark):
+    """VERDICT r07 skew gate: in every postings-capped pipeline the
+    over-cap keys must leave via a broadcast LeftAnti join BEFORE the
+    heavy postings aggregation/join — never via a post-shuffle group
+    filter (group-by/window partitions cannot be AQE-skew-split, so a
+    df-10⁹ stop-phrase key would put gigabytes into one task at 100 TB
+    just to be thrown away). The hot-key count itself must be a
+    partial+final hash agg (a hot key costs one row per map
+    partition), and the old count-window form must be gone."""
+    for name in ("q_dedup_near", "q_winnow_pairs", "q_dedup_incremental"):
+        plan = _plan(spark, name)
+        assert "LeftAnti, BuildRight" in plan, name
+        # the postings shuffle consumes the anti-join's output: the
+        # group aggregate sits ABOVE the LeftAnti in the printed tree
+        agg_at = plan.index("ObjectHashAggregate") if "ObjectHashAggregate" in plan else plan.index("HashAggregate")
+        assert agg_at < plan.index("LeftAnti"), name
+        assert "partial_count" in plan, name
+        assert "Window" not in plan, name
 
 
 def test_chunking_is_map_side_only(spark):
