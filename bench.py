@@ -388,6 +388,187 @@ def bench_bpe(spark, sf_dir: str, merges: int = 64) -> dict:
     }
 
 
+def bench_ingest_gate(spark, sf_dir: str, n_batches: int = 8) -> dict:
+    """Per-BATCH replay of the incremental ingest dedup gate (VERDICT
+    r07 item 8): q_dedup_incremental's docstring claims per-ingest cost
+    O(batch + matched postings), never O(corpus) — this section
+    MEASURES it in the shape production runs: a maintained index
+    (text-hash dim + df-capped shingle postings + per-shingle df
+    counts, all appended per batch) and N equal arriving batches
+    classified against it while the index grows ~3x.
+
+    Per batch: read the staged batch parquet, classify (exact tier via
+    the hash dim join; near tier via batch postings ⨝ index postings
+    with the over-cap keys broadcast-anti-joined out using the
+    MAINTAINED df table — no per-batch recount of the corpus), then
+    append the batch to all three index tables (df counts are folded
+    via versioned dirs, same no-read-under-write discipline as the KMV
+    fold). The reported per-batch walls should stay near-FLAT: batch
+    size is constant, so growth would mean the classify cost tracks
+    the corpus, falsifying the docstring claim. flat_ok self-grades
+    wall(last) <= 2x wall(first-after-warmup) while the index grows
+    3x. The residual slope that remains is the index-side parquet scan
+    (the join probe) — at 100 TB that scan is bucket-pruned storage,
+    here it is the honest local floor."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.catalog import load_table
+    from timer_pulsar_spark.operators.dedup import (
+        NEAR_DUP_THRESHOLD,
+        SHINGLE_DF_CAP,
+        with_shingles,
+    )
+
+    work = tempfile.mkdtemp(prefix="ingest_gate_")
+    idx_h = os.path.join(work, "idx_hash")
+    idx_p = os.path.join(work, "idx_postings")
+
+    def postings(df):
+        sh = with_shingles(df).select("doc_id", "shingles")
+        return sh.select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode(
+                F.transform("shingles", lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+
+    def df_dir(version: int) -> str:
+        return os.path.join(work, f"idx_df_{version}")
+
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        # 4 seed slices build the initial index, n_batches more arrive;
+        # slices are content-stable hash buckets so batches are equal-ish
+        n_slices = 4 + n_batches
+        sliced = docs.withColumn(
+            "slc", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_slices))
+        )
+        for k in range(n_slices):
+            sliced.filter(F.col("slc") == k).drop("slc").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(work, f"batch_{k}"))
+        seed = spark.read.parquet(
+            *[os.path.join(work, f"batch_{k}") for k in range(4)]
+        )
+        seed.select(F.md5("text").alias("h")).write.mode(
+            "overwrite"
+        ).parquet(idx_h)
+        sp = postings(seed)
+        sp.write.mode("overwrite").parquet(idx_p)
+        sp.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).write.mode(
+            "overwrite"
+        ).parquet(df_dir(0))
+
+        walls: list[float] = []
+        index_docs: list[int] = []
+        n_indexed = seed.count()
+        for i in range(n_batches):
+            batch_path = os.path.join(work, f"batch_{4 + i}")
+            t0 = time.perf_counter()
+            batch = spark.read.parquet(batch_path)
+            bp = postings(batch).localCheckpoint()  # classify + append
+            # exact tier against the maintained hash dim
+            exdim = (
+                spark.read.parquet(idx_h)
+                .groupBy("h")
+                .agg(F.count(F.lit(1)).alias("n_exact"))
+            )
+            inc_exact = (
+                batch.select("doc_id", F.md5("text").alias("h"))
+                .join(exdim, "h", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("n_exact", F.lit(0)).alias("n_exact"),
+                )
+            )
+            # near tier: over-cap keys come from the MAINTAINED df
+            # table (no corpus recount), then batch ⨝ index postings
+            hot = (
+                spark.read.parquet(df_dir(i))
+                .filter(F.col("df") > SHINGLE_DF_CAP)
+                .select("sh")
+            )
+            ex_p = (
+                spark.read.parquet(idx_p)
+                .join(F.broadcast(hot), "sh", "left_anti")
+                .select(
+                    "sh",
+                    F.col("doc_id").alias("ex_doc"),
+                    F.col("n_sh").alias("n_ex"),
+                )
+            )
+            cand = bp.selectExpr(
+                "sh", "doc_id AS inc_doc", "n_sh AS n_inc"
+            ).join(ex_p, "sh").filter(
+                F.least("n_inc", "n_ex")
+                >= NEAR_DUP_THRESHOLD * F.greatest("n_inc", "n_ex")
+            )
+            near = (
+                cand.groupBy("inc_doc", "ex_doc", "n_inc", "n_ex")
+                .agg(F.count(F.lit(1)).alias("shared"))
+                .filter(
+                    F.col("shared")
+                    / (F.col("n_inc") + F.col("n_ex") - F.col("shared"))
+                    >= NEAR_DUP_THRESHOLD
+                )
+                .groupBy(F.col("inc_doc").alias("doc_id"))
+                .agg(F.count(F.lit(1)).alias("n_near"))
+            )
+            (
+                inc_exact.join(near, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "n_exact",
+                    F.coalesce("n_near", F.lit(0)).alias("n_near"),
+                )
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            # index maintenance: append postings + hashes, fold df
+            batch.select(F.md5("text").alias("h")).write.mode(
+                "append"
+            ).parquet(idx_h)
+            bp.write.mode("append").parquet(idx_p)
+            bdf = bp.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            (
+                spark.read.parquet(df_dir(i))
+                .withColumnRenamed("df", "df_old")
+                .join(bdf, "sh", "full_outer")
+                .select(
+                    "sh",
+                    (
+                        F.coalesce("df_old", F.lit(0))
+                        + F.coalesce("df", F.lit(0))
+                    ).alias("df"),
+                )
+                .write.mode("overwrite")
+                .parquet(df_dir(i + 1))
+            )
+            walls.append(round(time.perf_counter() - t0, 3))
+            n_indexed += batch.count()
+            index_docs.append(n_indexed)
+        # batch 0 pays JIT/page-cache warmup; flatness is judged from
+        # batch 1 on
+        base = walls[1] if len(walls) > 1 else walls[0]
+        return {
+            "n_batches": n_batches,
+            "batch_walls_sec": walls,
+            "index_docs_after": index_docs,
+            "index_growth": round(index_docs[-1] / index_docs[0], 2),
+            "wall_last_over_first": round(walls[-1] / base, 2),
+            "flat_ok": bool(walls[-1] <= 2.0 * base),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_qualclf(spark, sf_dir: str) -> dict:
     """Quality-discriminator training throughput: 12 full-batch GD
     iterations, each ONE driver round trip collecting DIM+1 rows —
@@ -504,6 +685,7 @@ def main() -> None:
     bpe = side("bpe_64", bench_bpe, spark, sf_dir, 64)
     bpe_sat = side("bpe_saturation", bench_bpe, spark, sf_dir, 256)
     qualclf = side("qualclf_train", bench_qualclf, spark, sf_dir)
+    ingest = side("ingest_gate", bench_ingest_gate, spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     # explicit self-grading vs BASELINE.md's derived targets:
@@ -532,6 +714,8 @@ def main() -> None:
         "qualclf_acc_ok": bool(
             qualclf.get("acc", 0.0) >= qualclf.get("acc_floor", 1.0)
         ),
+        # per-batch ingest classify cost must not track the corpus
+        "ingest_gate_flat_ok": bool(ingest.get("flat_ok", False)),
         "all_queries_ok": not errors,
     }
     line = {
@@ -549,6 +733,7 @@ def main() -> None:
         "bpe_64": bpe,
         "bpe_saturation": bpe_sat,
         "qualclf_train": qualclf,
+        "ingest_gate": ingest,
         "targets": targets,
         "sf": sf_from_dir(sf_dir),
     }

@@ -345,6 +345,52 @@ def test_dedup_incremental_three_verdicts(spark, tmp_path):
     assert new.verdict == "new" and new.n_exact == 0 and new.n_near == 0
 
 
+def test_dedup_incremental_auto_switches_to_banded_arm(spark, monkeypatch):
+    """VERDICT r07 item 3: the ingest gate mirrors q_dedup_near_auto —
+    postings index below the threshold, banded MinHash index above it.
+    With the threshold forced down the banded arm must run and (on
+    this fixture, where the 16x4 s-curve catches 0.8-similar pairs
+    with P ~ 0.9998) reproduce the exact arm's verdicts."""
+    import timer_pulsar_spark.operators.dedup as dedup
+
+    base = {
+        r.doc_id: (r.n_exact, r.n_near, r.verdict)
+        for r in dedup.q_dedup_incremental(spark, SF_DIR).collect()
+    }
+
+    # below the threshold the auto arm IS the postings arm
+    auto = {
+        r.doc_id: (r.n_exact, r.n_near, r.verdict)
+        for r in dedup.dedup_incremental_auto(spark, SF_DIR).collect()
+    }
+    assert auto == base
+
+    monkeypatch.setattr(dedup, "NEAR_DUP_AUTO_THRESHOLD", 1)
+    banded = {
+        r.doc_id: (r.n_exact, r.n_near, r.verdict)
+        for r in dedup.dedup_incremental_auto(spark, SF_DIR).collect()
+    }
+    assert banded == base
+
+
+def test_dedup_incremental_check_contract_both_arms(spark, monkeypatch):
+    """The check must verify the switch law and hold its contract on
+    BOTH arms: below the threshold (arms identical, recall 1.0) and
+    with the banded arm forced on."""
+    import timer_pulsar_spark.operators.dedup as dedup
+
+    row = dedup.q_dedup_incremental_check(spark, SF_DIR).collect()[0]
+    assert not row.switched
+    assert row.exact_tier_identical and row.sound and row.recall_ok
+    assert row.n_ref_near > 0  # the fixture corpus has planted dups
+
+    monkeypatch.setattr(dedup, "NEAR_DUP_AUTO_THRESHOLD", 1)
+    row = dedup.q_dedup_incremental_check(spark, SF_DIR).collect()[0]
+    assert row.switched
+    assert row.exact_tier_identical and row.sound and row.recall_ok
+    assert row.n_ref_near > 0
+
+
 def test_dedup_incremental_df_cap_parity_when_cap_binds(spark, tmp_path):
     """ADVICE r07: the oracle must mirror the existing-side df cap, so
     Spark/oracle parity is definitional rather than a coincidence of

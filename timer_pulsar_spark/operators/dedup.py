@@ -334,6 +334,22 @@ def minhash_signature(shingles: Column) -> Column:
     )
 
 
+def _band_arr_expr():
+    """All 16 LSH band keys in ONE expression that references `sig`
+    exactly once: a per-band F.array(...) would textually inline the
+    signature fold 16 times, and projection collapse + the lambda CSE
+    gap would make every row pay 16 signature computations (measured
+    3x on the whole query). Shared by the corpus-vs-itself banding
+    (q_dedup_minhash) and the ingest gate's banded index arm."""
+    return F.expr(
+        f"transform(sequence(0, {_BANDS - 1}), i -> struct("
+        f"  cast(i AS int) AS band_id,"
+        f"  xxhash64(concat_ws(',', transform("
+        f"    slice(sig, i * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}),"
+        f"    x -> cast(x AS string)))) AS band_key))"
+    )
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup: band the signature, join on (band_id,
     band_key), verify candidates with exact Jaccard. With 16 bands x 4
@@ -343,19 +359,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     shingled = with_shingles(d).select("doc_id", "shingles").filter(F.size("shingles") > 0)
     sig = shingled.select("doc_id", minhash_signature(F.col("shingles")).alias("sig"))
-    # all 16 band keys in ONE expression that references `sig` exactly
-    # once: a per-band F.array(...) would textually inline the signature
-    # fold 16 times, and projection collapse + the lambda CSE gap would
-    # make every row pay 16 signature computations (measured 3x on the
-    # whole query)
-    band_arr = F.expr(
-        f"transform(sequence(0, {_BANDS - 1}), i -> struct("
-        f"  cast(i AS int) AS band_id,"
-        f"  xxhash64(concat_ws(',', transform("
-        f"    slice(sig, i * {_ROWS_PER_BAND} + 1, {_ROWS_PER_BAND}),"
-        f"    x -> cast(x AS string)))) AS band_key))"
-    )
-    bands = sig.select("doc_id", F.explode(band_arr).alias("band")).select(
+    bands = sig.select("doc_id", F.explode(_band_arr_expr()).alias("band")).select(
         "doc_id", "band.band_id", "band.band_key"
     )
     cand = (
@@ -1380,6 +1384,17 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     text), n_near (existing docs at word-3-gram jaccard >=
     NEAR_DUP_THRESHOLD — includes identical ones, jaccard 1), and the
     verdict with exact taking precedence."""
+    existing, incoming = _incr_split(spark, sf_dir)
+    return _incr_assemble(
+        _incr_exact_tier(existing, incoming),
+        _incr_near_postings(existing, incoming),
+    )
+
+
+def _incr_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(existing, incoming) via the content-stable md5 doc_id bucket."""
     d = spread(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"),
         spark,
@@ -1390,19 +1405,31 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 100
     )
-    existing = d.filter(bucket < INCR_EXISTING_PCT)
-    incoming = d.filter(bucket >= INCR_EXISTING_PCT)
+    return (
+        d.filter(bucket < INCR_EXISTING_PCT),
+        d.filter(bucket >= INCR_EXISTING_PCT),
+    )
 
-    # exact tier: slim (hash -> count) dim; at scale this dim is the
-    # maintained dedup index, bucketed on h so the join co-locates
+
+def _incr_exact_tier(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """(doc_id, n_exact) per incoming doc — slim (hash -> count) dim;
+    at scale this dim is the maintained dedup index, bucketed on h so
+    the join co-locates. Shared verbatim by both near-tier arms."""
     exdim = existing.groupBy(F.md5("text").alias("h")).agg(
         F.count(F.lit(1)).alias("n_exact")
     )
-    inc_exact = (
+    return (
         incoming.select("doc_id", F.md5("text").alias("h"))
         .join(exdim, "h", "left")
         .select("doc_id", F.coalesce("n_exact", F.lit(0)).alias("n_exact"))
     )
+
+
+def _incr_near_postings(
+    existing: DataFrame, incoming: DataFrame
+) -> DataFrame:
+    """(doc_id, n_near) per incoming doc via the df-capped postings
+    index — the EXACT arm (below NEAR_DUP_AUTO_THRESHOLD)."""
 
     def postings(df: DataFrame) -> DataFrame:
         sh = with_shingles(df).select("doc_id", "shingles")
@@ -1447,7 +1474,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least("n_inc", "n_ex")
         >= NEAR_DUP_THRESHOLD * F.greatest("n_inc", "n_ex")
     )
-    near = (
+    return (
         cand.groupBy("inc_doc", "ex_doc", "n_inc", "n_ex")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(
@@ -1458,6 +1485,64 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("inc_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_near"))
     )
+
+
+def _incr_near_banded(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """(doc_id, n_near) per incoming doc via the BANDED MinHash index —
+    the scale arm above NEAR_DUP_AUTO_THRESHOLD (VERDICT r07 item 3).
+
+    Why the postings arm stops being the right index as the corpus
+    grows: a shingle's document frequency grows with the corpus (the
+    common-phrase effect), so the per-incoming-posting candidate
+    fan-out |inc| x df grows too, and the df-cap starts trading recall
+    for boundedness. Banded signatures are FIXED-SIZE per document
+    (16 band keys), so the stored index is 16 rows/doc forever and a
+    band bucket only collides docs whose signatures agree on all 4
+    rows — candidate volume tracks true similarity, not phrase
+    frequency. Same 16x4 s-curve as q_dedup_minhash: P(catch) at
+    jaccard 0.8 is 1-(1-0.8^4)^16 ~ 0.9998.
+
+    At scale the maintained index is (band_id, band_key, doc_id) plus
+    the per-doc shingle set for the exact verify of matched candidates
+    — both appended per ingest batch, so per-batch cost stays
+    O(batch + matched candidates), never O(corpus). Candidates come
+    from an equi-join of incoming band keys against the index; the
+    exact-Jaccard verify joins shingle sets for CANDIDATE pairs only,
+    so banded results are always a sound subset of the exact arm's."""
+
+    def banded(df: DataFrame, idcol: str):
+        sh = (
+            with_shingles(df)
+            .select(F.col("doc_id").alias(idcol), "shingles")
+            .filter(F.size("shingles") > 0)
+        )
+        sig = sh.select(
+            idcol, minhash_signature(F.col("shingles")).alias("sig")
+        )
+        bands = sig.select(
+            idcol, F.explode(_band_arr_expr()).alias("band")
+        ).select(idcol, "band.band_id", "band.band_key")
+        return sh, bands
+
+    ex_sh, ex_b = banded(existing, "ex_doc")
+    inc_sh, inc_b = banded(incoming, "inc_doc")
+    cand = (
+        inc_b.join(ex_b, ["band_id", "band_key"])
+        .select("inc_doc", "ex_doc")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_inc", "sh_ex"))
+    union = F.size("sh_inc") + F.size("sh_ex") - inter
+    return (
+        cand.join(inc_sh.withColumnRenamed("shingles", "sh_inc"), "inc_doc")
+        .join(ex_sh.withColumnRenamed("shingles", "sh_ex"), "ex_doc")
+        .filter(inter / union >= NEAR_DUP_THRESHOLD)
+        .groupBy(F.col("inc_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_near"))
+    )
+
+
+def _incr_assemble(inc_exact: DataFrame, near: DataFrame) -> DataFrame:
     return (
         inc_exact.join(near, "doc_id", "left")
         .select(
@@ -1471,6 +1556,99 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_incremental_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-gate strategy switch (VERDICT r07 item 3), mirroring
+    q_dedup_near_auto: the exact postings index below
+    NEAR_DUP_AUTO_THRESHOLD existing docs, the banded MinHash index
+    above it. Both arms share the exact tier and the output contract;
+    the oracle-checked surface is q_dedup_incremental_check (switch
+    law + soundness + recall contract, valid on both arms), and tests
+    assert banded-arm recall on planted dup batches with the threshold
+    forced down."""
+    existing, incoming = _incr_split(spark, sf_dir)
+    n_existing = existing.count()
+    near = (
+        _incr_near_banded(existing, incoming)
+        if n_existing >= NEAR_DUP_AUTO_THRESHOLD
+        else _incr_near_postings(existing, incoming)
+    )
+    return _incr_assemble(_incr_exact_tier(existing, incoming), near)
+
+
+def q_dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract of the ingest-gate auto switch, valid on
+    BOTH arms (mirrors q_dedup_near_auto_check):
+
+    - the oracle recomputes n_existing and the switch decision from
+      the same md5 bucket split, so the driver verifies the switching
+      law itself;
+    - exact_tier_identical: the exact tier is shared code, so the
+      auto arm's exact_dup set must equal the exact arm's — a banded
+      near-miss can never leak into the exact tier;
+    - sound: every auto near count is <= the reference arm's for the
+      same doc (banded candidates are exact-Jaccard-verified, so the
+      banded arm may miss pairs, never invent them). Caveat: the
+      postings reference itself df-caps hot shingles, so on a corpus
+      where the cap binds, a banded hit through a hot-only overlap
+      could legitimately exceed the capped reference — no tested SF
+      has a shingle within 40x of the cap, and the planted-hot pytest
+      exercises the cap through the reference arm, not this check;
+    - recall_ok: auto detects >= 0.7 of the exact arm's near_dup docs.
+      Below the switch the arms are the same plan (recall 1.0); above
+      it the 16x4 banding floor keeps the bound honest. n_ref_near is
+      exposed so a vacuous recall on a pair-free corpus is visible.
+
+    Cost note: unlike q_dedup_near_auto_check, the reference here is
+    NOT the quadratic corpus-vs-itself plan — the exact ingest arm is
+    O(batch + matched postings) by construction — so the reference
+    runs on the full incoming batch at any corpus size."""
+    existing, incoming = _incr_split(spark, sf_dir)
+    n_existing = existing.count()
+    switched = n_existing >= NEAR_DUP_AUTO_THRESHOLD
+    inc_exact = _incr_exact_tier(existing, incoming)
+    auto_near = (
+        _incr_near_banded(existing, incoming)
+        if switched
+        else _incr_near_postings(existing, incoming)
+    )
+    auto = _incr_assemble(inc_exact, auto_near).persist()
+    ref = _incr_assemble(
+        inc_exact, _incr_near_postings(existing, incoming)
+    ).persist()
+    try:
+        joined = auto.alias("a").join(
+            ref.alias("r"), F.col("a.doc_id") == F.col("r.doc_id")
+        )
+        exact_mismatch = joined.filter(
+            F.col("a.n_exact") != F.col("r.n_exact")
+        ).count()
+        unsound = joined.filter(
+            F.col("a.n_near") > F.col("r.n_near")
+        ).count()
+        n_ref_near = ref.filter(F.col("n_near") > 0).count()
+        n_hit = joined.filter(
+            (F.col("r.n_near") > 0) & (F.col("a.n_near") > 0)
+        ).count()
+        recall = (n_hit / n_ref_near) if n_ref_near else 1.0
+        return spark.createDataFrame(
+            [
+                (
+                    int(n_existing),
+                    bool(switched),
+                    bool(exact_mismatch == 0),
+                    bool(unsound == 0),
+                    int(n_ref_near),
+                    bool(recall >= 0.7),
+                )
+            ],
+            "n_existing long, switched boolean, exact_tier_identical "
+            "boolean, sound boolean, n_ref_near long, recall_ok boolean",
+        )
+    finally:
+        auto.unpersist()
+        ref.unpersist()
 
 
 ORACLES: dict[str, str] = {
@@ -1984,6 +2162,29 @@ ORACLES["q_dedup_incremental"] = f"""
     LEFT JOIN exdim e ON md5(i.text) = e.h
     LEFT JOIN near n ON i.doc_id = n.doc_id
     ORDER BY i.doc_id
+"""
+# switch-law contract of the ingest-gate auto arm (VERDICT r07 item 3):
+# the oracle recomputes n_existing and the switch decision from the
+# same md5 bucket split, and the reference near-doc count from the
+# exact-arm SQL; the boolean contracts are computed for real on the
+# Spark side and pinned true here, so any violation hash-mismatches.
+ORACLES["q_dedup_incremental_check"] = f"""
+    WITH split AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+                % 100) AS b
+        FROM documents
+    )
+    SELECT CAST((SELECT count(*) FROM split
+                 WHERE b < {INCR_EXISTING_PCT}) AS BIGINT) AS n_existing,
+           (SELECT count(*) FROM split WHERE b < {INCR_EXISTING_PCT})
+               >= {NEAR_DUP_AUTO_THRESHOLD} AS switched,
+           true AS exact_tier_identical,
+           true AS sound,
+           (SELECT CAST(count(*) AS BIGINT)
+              FROM ({ORACLES["q_dedup_incremental"]})
+             WHERE n_near > 0) AS n_ref_near,
+           true AS recall_ok
 """
 ORACLES["q_stream_dedup_exact"] = ORACLES["q_dedup_exact"]
 
