@@ -1511,9 +1511,22 @@ def embed_classifier_fit(
     — are unchanged.
 
     Returns (W (C x dim), per-iter losses, n rows, C classes)."""
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", "label"
+    return _embed_classifier_fit_over(
+        spark,
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", "label"
+        ),
+        lr,
+        iters,
     )
+
+
+def _embed_classifier_fit_over(
+    spark: SparkSession,
+    e: DataFrame,
+    lr: float = EMBED_CLS_LR,
+    iters: int = EMBED_CLS_ITERS,
+) -> tuple[list[list[float]], list[float], int, int]:
     norm = e.select(
         "vec_id",
         "label",
@@ -1682,6 +1695,133 @@ def q_embed_classifier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_embed_classifier_check"] = f"""
     SELECT {EMBED_CLS_ITERS} AS iters, true AS loss_monotone,
            true AS loss_improved, true AS acc_ok, true AS beats_majority
+"""
+
+# sampled-trainer knobs (VERDICT r07 item 6) — same shape as
+# textops.QUALCLF_SAMPLE_*: sample sized to ~TARGET rows with a mod
+# floor of 2, one-sided fit-quality bound vs the full-batch fixture
+EMBED_CLS_SAMPLE_TARGET = 1_000
+EMBED_CLS_SAMPLE_EPS = 0.1
+
+
+def embed_classifier_fit_sampled(
+    spark: SparkSession,
+    sf_dir: str,
+    lr: float = EMBED_CLS_LR,
+    iters: int = EMBED_CLS_ITERS,
+) -> tuple[list[list[float]], list[float], int, int, int]:
+    """The PRODUCTION training path for the linear probe (VERDICT r07
+    item 6): fit on a deterministic xxhash64 vec_id bucket sized to
+    ~EMBED_CLS_SAMPLE_TARGET rows (mod floor 2), then score the corpus
+    once with the frozen weights — iters x O(sample) training instead
+    of iters x full-corpus shuffles. The full-batch
+    embed_classifier_fit stays as the oracle/contract fixture.
+
+    Returns (W, losses, n_train, C, mod)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    mod = max(2, e.count() // EMBED_CLS_SAMPLE_TARGET)
+    train = e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+    W, losses, n, C = _embed_classifier_fit_over(spark, train, lr, iters)
+    return W, losses, n, C, mod
+
+
+def _embed_probe_acc(
+    spark: SparkSession, W: list[list[float]], C: int, frame: DataFrame
+) -> float:
+    """Accuracy of a FROZEN probe on an arbitrary embeddings frame —
+    the stateless scoring pass shared by the sampled-trainer check."""
+    wdf = spark.createDataFrame(
+        [(c, W[c]) for c in range(C)], "cls int, w array<double>"
+    )
+    norm = frame.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE)"
+            " / sqrt(aggregate(embedding,"
+            " CAST(0 AS DOUBLE), (s, v) -> s + CAST(v AS DOUBLE) * v)))"
+        ).alias("u"),
+    )
+    dot = (
+        "aggregate(zip_with(u, w, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (s, v) -> s + v)"
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.col("z").desc(), F.col("cls"))
+    return float(
+        norm.crossJoin(F.broadcast(wdf))
+        .withColumn("z", F.expr(dot))
+        .withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") == 1)
+        .agg(F.avg((F.col("cls") == F.col("label")).cast("double")))
+        .collect()[0][0]
+    )
+
+
+def q_embed_classifier_sampled_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLE-checked contract of the sampled probe trainer — optimizer
+    health under sampling (the exact analog of
+    q_quality_clf_sampled_check): the sampled model's accuracy on its
+    own training sample must not fall more than EMBED_CLS_SAMPLE_EPS
+    below the full-batch model's on the full table, both must beat the
+    majority class on their domain, the sampled loss must stay
+    monotone, and the sample must be strict.
+
+    NOT a holdout contract, deliberately: the synthetic embeddings'
+    labels are noise with respect to the embedding geometry — a probe
+    trained on half the rows scores the other half AT the majority
+    rate (measured 0.08-0.11 vs majority 0.12), while any model's
+    training accuracy is ~0.4 — so a holdout-gap bound would pin a
+    corpus artifact, not the trainer. tests/test_round8_ops.py pins
+    the measured no-generalization property instead."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    n_rows = e.count()
+    W_f, _l1, n_f, C_f = embed_classifier_fit(spark, sf_dir)
+    W_s, losses_s, n_s, C_s, mod = embed_classifier_fit_sampled(
+        spark, sf_dir
+    )
+    sample = e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+    acc_full = _embed_probe_acc(spark, W_f, C_f, e)
+    acc_smp = _embed_probe_acc(spark, W_s, C_s, sample)
+
+    def majority(frame: DataFrame, n: int) -> float:
+        return (
+            frame.groupBy("label").count().agg(F.max("count")).collect()[0][0]
+            / n
+        )
+
+    monotone = all(
+        losses_s[i + 1] <= losses_s[i] + 1e-9
+        for i in range(len(losses_s) - 1)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(n_rows),
+                bool(mod >= 2),
+                bool(acc_smp >= acc_full - EMBED_CLS_SAMPLE_EPS),
+                bool(
+                    acc_smp > majority(sample, n_s)
+                    and acc_full > majority(e, n_f)
+                ),
+                bool(monotone),
+            )
+        ],
+        "n_rows long, strict_sample boolean, within_eps boolean, "
+        "beats_majority boolean, loss_monotone boolean",
+    )
+
+
+ORACLES["q_embed_classifier_sampled_check"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS strict_sample,
+           true AS within_eps, true AS beats_majority,
+           true AS loss_monotone
+    FROM embeddings
 """
 
 
