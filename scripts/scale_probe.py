@@ -60,6 +60,10 @@ PROBES = [
     "q_pretrain_mix",
     "q_pca_project",
     "q_kcenter_select",
+    # r8: sample-then-select k-center — selection cost pinned to the
+    # fixed hash sample, so the curve should be ONE linear coverage
+    # pass vs q_kcenter_select's k-scan slope
+    "q_kcenter_sampled_check",
     # r7 additions: the DSIR bucket models are a fixed-256-key agg +
     # broadcast-back (should track the linear gram explode); the
     # incremental dedup gate is postings-join-shaped, so its cost

@@ -88,6 +88,38 @@ def test_embed_sampled_check_contract(spark):
     assert row.loss_monotone
 
 
+def test_kcenter_sampled_contract_and_composition(spark):
+    """Sample-then-select k-center (VERDICT r07 item 7): the contract
+    row holds, the greedy loop really ran on a strict hash sample
+    (every selected center's vec_id is in the sample bucket), and the
+    full-corpus coverage radius is the sample radius or worse (set
+    inclusion)."""
+    from timer_pulsar_spark.operators.similarity import (
+        kcenter_select_sampled,
+        q_kcenter_sampled_check,
+    )
+
+    row = q_kcenter_sampled_check(spark, SF_DIR).collect()[0]
+    assert row.strict_sample and row.radii_nonincreasing
+    assert row.sample_covered_by_last_radius and row.centers_separated
+    assert row.full_radius_ge_sample
+
+    picks, covered_sample, covered_full, mod = kcenter_select_sampled(
+        spark, SF_DIR
+    )
+    assert mod >= 2
+    assert len(picks) == 16
+    sel_ids = [v for _r, v, _d in picks]
+    in_bucket = (
+        spark.createDataFrame([(v,) for v in sel_ids], "vec_id long")
+        .filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+        .count()
+    )
+    assert in_bucket == len(sel_ids)  # selection never left the sample
+    # the full pass covers MORE points than the sample pass
+    assert covered_full.count() > covered_sample.count()
+
+
 def test_embed_probe_synthetic_labels_do_not_generalize(spark):
     """The embeddings' labels are noise with respect to the embedding
     geometry: a probe trained on half the rows scores the other half

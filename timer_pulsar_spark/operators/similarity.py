@@ -2007,12 +2007,28 @@ def kcenter_select(
     carried via localCheckpoint) trades k corpus-sized checkpoint
     writes for the k² factor and wins only when k grows past ~10³.
     Deterministic: distances are per-row float ops (no
-    cross-partition sum order anywhere), ties break on vec_id."""
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        .localCheckpoint()
+    cross-partition sum order anywhere), ties break on vec_id.
+
+    At 100 TB the k sequential full scans are the wrong cost for the
+    selection itself — use kcenter_select_sampled (hash-sample ->
+    greedy over the sample -> ONE distributed coverage pass over the
+    full corpus), the composition q_kcenter_sampled_check gates."""
+    return kcenter_select_over(
+        spark,
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        ),
+        k,
     )
+
+
+def kcenter_select_over(
+    spark: SparkSession, frame: DataFrame, k: int = KCENTER_K
+) -> tuple[list[tuple[int, int, float]], DataFrame]:
+    """The greedy loop over an arbitrary (vec_id, embedding) frame —
+    the building block the full-corpus fixture and the sampled
+    production path share."""
+    e = frame.localCheckpoint()
     first = e.orderBy("vec_id").first()
     centers: list[tuple[int, list[float]]] = [
         (int(first.vec_id), [float(v) for v in first.embedding])
@@ -2101,6 +2117,113 @@ def q_kcenter_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_kcenter_check"] = f"""
     SELECT {KCENTER_K} AS k, true AS radii_nonincreasing,
            true AS covered_by_last_radius, true AS centers_separated
+"""
+
+# sample-then-select knobs (VERDICT r07 item 7): the greedy loop runs
+# over a hash sample of ~this many rows (mod floor 2), so selection
+# cost is k x O(sample) whatever the corpus; the one remaining
+# corpus-sized pass is the final coverage radius.
+KCENTER_SAMPLE_TARGET = 250
+
+
+def kcenter_select_sampled(
+    spark: SparkSession, sf_dir: str, k: int = KCENTER_K
+) -> tuple[list[tuple[int, int, float]], DataFrame, DataFrame, int]:
+    """The 100 TB shape of greedy k-center (VERDICT r07 item 7):
+    hash-sample the embeddings to ~KCENTER_SAMPLE_TARGET rows
+    (deterministic xxhash64 bucket, mod floor 2), run the k-round
+    greedy loop over the SAMPLE (k x O(sample) instead of k x
+    O(corpus) scans), then compute the coverage radius of the selected
+    centers over the FULL corpus in ONE distributed pass — the only
+    corpus-sized work left. The classic 2-approximation bound holds on
+    the sample; what the full corpus adds is measured, not assumed:
+    q_kcenter_sampled_check reports the full-corpus radius against the
+    sample's and gates every property that IS guaranteed.
+
+    Returns (picks, covered_sample, covered_full, mod)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    mod = max(2, e.count() // KCENTER_SAMPLE_TARGET)
+    sample = e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+    picks, covered_sample = kcenter_select_over(spark, sample, k)
+    # one full-corpus pass: min distance to the k selected centers
+    centers = [
+        (int(r.vec_id), [float(v) for v in r.embedding])
+        for r in covered_sample.filter(
+            F.col("vec_id").isin([v for _r, v, _d in picks])
+        ).collect()
+    ]
+    dists = [
+        F.lit(1.0)
+        - cosine_sim(
+            F.col("embedding"), F.array(*[F.lit(float(v)) for v in emb])
+        )
+        for _cid, emb in centers
+    ]
+    covered_full = e.withColumn(
+        "dmin", F.least(*dists) if len(dists) > 1 else dists[0]
+    )
+    return picks, covered_sample, covered_full, mod
+
+
+def q_kcenter_sampled_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked contract of sample-then-select k-center. Gated:
+    every property the composition guarantees — selection radii
+    nonincreasing, the sample covered by the last selection radius,
+    centers mutually >= the sample's final radius apart (all inherited
+    from the greedy loop), the FULL-corpus coverage radius >= the
+    sample's (set inclusion: the sample is a subset of the corpus),
+    and the sample strict (mod >= 2). The full-vs-sample radius RATIO
+    has no distribution-free bound — it is what the one corpus pass
+    measures — so it is deliberately not a pinned boolean; SCALE.md
+    records it as the corpus replicates."""
+    import math
+
+    picks, covered_sample, covered_full, mod = kcenter_select_sampled(
+        spark, sf_dir
+    )
+    radii = [d for _r, _v, d in picks[1:]]
+    monotone = all(
+        radii[i + 1] <= radii[i] + 1e-9 for i in range(len(radii) - 1)
+    )
+    r_sample = covered_sample.agg(F.max("dmin")).collect()[0][0]
+    r_full = covered_full.agg(F.max("dmin")).collect()[0][0]
+    sel = {
+        int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+        for r in covered_sample.filter(
+            F.col("vec_id").isin([v for _r, v, _d in picks])
+        ).collect()
+    }
+    sel_ids = [v for _r, v, _d in picks]
+    min_sep = math.inf
+    for i, a in enumerate(sel_ids):
+        for b in sel_ids[i + 1 :]:
+            u, v = sel[a], sel[b]
+            cos = float(u @ v / (np.linalg.norm(u) * np.linalg.norm(v)))
+            min_sep = min(min_sep, 1.0 - cos)
+    return spark.createDataFrame(
+        [
+            (
+                len(picks),
+                bool(mod >= 2),
+                bool(monotone),
+                bool(r_sample <= radii[-1] + 1e-9),
+                bool(min_sep >= r_sample - 1e-9),
+                bool(r_full >= r_sample - 1e-9),
+            )
+        ],
+        "k int, strict_sample boolean, radii_nonincreasing boolean, "
+        "sample_covered_by_last_radius boolean, centers_separated "
+        "boolean, full_radius_ge_sample boolean",
+    )
+
+
+ORACLES["q_kcenter_sampled_check"] = f"""
+    SELECT {KCENTER_K} AS k, true AS strict_sample,
+           true AS radii_nonincreasing,
+           true AS sample_covered_by_last_radius,
+           true AS centers_separated, true AS full_radius_ge_sample
 """
 
 
