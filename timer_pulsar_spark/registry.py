@@ -62,38 +62,39 @@ PRIORITY: list[str] = [
     # MODIFIED this round (q_dedup_near_auto_check schema + the TTL
     # fold behind q_stream_ttl_evict) stay in the window so the
     # driver re-verifies them.
-    "q_pretrain_mix", "q_interval_join_bucketed", "q_pq_check",
-    "q_stream_cdf_consume", "q_xml_roundtrip", "q_gapfill_interp",
-    # r7 continuation: the five operators BUILT this round — new code
-    # must be in the window the round it ships. Slots freed by
-    # demoting rows hash-green in r06 whose family stays covered
-    # in-window (see SECONDARY head): q_cron_valid keeps T2 via
-    # q_fanout (whose cron expansion validates every pattern it
-    # fans), q_asof keeps its custom-join family via
-    # q_interval_join_bucketed, q_pagerank's dup-graph family rides
-    # q_dedup_near + the committed full sweep, q_bpe_check's
-    # tokenize family rides q_textstats + the sweep, and
-    # q_stream_running_agg's stateful family keeps TWO in-window
-    # reps (q_stream_ttl_evict, q_stream_cdf_consume).
-    # (q_stream_scd2 demoted for the sixth: green r06, stateful family
-    # keeps two in-window reps and the SCD2 shape rides q_scd2_lookup
-    # at the SECONDARY head)
-    "q_span_scrub", "q_quality_clf_check", "q_runtime_filter",
-    "q_pca_check", "q_kcenter_check", "q_split_leakproof",
-    # r7 continuation, second wave — the operators built in the
-    # follow-on session, in-window the round they ship (q_dsir_sample
-    # rides q_dsir_weights: same model/score computation + a TakeOrdered).
-    # Slots freed by demoting rows hash-green in r06 with argued
-    # in-window family coverage: q_stream_join (streaming family keeps
-    # q_stream_ttl_evict + q_stream_cdf_consume + the new
-    # q_interval_join_bucketed), q_session_window (window family keeps
-    # q_window_bucket + q_gapfill_interp), q_semdedup_scaled_check
-    # (embedding-cell family gains q_embed_prune + keeps
-    # q_centroid_assign), q_funnel (events analytics keeps
-    # q_topk_per_group + q_gapfill_interp), q_pack_sequences (sampling
-    # keeps q_sample_hash + q_pretrain_mix).
-    "q_dsir_weights", "q_dedup_incremental", "q_source_overlap",
-    "q_zipf_fit", "q_embed_prune",
+    "q_quality_clf_check", "q_kcenter_check",
+    "q_dsir_weights", "q_dedup_incremental", "q_zipf_fit",
+    # r8 rotation (VERDICT r07 item 5): first driver rows for the
+    # eight never-windowed r7-tail queries the verdict named —
+    # q_dup_profile, q_pack_bfd_check, q_bpe_encode_check,
+    # q_stream_source_overlap, q_stream_dsir, q_winnow_pairs,
+    # q_ivfpq_check, q_embed_classifier_check — plus the four checks
+    # BUILT this round (ingest-gate switch, the two sampled-trainer
+    # contracts, sampled k-center). Slots freed by demoting rows
+    # hash-green in r07 whose family keeps an in-window rep (see
+    # SECONDARY head): q_pretrain_mix & q_split_leakproof (sampling
+    # keeps q_sample_hash), q_interval_join_bucketed (join family
+    # keeps q_join/q_anti/q_topk_per_group), q_pq_check (ANN keeps
+    # q_ann_topk + gains q_ivfpq_check), q_stream_cdf_consume
+    # (stateful keeps q_stream_ttl_evict + gains q_stream_source_
+    # overlap/q_stream_dsir), q_xml_roundtrip (format roundtrips at
+    # the SECONDARY head; q_json/q_string keep P9/§2.8), q_gapfill_
+    # interp (window family keeps q_window_bucket), q_span_scrub
+    # (dedup keeps exact/near/incremental + gains q_dup_profile/
+    # q_winnow_pairs), q_runtime_filter (plan-gated in pytest),
+    # q_pca_check & q_embed_prune (embedding family keeps
+    # q_centroid_assign + gains q_embed_classifier_check +
+    # q_kcenter_sampled_check), q_source_overlap (its family's
+    # stream twin q_stream_source_overlap shares the oracle and is
+    # promoted). Queries MODIFIED this round stay in-window per
+    # policy: q_dedup_near, q_dedup_near_auto_check,
+    # q_stream_ttl_evict, q_dedup_incremental, q_quality_clf_check,
+    # q_kcenter_check.
+    "q_dup_profile", "q_pack_bfd_check", "q_bpe_encode_check",
+    "q_stream_source_overlap", "q_stream_dsir", "q_winnow_pairs",
+    "q_ivfpq_check", "q_embed_classifier_check",
+    "q_dedup_incremental_check", "q_quality_clf_sampled_check",
+    "q_embed_classifier_sampled_check", "q_kcenter_sampled_check",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -102,11 +103,15 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
+    # r8 demotions — hash-green in r07, family coverage argued at the
+    # PRIORITY r8-rotation comment; first to re-enter on budget+1
+    "q_pretrain_mix", "q_interval_join_bucketed", "q_pq_check",
+    "q_stream_cdf_consume", "q_xml_roundtrip", "q_gapfill_interp",
+    "q_span_scrub", "q_runtime_filter", "q_pca_check",
+    "q_split_leakproof", "q_source_overlap", "q_embed_prune",
     # r7-continuation second-wave demotions + the derivative DSIR
     # selection (rides q_dsir_weights in-window)
-    "q_dsir_sample", "q_stream_dsir", "q_stream_source_overlap",
-    "q_pack_bfd_check",  # the rows-only packer itself sits in the tail
-    "q_dup_profile", "q_bpe_encode_check",
+    "q_dsir_sample",
     "q_stream_join", "q_session_window",
     "q_semdedup_scaled_check", "q_funnel", "q_pack_sequences",
     # r7-continuation demotions — hash-green in r06, family coverage
