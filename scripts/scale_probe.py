@@ -263,6 +263,14 @@ def main() -> None:
     kcap_rows: list[tuple] = []
     autocheck_rows: list[tuple] = []
     try:
+        # FIRST, on a fresh JVM: the hot-key reducer-cliff comparison.
+        # Run last (as in the first r8 probe attempt) it inherits ~35
+        # minutes of 16x-replica heap aging + leaked localCheckpoint
+        # blocks and the predrop arm's count-agg hash tables spill,
+        # inverting the comparison (18s vs an isolated-session 3.5s at
+        # n=8M, reproduced twice); the probe is about steady-state
+        # shuffle economics, so it gets the clean JVM.
+        hot_rows = hot_key_probe(spark)
         for mult in MULTIPLIERS:
             sf_dir = build_replica(spark, mult, work)
             # k-cap probe (VERDICT r04 item 3): with the cluster-count
@@ -376,7 +384,6 @@ def main() -> None:
                     f"x{mult} df256 recall: {n_hit}/{n_exact} = {recall_16x}",
                     flush=True,
                 )
-        hot_rows = hot_key_probe(spark)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

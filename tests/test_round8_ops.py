@@ -120,6 +120,79 @@ def test_kcenter_sampled_contract_and_composition(spark):
     assert covered_full.count() > covered_sample.count()
 
 
+def test_pack_concat_conserves_tokens_and_cuts_exact_chunks(spark):
+    """Concat-and-chunk invariants: per shard (lang), chunk token
+    lengths sum to the shard's total tokens, every chunk except the
+    last is exactly PACK_BUDGET, doc starts sum to the shard's doc
+    count, and every chunk is touched by at least one doc."""
+    from timer_pulsar_spark.catalog import load_table
+    from timer_pulsar_spark.operators.sampling import (
+        PACK_BUDGET,
+        q_pack_concat,
+    )
+
+    out = q_pack_concat(spark, SF_DIR).toPandas()
+    d = load_table(spark, SF_DIR, "documents")
+    truth = {
+        r.lang: (r.total, r.n)
+        for r in d.groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split("text", " "))).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    for lang, grp in out.groupby("lang"):
+        total, n_docs = truth[lang]
+        assert grp["chunk_tokens"].sum() == total, lang
+        assert grp["n_doc_starts"].sum() == n_docs, lang
+        assert (grp["n_docs"] >= 1).all(), lang
+        grp = grp.sort_values("chunk_id")
+        assert (grp["chunk_tokens"].iloc[:-1] == PACK_BUDGET).all(), lang
+        assert 0 < grp["chunk_tokens"].iloc[-1] <= PACK_BUDGET, lang
+        # chunk ids are dense 0..k-1
+        assert list(grp["chunk_id"]) == list(range(len(grp))), lang
+
+
+def test_rollup_cube_grouping_levels(spark):
+    """The single-pass rollup must emit all three levels with correct
+    grouping ids, and each level must re-aggregate exactly to the
+    level above it."""
+    from timer_pulsar_spark.operators.timeseries import q_rollup_cube
+
+    out = q_rollup_cube(spark, SF_DIR).toPandas()
+    cells = out[out.gid == 0]
+    subtot = out[out.gid == 1]
+    grand = out[out.gid == 3]
+    assert len(grand) == 1
+    assert set(out.gid.unique()) == {0, 1, 3}
+    assert grand.n.iloc[0] == cells.n.sum() == subtot.n.sum()
+    per_type = cells.groupby("event_type").n.sum().to_dict()
+    for _, r in subtot.iterrows():
+        assert per_type[r.event_type] == r.n
+
+
+def test_stream_ingest_gate_equals_batch_gate(spark):
+    """The streaming twin classifies each micro-batch statelessly
+    against the staged index, so its union must equal the one-shot
+    batch gate row-for-row (the same property the shared oracle
+    checks, pinned here engine-side)."""
+    from timer_pulsar_spark.operators.dedup import (
+        q_dedup_incremental,
+        q_stream_dedup_incremental,
+    )
+
+    batch = {
+        r.doc_id: (r.n_exact, r.n_near, r.verdict)
+        for r in q_dedup_incremental(spark, SF_DIR).collect()
+    }
+    stream = {
+        r.doc_id: (r.n_exact, r.n_near, r.verdict)
+        for r in q_stream_dedup_incremental(spark, SF_DIR).collect()
+    }
+    assert stream == batch
+
+
 def test_embed_probe_synthetic_labels_do_not_generalize(spark):
     """The embeddings' labels are noise with respect to the embedding
     geometry: a probe trained on half the rows scores the other half

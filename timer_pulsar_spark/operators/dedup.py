@@ -1385,10 +1385,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEAR_DUP_THRESHOLD — includes identical ones, jaccard 1), and the
     verdict with exact taking precedence."""
     existing, incoming = _incr_split(spark, sf_dir)
-    return _incr_assemble(
-        _incr_exact_tier(existing, incoming),
-        _incr_near_postings(existing, incoming),
-    )
+    return incr_classify_batch(incoming, *incr_index(existing))
 
 
 def _incr_split(
@@ -1425,37 +1422,39 @@ def _incr_exact_tier(existing: DataFrame, incoming: DataFrame) -> DataFrame:
     )
 
 
-def _incr_near_postings(
-    existing: DataFrame, incoming: DataFrame
-) -> DataFrame:
-    """(doc_id, n_near) per incoming doc via the df-capped postings
-    index — the EXACT arm (below NEAR_DUP_AUTO_THRESHOLD)."""
+def _incr_postings(df: DataFrame) -> DataFrame:
+    """(doc_id, n_sh, sh) shingle-hash postings of a document frame."""
+    sh = with_shingles(df).select("doc_id", "shingles")
+    return sh.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    )
 
-    def postings(df: DataFrame) -> DataFrame:
-        sh = with_shingles(df).select("doc_id", "shingles")
-        return sh.select(
-            "doc_id",
-            F.size("shingles").alias("n_sh"),
-            F.explode(
-                F.transform("shingles", lambda s: F.xxhash64(s))
-            ).alias("sh"),
-        )
 
-    # df-cap on the EXISTING index only (the side that can have hot
-    # keys at scale); exact at every tested SF — sf0.1 max df is 25.
-    # Enforced BEFORE any sh-keyed shuffle (VERDICT r07): the r7 count
-    # window clustered ALL postings of a hot shingle into one window
-    # partition (which AQE cannot skew-split) before the filter could
-    # discard them — at 100 TB a df-10⁹ stop-phrase key put gigabytes
-    # into one task just to be thrown away. A map-side-combined
-    # groupBy(sh).count() costs a hot key ONE row per map partition,
-    # the (tiny, usually empty) over-cap key set broadcasts, and the
-    # anti-join drops hot postings before the candidate join's
-    # exchange ever ships them. Same keys dropped — results identical.
-    # In production both the postings index AND its per-shingle df
-    # counts are maintained incrementally, so the extra counting scan
-    # here is a replay artifact, not a per-ingest cost.
-    ex_post = postings(existing)
+def incr_index(existing: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The ingest gate's MAINTAINED index, derived from the existing
+    corpus: the (text-hash -> count) exact dim and the df-capped
+    shingle postings. In production both are appended per batch
+    (bench.py::bench_ingest_gate replays exactly that); deriving them
+    here keeps the registered query hermetic.
+
+    The df-cap is enforced BEFORE any sh-keyed shuffle (VERDICT r07):
+    the r7 count window clustered ALL postings of a hot shingle into
+    one window partition (which AQE cannot skew-split) before the
+    filter could discard them — at 100 TB a df-10⁹ stop-phrase key put
+    gigabytes into one task just to be thrown away. A map-side-combined
+    groupBy(sh).count() costs a hot key ONE row per map partition, the
+    (tiny, usually empty) over-cap key set broadcasts, and the
+    anti-join drops hot postings before the candidate join's exchange
+    ever ships them. Same keys dropped — results identical. Exact at
+    every tested SF (sf0.1 max df is 25 vs the 1000 cap)."""
+    exdim = existing.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    ex_post = _incr_postings(existing)
     hot = (
         ex_post.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1467,14 +1466,29 @@ def _incr_near_postings(
         F.col("doc_id").alias("ex_doc"),
         F.col("n_sh").alias("n_ex"),
     )
-    inc_p = postings(incoming).select(
+    return exdim, ex_p
+
+
+def incr_classify_batch(
+    batch: DataFrame, exdim: DataFrame, ex_p: DataFrame
+) -> DataFrame:
+    """Classify a batch of incoming documents against the index frames
+    — STATELESS per document, which is the property that makes the
+    streaming twin (q_stream_dedup_incremental) equal the one-shot
+    batch gate under any batch split."""
+    inc_exact = (
+        batch.select("doc_id", F.md5("text").alias("h"))
+        .join(exdim, "h", "left")
+        .select("doc_id", F.coalesce("n_exact", F.lit(0)).alias("n_exact"))
+    )
+    inc_p = _incr_postings(batch).select(
         "sh", F.col("doc_id").alias("inc_doc"), F.col("n_sh").alias("n_inc")
     )
     cand = inc_p.join(ex_p, "sh").filter(
         F.least("n_inc", "n_ex")
         >= NEAR_DUP_THRESHOLD * F.greatest("n_inc", "n_ex")
     )
-    return (
+    near = (
         cand.groupBy("inc_doc", "ex_doc", "n_inc", "n_ex")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(
@@ -1485,6 +1499,7 @@ def _incr_near_postings(
         .groupBy(F.col("inc_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_near"))
     )
+    return _incr_assemble(inc_exact, near)
 
 
 def _incr_near_banded(existing: DataFrame, incoming: DataFrame) -> DataFrame:
@@ -1569,12 +1584,12 @@ def dedup_incremental_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     forced down."""
     existing, incoming = _incr_split(spark, sf_dir)
     n_existing = existing.count()
-    near = (
-        _incr_near_banded(existing, incoming)
-        if n_existing >= NEAR_DUP_AUTO_THRESHOLD
-        else _incr_near_postings(existing, incoming)
-    )
-    return _incr_assemble(_incr_exact_tier(existing, incoming), near)
+    if n_existing >= NEAR_DUP_AUTO_THRESHOLD:
+        return _incr_assemble(
+            _incr_exact_tier(existing, incoming),
+            _incr_near_banded(existing, incoming),
+        )
+    return incr_classify_batch(incoming, *incr_index(existing))
 
 
 def q_dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,16 +1622,15 @@ def q_dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing, incoming = _incr_split(spark, sf_dir)
     n_existing = existing.count()
     switched = n_existing >= NEAR_DUP_AUTO_THRESHOLD
-    inc_exact = _incr_exact_tier(existing, incoming)
-    auto_near = (
-        _incr_near_banded(existing, incoming)
+    ref = incr_classify_batch(incoming, *incr_index(existing)).persist()
+    auto = (
+        _incr_assemble(
+            _incr_exact_tier(existing, incoming),
+            _incr_near_banded(existing, incoming),
+        ).persist()
         if switched
-        else _incr_near_postings(existing, incoming)
+        else ref
     )
-    auto = _incr_assemble(inc_exact, auto_near).persist()
-    ref = _incr_assemble(
-        inc_exact, _incr_near_postings(existing, incoming)
-    ).persist()
     try:
         joined = auto.alias("a").join(
             ref.alias("r"), F.col("a.doc_id") == F.col("r.doc_id")
@@ -2163,6 +2177,72 @@ ORACLES["q_dedup_incremental"] = f"""
     LEFT JOIN near n ON i.doc_id = n.doc_id
     ORDER BY i.doc_id
 """
+def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the ingest gate, ORACLE-checked against the
+    SAME oracle as q_dedup_incremental: the existing corpus is reduced
+    ONCE to its maintained index frames (incr_index: text-hash dim +
+    df-capped postings, staged to parquet exactly as a production
+    index store holds them), the incoming side arrives as a multi-batch
+    file stream, and every micro-batch is classified STATELESSLY
+    against the staged index (incr_classify_batch) with batch-id-keyed
+    exactly-once output (per-batch dir overwrite — a foreachBatch
+    redelivery rewrites its own dir with identical content). Because a
+    doc's verdict is a pure function of (doc, index), the union over
+    ANY batch split equals the one-shot batch gate — the semantics
+    that make the gate safe to run at ingest. The complementary
+    growing-index shape (each batch folded INTO the index so later
+    batches see earlier ones) is replayed and measured per batch by
+    bench.py::bench_ingest_gate."""
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_incr_")
+    in_dir = os.path.join(work, "incoming")
+    out_dir = os.path.join(work, "out")
+    ckpt = os.path.join(work, "ckpt")
+
+    existing, incoming = _incr_split(spark, sf_dir)
+    incoming.repartition(6).write.mode("overwrite").parquet(in_dir)
+    exdim, ex_p = incr_index(existing)
+    idx_h = os.path.join(work, "idx_hash")
+    idx_p = os.path.join(work, "idx_postings")
+    exdim.write.mode("overwrite").parquet(idx_h)
+    ex_p.write.mode("overwrite").parquet(idx_p)
+
+    def classify(batch_df: DataFrame, batch_id: int) -> None:
+        incr_classify_batch(
+            batch_df,
+            spark.read.parquet(idx_h),
+            spark.read.parquet(idx_p),
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", "2")  # 6 files -> 3 real batches
+            .parquet(in_dir)
+            .writeStream.foreachBatch(classify)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            if q.isActive:
+                q.stop()
+
+    return (
+        spark.read.parquet(out_dir)
+        .select("doc_id", "n_exact", "n_near", "verdict")
+        .orderBy("doc_id")
+    )
+
+
 # switch-law contract of the ingest-gate auto arm (VERDICT r07 item 3):
 # the oracle recomputes n_existing and the switch decision from the
 # same md5 bucket split, and the reference near-doc count from the
@@ -2187,6 +2267,9 @@ ORACLES["q_dedup_incremental_check"] = f"""
            true AS recall_ok
 """
 ORACLES["q_stream_dedup_exact"] = ORACLES["q_dedup_exact"]
+# the streaming ingest gate classifies statelessly against the staged
+# index, so its folded output must equal the one-shot batch gate
+ORACLES["q_stream_dedup_incremental"] = ORACLES["q_dedup_incremental"]
 
 
 def near_dup_fold_batch(

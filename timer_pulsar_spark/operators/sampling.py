@@ -343,6 +343,76 @@ def q_pack_bfd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: concat-and-chunk packing] the third packing flavor —
+    the one GPT-style loaders actually materialize: concatenate the
+    documents of a shard in deterministic order and cut the token
+    stream into chunks of EXACTLY PACK_BUDGET tokens (the last chunk
+    of a shard may run short), letting documents continue across chunk
+    boundaries. q_pack_sequences bins whole docs (bins may overflow);
+    q_pack_bfd enforces the hard budget by reordering; this one keeps
+    order and splits docs — zero padding, zero overflow, the shape a
+    next-token-prediction loader consumes.
+
+    Emitted per chunk: how many documents touch it (n_docs — crossing
+    docs count in every chunk they span), how many START inside it
+    (n_doc_starts — the boundary-token count an attention-masking
+    loader needs), and its exact token length.
+
+    Scale shape: one running-total window per shard key (lang here —
+    bounded partitions; at 100 TB sub-key by (lang, shard) exactly as
+    q_pack_sequences documents), then each doc explodes into the
+    chunk RANGE it touches — ~n_tokens/PACK_BUDGET + 1 rows per doc,
+    i.e. the output volume of the loader itself — and one hash agg by
+    (shard, chunk). The per-shard token totals are a broadcast dim."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = F.lit(PACK_BUDGET).cast("long")
+    spans = (
+        d.select("doc_id", "lang", toks.cast("long").alias("n_tokens"))
+        .withColumn("end_off", F.sum("n_tokens").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+    )
+    touched = spans.select(
+        "lang",
+        "start_off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_off") / b),
+                F.floor((F.col("end_off") - 1) / b),
+            )
+        ).alias("chunk_id"),
+    )
+    totals = spans.groupBy("lang").agg(F.max("end_off").alias("total"))
+    return (
+        touched.groupBy("lang", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.floor(F.col("start_off") / b) == F.col("chunk_id")).cast(
+                    "long"
+                )
+            ).alias("n_doc_starts"),
+        )
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "chunk_id",
+            "n_docs",
+            "n_doc_starts",
+            F.least(b, F.col("total") - F.col("chunk_id") * b).alias(
+                "chunk_tokens"
+            ),
+        )
+        .orderBy("lang", "chunk_id")
+    )
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[curation: deterministic global shuffle + sharding] assign each
     document a shard (hash mod 8) and a position within the shard
@@ -874,6 +944,33 @@ def _leakproof_oracle_sql() -> str:
 
 
 ORACLES["q_split_leakproof"] = _leakproof_oracle_sql()
+ORACLES["q_pack_concat"] = f"""
+    WITH spans AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(sum(len(string_split(text, ' ')))
+                    OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS end_off
+        FROM documents
+    ),
+    s2 AS (SELECT *, end_off - n_tokens AS start_off FROM spans),
+    touched AS (
+        SELECT lang, start_off, CAST(u.c AS BIGINT) AS chunk_id
+        FROM s2, UNNEST(range(start_off // {PACK_BUDGET},
+                              (end_off - 1) // {PACK_BUDGET} + 1)) AS u(c)
+    ),
+    totals AS (SELECT lang, max(end_off) AS total FROM s2 GROUP BY lang)
+    SELECT t.lang, t.chunk_id,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN start_off // {PACK_BUDGET} = chunk_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
+           CAST(least({PACK_BUDGET}, tot.total - chunk_id * {PACK_BUDGET})
+                AS BIGINT) AS chunk_tokens
+    FROM touched t JOIN totals tot USING (lang)
+    GROUP BY t.lang, t.chunk_id, tot.total
+    ORDER BY lang, chunk_id
+"""
 
 QUERIES = {
     name: fn

@@ -555,7 +555,43 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity OLAP rollup in ONE pass: GROUP BY ROLLUP
+    (event_type, event date) emits the per-(type, date) cells, the
+    per-type subtotals, and the grand total from a single scan —
+    Catalyst lowers it to an Expand (3 grouping-set rows per input
+    row, map-side) feeding one partial+final hash aggregate, so the
+    corpus is read once however many levels roll up. grouping_id
+    disambiguates subtotal NULLs from genuine NULL keys (the classic
+    rollup trap); totals are rounded in both engines so float
+    summation order cannot flap the hash, and the date key is an ISO
+    string (the repo's minute-key convention — engine date dtypes
+    disagree on repr)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("d"), "value"
+        )
+        .rollup("event_type", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.grouping_id().alias("gid"),
+        )
+        .select("event_type", "d", "n", "sum_value", "gid")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_rollup_cube": """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+               count(*) AS n,
+               round(sum(value), 4) AS sum_value,
+               CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d'))
+                    AS BIGINT) AS gid
+        FROM events
+        GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+    """,
     "q_asof_tolerance": """
         WITH marked AS (
             SELECT event_id, user_id, ts, event_type,

@@ -33,7 +33,7 @@ PRIORITY: list[str] = [
     # metrics sink (S13) + raw SQL (S4) + timer domain (T1-T4)
     "q_metrics_summary", "q_sql", "q_fanout",
     # LLM-pipeline family representatives (one per family, oracle-backed)
-    "q_dedup_exact", "q_dedup_near", "q_ann_topk", "q_centroid_assign",
+    "q_dedup_exact", "q_dedup_near", "q_centroid_assign",
     "q_textstats",
     "q_sample_hash",
     "q_multimodal_meta",
@@ -63,7 +63,7 @@ PRIORITY: list[str] = [
     # fold behind q_stream_ttl_evict) stay in the window so the
     # driver re-verifies them.
     "q_quality_clf_check", "q_kcenter_check",
-    "q_dsir_weights", "q_dedup_incremental", "q_zipf_fit",
+    "q_dedup_incremental",
     # r8 rotation (VERDICT r07 item 5): first driver rows for the
     # eight never-windowed r7-tail queries the verdict named —
     # q_dup_profile, q_pack_bfd_check, q_bpe_encode_check,
@@ -95,6 +95,14 @@ PRIORITY: list[str] = [
     "q_ivfpq_check", "q_embed_classifier_check",
     "q_dedup_incremental_check", "q_quality_clf_sampled_check",
     "q_embed_classifier_sampled_check", "q_kcenter_sampled_check",
+    # r8 new operators — in-window the round they ship. Slots freed by
+    # demoting three more r07-green rows with in-window family reps:
+    # q_zipf_fit (textstats keeps q_textstats + q_bpe_encode_check),
+    # q_dsir_weights (q_stream_dsir shares the batch DSIR oracle and
+    # model computation verbatim), q_ann_topk (ANN keeps q_ivfpq_check,
+    # whose coarse quantizer also exercises centroid assignment, plus
+    # q_centroid_assign stays in-window).
+    "q_pack_concat", "q_rollup_cube", "q_stream_dedup_incremental",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -109,6 +117,7 @@ SECONDARY: list[str] = [
     "q_stream_cdf_consume", "q_xml_roundtrip", "q_gapfill_interp",
     "q_span_scrub", "q_runtime_filter", "q_pca_check",
     "q_split_leakproof", "q_source_overlap", "q_embed_prune",
+    "q_zipf_fit", "q_dsir_weights", "q_ann_topk",
     # r7-continuation second-wave demotions + the derivative DSIR
     # selection (rides q_dsir_weights in-window)
     "q_dsir_sample",
