@@ -128,7 +128,25 @@ AUDITED: dict[str, str] = {
         "postings); candidates come from an equi-join of incoming vs "
         "existing postings keyed by the 8-byte shingle hash with the "
         "size-ratio prune in the join condition — no self-join subtree, "
-        "so existing x existing pairs are structurally absent."
+        "so existing x existing pairs are structurally absent. The "
+        "df-cap is a hot-key PRE-drop (r8): a map-side-combined "
+        "partial_count finds over-cap shingles, the tiny key set "
+        "broadcasts, and a LeftAnti BroadcastHashJoin removes their "
+        "postings BELOW the candidate join's exchange — no count "
+        "window, so no unsplittable hot reducer partition."
+    ),
+    "q_pack_concat": (
+        "Concat-and-chunk packing: one running-total window per shard "
+        "key, each doc explodes into only the chunk RANGE it touches "
+        "(~n_tokens/512 + 1 rows), one hash aggregate by (shard, "
+        "chunk), and the per-shard totals join back as a "
+        "BroadcastHashJoin — no global sort, no corpus-wide window."
+    ),
+    "q_rollup_cube": (
+        "Single-pass OLAP rollup: Expand emits the 3 grouping-set rows "
+        "per input row MAP-SIDE, feeding one partial+final hash "
+        "aggregate — one scan, one exchange, however many levels roll "
+        "up."
     ),
 }
 
