@@ -120,6 +120,32 @@ def test_kcenter_sampled_contract_and_composition(spark):
     assert covered_full.count() > covered_sample.count()
 
 
+def test_dedup_exact_norm_binds_on_case_punct_whitespace(spark, tmp_path):
+    """Planted corpus where normalization visibly binds: case,
+    punctuation, and whitespace variants of one sentence collapse to a
+    single canonical key (dup_cnt 3, n_raw_distinct 3 — byte-exact
+    dedup would see three distinct texts) while a genuinely different
+    doc stays separate."""
+    from timer_pulsar_spark.operators.dedup import q_dedup_exact_norm
+
+    rows = [
+        (1, "Hello, World! This is FINE."),
+        (2, "hello world this is fine"),
+        (3, "  hello   world  this is fine  "),
+        (4, "something else entirely"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+    out = {
+        r.canonical_doc_id: r
+        for r in q_dedup_exact_norm(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {1, 4}
+    assert out[1].dup_cnt == 3 and out[1].n_raw_distinct == 3
+    assert out[4].dup_cnt == 1 and out[4].n_raw_distinct == 1
+
+
 def test_pack_concat_conserves_tokens_and_cuts_exact_chunks(spark):
     """Concat-and-chunk invariants: per shard (lang), chunk token
     lengths sum to the shard's total tokens, every chunk except the

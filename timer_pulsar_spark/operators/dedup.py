@@ -211,6 +211,34 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-keyed exact dedup — the "fuzzy exact" tier the
+    Gopher/MassiveText pipeline runs between byte-exact and near-dup:
+    two documents differing only in case, punctuation, or whitespace
+    are the same training example, so the dedup key is a canonical
+    form (lowercase, punctuation stripped to spaces, whitespace
+    collapsed, trimmed) rather than the raw bytes. Same single
+    hash-keyed groupBy shape as q_dedup_exact (map-side combine, one
+    shuffle of distinct keys); ``n_raw_distinct`` reports how many
+    byte-distinct texts each canonical key absorbed — the rows this
+    tier catches that byte-exact misses (on the punctuation-free
+    synthetic corpus it equals 1 everywhere; the planted pytest is
+    where the normalization visibly binds)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.groupBy(F.md5(norm).alias("norm_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("dup_cnt"),
+        F.countDistinct(F.md5("text")).alias("n_raw_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (oracle-checked)
 # ---------------------------------------------------------------------------
@@ -1669,6 +1697,15 @@ ORACLES: dict[str, str] = {
     "q_dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
                count(*) AS dup_cnt
+        FROM documents GROUP BY 1
+    """,
+    "q_dedup_exact_norm": """
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+                   AS norm_hash,
+               min(doc_id) AS canonical_doc_id,
+               count(*) AS dup_cnt,
+               count(DISTINCT md5(text)) AS n_raw_distinct
         FROM documents GROUP BY 1
     """,
     "q_dedup_near": f"""
