@@ -51,7 +51,9 @@ HEADLINERS = [
     "q_dsir_weights",
     "q_sample_hash",
     "q_pack_sequences",
+    "q_pack_concat",
     "q_pretrain_mix",
+    "q_rollup_cube",
     "q_fanout",
 ]
 
