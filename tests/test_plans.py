@@ -177,6 +177,14 @@ def test_chunking_is_map_side_only(spark):
     assert "Exchange" not in plan
 
 
+def test_redact_pii_is_map_side_only(spark):
+    """The compliance scrub must stay a pure projection: zero
+    exchanges — one corpus pass, no shuffle, the only acceptable
+    plan for a 100 TB redaction sweep."""
+    plan = _plan(spark, "q_redact_pii")
+    assert "Exchange" not in plan
+
+
 def test_repetition_is_map_side_only(spark):
     """The repetition signals must stay a per-row array fold: zero
     exchanges (the naive explode→groupBy→join shape would ship every

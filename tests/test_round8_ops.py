@@ -146,6 +146,64 @@ def test_dedup_exact_norm_binds_on_case_punct_whitespace(spark, tmp_path):
     assert out[4].dup_cnt == 1 and out[4].n_raw_distinct == 1
 
 
+def test_redact_pii_planted_and_cross_engine(spark, tmp_path):
+    """Planted PII where every pattern binds: counts per class, the
+    email-before-IPv4 ordering rule (an address's dotted domain must
+    be gone before the IPv4 class runs), and Spark/DuckDB parity on
+    REAL matches — the corpus-level oracle only ever sees zero-match
+    rows, so Java-regex vs RE2 agreement is pinned here."""
+    import duckdb
+
+    from timer_pulsar_spark.operators.textops import (
+        ORACLES,
+        q_redact_pii,
+        redact_pii,
+    )
+
+    rows = [
+        (1, "contact us at a.user+x@ex-ample.org or b@c.io today"),
+        (2, "server 10.0.255.3 talked to 192.168.1.1 at dawn"),
+        (3, "call +4915112345678 now"),
+        (4, "mixed: z@q.de from 8.8.8.8 dial +123456789 end"),
+        (5, "nothing sensitive here at all"),
+    ]
+    pq = f"{tmp_path}/documents.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(pq)
+
+    got = {r.doc_id: r for r in q_redact_pii(spark, str(tmp_path)).collect()}
+    assert (got[1].n_email, got[1].n_ipv4, got[1].n_phone) == (2, 0, 0)
+    assert (got[2].n_email, got[2].n_ipv4, got[2].n_phone) == (0, 2, 0)
+    assert (got[3].n_email, got[3].n_ipv4, got[3].n_phone) == (0, 0, 1)
+    assert (got[4].n_email, got[4].n_ipv4, got[4].n_phone) == (1, 1, 1)
+    assert (got[5].n_email, got[5].n_ipv4, got[5].n_phone) == (0, 0, 0)
+
+    red = {
+        r.doc_id: r.red
+        for r in spark.read.parquet(pq)
+        .select("doc_id", redact_pii(F.col("text")).alias("red"))
+        .collect()
+    }
+    assert red[4] == "mixed: <EMAIL> from <IPV4> dial <PHONE> end"
+    assert red[5] == "nothing sensitive here at all"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = con.execute(ORACLES["q_redact_pii"]).df()
+    con.close()
+    w = {int(r.doc_id): r for _, r in want.iterrows()}
+    for did, g in got.items():
+        assert (
+            int(w[did].n_email),
+            int(w[did].n_ipv4),
+            int(w[did].n_phone),
+            w[did].redacted_hash,
+        ) == (g.n_email, g.n_ipv4, g.n_phone, g.redacted_hash), did
+
+
 def test_pack_concat_conserves_tokens_and_cuts_exact_chunks(spark):
     """Concat-and-chunk invariants: per shard (lang), chunk token
     lengths sum to the shard's total tokens, every chunk except the

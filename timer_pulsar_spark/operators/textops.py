@@ -1821,6 +1821,66 @@ def q_quality_clf_sampled_check(
     )
 
 
+# PII redaction patterns — deliberately simple, anchored classes that
+# parse identically under Java regex (Spark) and RE2 (DuckDB): no
+# lookaround, no backreferences. At 100 TB this is the shape of every
+# compliance scrub: a pure map over the corpus, one pass, no shuffle.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d{7,15}",
+}
+
+
+def redact_pii(text_col) -> "F.Column":
+    """Replace every PII match with its <CLASS> token, in the fixed
+    pattern order (email first so an address's dotted domain is gone
+    before the IPv4 class can ever see it)."""
+    out = text_col
+    for name, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: compliance scrub] per-document PII redaction report:
+    match counts per class (email / IPv4 / international phone) and
+    the md5 of the REDACTED text, so the oracle pins the rewritten
+    bytes, not just the counts. Pure map-side projection — zero
+    exchanges, the plan shape a 100 TB compliance pass must have (the
+    q_chunk/q_repetition gate family). The synthetic corpus contains
+    no PII, which makes the oracle parity definitional (counts 0,
+    redacted == original); the planted pytest is where every pattern
+    visibly binds, including the email-before-IPv4 ordering rule."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = [
+        F.regexp_count("text", F.lit(pat)).alias(f"n_{name}")
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return d.select(
+        "doc_id",
+        *counts,
+        F.md5(redact_pii(F.col("text"))).alias("redacted_hash"),
+    )
+
+
+ORACLES["q_redact_pii"] = f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '{PII_PATTERNS["email"]}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+               '{PII_PATTERNS["ipv4"]}')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text,
+               '{PII_PATTERNS["phone"]}')) AS INT) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+               '{PII_PATTERNS["ipv4"]}', '<IPV4>', 'g'),
+               '{PII_PATTERNS["phone"]}', '<PHONE>', 'g'))
+               AS redacted_hash
+    FROM documents
+"""
+
+
 ORACLES["q_quality_clf_sampled_check"] = """
     SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS strict_sample,
            true AS within_eps, true AS beats_majority,

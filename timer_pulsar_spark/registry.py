@@ -111,9 +111,9 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
-    # r8 late newcomer (same placement the r7 newcomers had: SECONDARY
+    # r8 late newcomers (same placement the r7 newcomers had: SECONDARY
     # head, rotated into the window next round)
-    "q_dedup_exact_norm",
+    "q_dedup_exact_norm", "q_redact_pii",
     # r8 demotions — hash-green in r07, family coverage argued at the
     # PRIORITY r8-rotation comment; first to re-enter on budget+1
     "q_pretrain_mix", "q_interval_join_bucketed", "q_pq_check",
