@@ -146,6 +146,80 @@ def test_dedup_exact_norm_binds_on_case_punct_whitespace(spark, tmp_path):
     assert out[4].dup_cnt == 1 and out[4].n_raw_distinct == 1
 
 
+def test_curriculum_phases_are_ordered_quartiles(spark):
+    """Curriculum invariants per language: all CURRICULUM_PHASES
+    phases exist, ntile balance (phase sizes differ by at most 1),
+    doc counts sum to the corpus, and the score schedule is
+    monotone — each phase's minimum score is >= the previous
+    phase's minimum (easy-to-hard ordering)."""
+    from timer_pulsar_spark.catalog import load_table
+    from timer_pulsar_spark.operators.sampling import (
+        CURRICULUM_PHASES,
+        q_curriculum,
+    )
+
+    out = q_curriculum(spark, SF_DIR).toPandas()
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, SF_DIR, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, grp in out.groupby("lang"):
+        grp = grp.sort_values("phase")
+        assert list(grp.phase) == list(range(1, CURRICULUM_PHASES + 1))
+        assert grp.n_docs.sum() == totals[lang]
+        assert grp.n_docs.max() - grp.n_docs.min() <= 1
+        mins = list(grp.score_min)
+        assert all(mins[i] <= mins[i + 1] for i in range(len(mins) - 1))
+
+
+def test_token_budget_sample_is_maximal_hash_ordered_prefix(spark):
+    """Independent python replay of the selection rule: order each
+    language's docs by the md5(doc_id) key, take the largest prefix
+    whose token total fits TOKEN_BUDGET_PER_LANG — the Spark output
+    must match doc-for-doc, and every running total respects the
+    budget."""
+    import hashlib
+
+    from timer_pulsar_spark.catalog import load_table
+    from timer_pulsar_spark.operators.sampling import (
+        TOKEN_BUDGET_PER_LANG,
+        q_token_budget_sample,
+    )
+
+    got = q_token_budget_sample(spark, SF_DIR).toPandas()
+    assert (got.cum_tokens <= TOKEN_BUDGET_PER_LANG).all()
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            "lang", "doc_id", F.size(F.split("text", " ")).alias("nt")
+        )
+        .collect()
+    )
+    want: dict[str, list[tuple[int, int]]] = {}
+    bylang: dict[str, list] = {}
+    for r in docs:
+        key = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:12], 16)
+        bylang.setdefault(r.lang, []).append((key, r.doc_id, r.nt))
+    for lang, rows in bylang.items():
+        cum = 0
+        for _k, did, nt in sorted(rows):
+            cum += nt
+            if cum > TOKEN_BUDGET_PER_LANG:
+                break
+            want.setdefault(lang, []).append((did, cum))
+    got_map = {
+        lang: list(zip(grp.doc_id, grp.cum_tokens))
+        for lang, grp in got.sort_values(["lang", "cum_tokens"]).groupby(
+            "lang"
+        )
+    }
+    assert {k: [(int(a), int(b)) for a, b in v] for k, v in got_map.items()} == want
+
+
 def test_redact_pii_planted_and_cross_engine(spark, tmp_path):
     """Planted PII where every pattern binds: counts per class, the
     email-before-IPv4 ordering rule (an address's dotted domain must

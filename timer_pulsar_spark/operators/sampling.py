@@ -413,6 +413,89 @@ def q_pack_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURRICULUM_PHASES = 4
+TOKEN_BUDGET_PER_LANG = 2_000
+
+
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: curriculum ordering] assign every document a training
+    PHASE by quality quantile within its language — the
+    easy-to-hard schedule curriculum pipelines feed the loader.
+    The quality signal is the distinct-token ratio (lexical diversity,
+    one of the Gopher gate signals — deterministic, engine-portable);
+    phases are ntile(CURRICULUM_PHASES) ordered by (score, doc_id), so
+    phase 1 holds the most repetitive quartile and phase 4 the most
+    diverse. Emitted per (lang, phase): doc count, token mass, and the
+    score range — the mixture card a curriculum scheduler consumes.
+
+    Scale shape: one window per lang (bounded partitions; sub-key by
+    (lang, shard) at 100 TB exactly as q_pack_sequences — ntile within
+    a shard preserves the schedule up to shard-local quantiles), then
+    one hash aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.round(
+        F.size(F.array_distinct(toks)) / F.size(toks), 6
+    )
+    w = Window.partitionBy("lang").orderBy("score", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(toks).cast("long").alias("n_tokens"),
+            score.alias("score"),
+        )
+        .withColumn("phase", F.ntile(CURRICULUM_PHASES).over(w))
+        .groupBy("lang", "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(F.min("score"), 6).alias("score_min"),
+            F.round(F.max("score"), 6).alias("score_max"),
+        )
+        .orderBy("lang", "phase")
+    )
+
+
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: token-budget sampling] select documents until an
+    exact per-language TOKEN budget is filled — the "give me N tokens
+    of X" request every ablation run makes, where doc-count sampling
+    (q_sample_hash) over- or under-shoots because document lengths
+    vary. Selection order is the content-stable md5(doc_id) key (the
+    q_shuffle_shards idiom — deterministic, engine-recomputable,
+    uncorrelated with length or quality), and a document is kept while
+    the running token total is within budget; the first over-budget
+    doc and everything after it are dropped, so the selected mass is
+    the largest prefix <= TOKEN_BUDGET_PER_LANG.
+
+    Scale shape: one cumulative-sum window per lang over (order_key)
+    — same bounded-partition note as q_pack_sequences; the output is
+    the selected docs only, so downstream joins see budget-bounded
+    rows at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    okey = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("order_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            okey.alias("order_key"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("lang", "cum_tokens")
+    )
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[curation: deterministic global shuffle + sharding] assign each
     document a shard (hash mod 8) and a position within the shard
@@ -944,6 +1027,46 @@ def _leakproof_oracle_sql() -> str:
 
 
 ORACLES["q_split_leakproof"] = _leakproof_oracle_sql()
+ORACLES["q_curriculum"] = f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS score
+        FROM documents
+    ),
+    phased AS (
+        SELECT *, ntile({CURRICULUM_PHASES})
+                   OVER (PARTITION BY lang ORDER BY score, doc_id) AS phase
+        FROM scored
+    )
+    SELECT lang, CAST(phase AS INT) AS phase,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           round(min(score), 6) AS score_min,
+           round(max(score), 6) AS score_max
+    FROM phased GROUP BY lang, phase ORDER BY lang, phase
+"""
+ORACLES["q_token_budget_sample"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                   AS order_key
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                        ORDER BY order_key, doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_tokens
+        FROM keyed
+    )
+    SELECT lang, doc_id, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= {TOKEN_BUDGET_PER_LANG}
+    ORDER BY lang, cum_tokens
+"""
 ORACLES["q_pack_concat"] = f"""
     WITH spans AS (
         SELECT lang, doc_id,
