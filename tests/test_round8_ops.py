@@ -146,6 +146,30 @@ def test_dedup_exact_norm_binds_on_case_punct_whitespace(spark, tmp_path):
     assert out[4].dup_cnt == 1 and out[4].n_raw_distinct == 1
 
 
+def test_length_buckets_conserve_and_bound(spark):
+    """Bucket card invariants: doc counts and token mass conserve the
+    corpus totals, every bucket ceiling is a multiple of the width and
+    strictly above the bucket's own mean length, and pad_frac stays in
+    [0, 1)."""
+    from timer_pulsar_spark.catalog import load_table
+    from timer_pulsar_spark.operators.sampling import (
+        LENGTH_BUCKET_WIDTH,
+        q_length_buckets,
+    )
+
+    out = q_length_buckets(spark, SF_DIR).toPandas()
+    d = load_table(spark, SF_DIR, "documents")
+    tot = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("toks"),
+    ).collect()[0]
+    assert out.n_docs.sum() == tot.n
+    assert out.tokens.sum() == tot.toks
+    assert (out.bucket_max % LENGTH_BUCKET_WIDTH == 0).all()
+    assert (out.bucket_max * out.n_docs >= out.tokens).all()
+    assert ((out.pad_frac >= 0) & (out.pad_frac < 1)).all()
+
+
 def test_curriculum_phases_are_ordered_quartiles(spark):
     """Curriculum invariants per language: all CURRICULUM_PHASES
     phases exist, ntile balance (phase sizes differ by at most 1),

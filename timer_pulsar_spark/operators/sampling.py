@@ -496,6 +496,41 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LENGTH_BUCKET_WIDTH = 64
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: batch bucketing card] histogram of documents by
+    token-length bucket (width LENGTH_BUCKET_WIDTH) with the
+    PADDING-WASTE estimate per bucket — the number a length-bucketed
+    batching loader uses to pick its bucket grid: waste = what padding
+    every doc to its bucket ceiling costs, as a fraction of the padded
+    mass. Pure map + one hash aggregate (map-side combined), no
+    window, no sort — the plan survives any corpus size unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    b = F.lit(LENGTH_BUCKET_WIDTH).cast("long")
+    ceiling = (F.floor((F.col("n_tokens") - 1) / b) + 1) * b
+    return (
+        d.select(n.alias("n_tokens"))
+        .withColumn("bucket_max", ceiling)
+        .groupBy("bucket_max")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .withColumn(
+            "pad_frac",
+            F.round(
+                (F.col("bucket_max") * F.col("n_docs") - F.col("tokens"))
+                / (F.col("bucket_max") * F.col("n_docs")),
+                6,
+            ),
+        )
+        .orderBy("bucket_max")
+    )
+
+
 def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[curation: deterministic global shuffle + sharding] assign each
     document a shard (hash mod 8) and a position within the shard
@@ -1027,6 +1062,23 @@ def _leakproof_oracle_sql() -> str:
 
 
 ORACLES["q_split_leakproof"] = _leakproof_oracle_sql()
+ORACLES["q_length_buckets"] = f"""
+    WITH t AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    g AS (
+        SELECT ((n_tokens - 1) // {LENGTH_BUCKET_WIDTH} + 1)
+                   * {LENGTH_BUCKET_WIDTH} AS bucket_max,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens
+        FROM t GROUP BY 1
+    )
+    SELECT bucket_max, n_docs, tokens,
+           round((bucket_max * n_docs - tokens) * 1.0
+                 / (bucket_max * n_docs), 6) AS pad_frac
+    FROM g ORDER BY bucket_max
+"""
 ORACLES["q_curriculum"] = f"""
     WITH scored AS (
         SELECT doc_id, lang,

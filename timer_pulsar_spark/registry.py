@@ -114,7 +114,7 @@ SECONDARY: list[str] = [
     # r8 late newcomers (same placement the r7 newcomers had: SECONDARY
     # head, rotated into the window next round)
     "q_dedup_exact_norm", "q_redact_pii", "q_curriculum",
-    "q_token_budget_sample",
+    "q_token_budget_sample", "q_length_buckets",
     # r8 demotions — hash-green in r07, family coverage argued at the
     # PRIORITY r8-rotation comment; first to re-enter on budget+1
     "q_pretrain_mix", "q_interval_join_bucketed", "q_pq_check",
