@@ -235,7 +235,10 @@ def test_embed_classifier_learns_labels_with_bounded_model(spark):
     assert pdf["pred_label"].between(0, C - 1).all()
     acc = float((pdf["label"] == pdf["pred_label"]).mean())
     majority = float(pdf["label"].value_counts().max()) / n
-    assert acc >= sim.EMBED_CLS_ACC_FLOOR > majority
+    # scale-valid margin contract (r8): multiplicative over majority,
+    # not an absolute floor — training acc is memorization capacity on
+    # noise labels and decays toward majority as rows grow
+    assert acc >= sim.EMBED_CLS_ACC_MARGIN * majority > majority
 
 
 def test_winnow_pairs_detects_partial_overlap(spark, dedup, tmp_path):

@@ -1478,10 +1478,17 @@ ORACLES["q_ivfpq_check"] = _CHECK_ORACLE
 
 EMBED_CLS_LR = 50.0
 EMBED_CLS_ITERS = 12
-# floor for the training-accuracy contract: measured 0.42 at sf0.01
-# and 0.40 at sf0.001 with the settings above, majority class 0.118
-# over 10 balanced classes — 0.3 holds with margin on fixed data
-EMBED_CLS_ACC_FLOOR = 0.3
+# Training-accuracy contract: a MULTIPLICATIVE margin over the
+# majority class, not an absolute floor (r8 fix). The labels carry no
+# geometric signal (tests/test_round8_ops.py pins that), so the probe's
+# training accuracy is pure memorization capacity — fixed C x dim
+# parameters spread over n rows, decaying toward majority as n grows:
+# measured acc/majority = 3.6x at n=500 (acc 0.42) but 1.9x at
+# n=2,000 (acc 0.21). The r7 absolute floor of 0.3 encoded the
+# 500-row fixture and silently failed at sf0.1; 1.5x majority holds
+# with >=29% headroom at every tested SF and states the actual claim:
+# the optimizer extracts measurably more than the prior at any scale.
+EMBED_CLS_ACC_MARGIN = 1.5
 
 
 def embed_classifier_fit(
@@ -1633,10 +1640,14 @@ def q_embed_classifier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked contract of the linear probe: full-batch
     gradient descent on a convex loss with a safe step never
     increases the loss (monotone + strictly improved over the run),
-    and final training accuracy clears EMBED_CLS_ACC_FLOOR — far
-    above the ~0.118 majority-class share (recomputed here from the
-    labels, never hardcoded), so the probe demonstrably learned label
-    structure rather than the prior."""
+    and final training accuracy clears EMBED_CLS_ACC_MARGIN x the
+    majority-class share (recomputed here from the labels, never
+    hardcoded), so the probe demonstrably extracts more than the
+    prior. The margin is multiplicative, not an absolute floor: the
+    labels are noise w.r.t. the geometry, so training accuracy is
+    memorization capacity and decays toward majority as rows grow —
+    an absolute floor pinned to one SF flaps at another (the r7 0.3
+    floor passed at 500 rows, failed at 2,000)."""
     W, losses, n, C = embed_classifier_fit(spark, sf_dir)
     wdf = spark.createDataFrame(
         [(c, W[c]) for c in range(C)], "cls int, w array<double>"
@@ -1683,7 +1694,7 @@ def q_embed_classifier_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 len(losses),
                 bool(monotone),
                 bool(losses[-1] < losses[0]),
-                bool(acc >= EMBED_CLS_ACC_FLOOR),
+                bool(acc >= EMBED_CLS_ACC_MARGIN * maj),
                 bool(acc > maj),
             )
         ],
