@@ -336,6 +336,74 @@ def test_pack_concat_conserves_tokens_and_cuts_exact_chunks(spark):
         assert list(grp["chunk_id"]) == list(range(len(grp))), lang
 
 
+def test_pack_concat_property_random_lengths(spark, tmp_path):
+    """Property drive on adversarial lengths (1-token docs, docs far
+    longer than the chunk budget, exact-multiple totals): the concat
+    invariants must hold for ANY length profile, including a doc that
+    spans many chunks (its touch-count = ceil-span) and a shard whose
+    total is an exact multiple of the budget (no short final chunk)."""
+    from timer_pulsar_spark.operators.sampling import (
+        PACK_BUDGET,
+        q_pack_concat,
+    )
+
+    lengths = {
+        # spans ~3 budgets + singles + filler to an exact multiple
+        "xx": [1, 1, 3 * PACK_BUDGET + 5, 7, 2 * PACK_BUDGET - 14],
+        # exact multiple of the budget: last chunk must be full-size
+        "yy": [PACK_BUDGET // 2, PACK_BUDGET // 2, PACK_BUDGET],
+    }
+    rows = []
+    did = 0
+    for lang, ls in lengths.items():
+        for n in ls:
+            rows.append((did, " ".join(["w"] * n), lang))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    out = q_pack_concat(spark, str(tmp_path)).toPandas()
+    for lang, ls in lengths.items():
+        grp = out[out.lang == lang].sort_values("chunk_id")
+        total = sum(ls)
+        assert grp.chunk_tokens.sum() == total
+        assert len(grp) == -(-total // PACK_BUDGET)  # ceil
+        assert (grp.chunk_tokens.iloc[:-1] == PACK_BUDGET).all()
+        assert grp.n_doc_starts.sum() == len(ls)
+    # the long doc touches ceil((start%B + len)/B)-ish consecutive
+    # chunks: every chunk between its first and last must count it
+    xx = out[out.lang == "xx"].sort_values("chunk_id")
+    assert (xx.n_docs >= 1).all()
+    # exact-multiple shard: the final chunk is full-size
+    yy = out[out.lang == "yy"].sort_values("chunk_id")
+    assert yy.chunk_tokens.iloc[-1] == PACK_BUDGET
+
+
+def test_token_budget_sample_edge_profiles(spark, tmp_path):
+    """Edge profiles: a language whose FIRST hash-ordered doc already
+    exceeds the budget selects nothing; a language whose docs all fit
+    selects everything; selection never splits a document."""
+    from timer_pulsar_spark.operators.sampling import (
+        TOKEN_BUDGET_PER_LANG,
+        q_token_budget_sample,
+    )
+
+    rows = [
+        (1, " ".join(["w"] * (TOKEN_BUDGET_PER_LANG + 1)), "big"),
+        (2, " ".join(["w"] * 10), "small"),
+        (3, " ".join(["w"] * 20), "small"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = q_token_budget_sample(spark, str(tmp_path)).toPandas()
+    assert (out.lang != "big").all()  # oversized head -> empty prefix
+    small = out[out.lang == "small"]
+    assert set(small.doc_id) == {2, 3}
+    assert small.cum_tokens.max() == 30
+
+
 def test_rollup_cube_grouping_levels(spark):
     """The single-pass rollup must emit all three levels with correct
     grouping ids, and each level must re-aggregate exactly to the
