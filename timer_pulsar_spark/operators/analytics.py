@@ -1015,17 +1015,11 @@ ORACLES["q_source_overlap"] = f"""
 def kmv_latest_state(work: str, before: int | None = None) -> str | None:
     """Highest-numbered state_<id> dir under ``work``; with ``before``,
     only versions strictly below it — the predecessor a (re)delivered
-    batch must fold onto (ADVICE r07)."""
-    import os
-    import re
+    batch must fold onto (ADVICE r07; generalized to every manual fold
+    as streaming.latest_state_version in r8)."""
+    from ..streaming import latest_state_version
 
-    vs = [
-        int(m.group(1))
-        for e in os.listdir(work)
-        if (m := re.match(r"state_(\d+)$", e))
-        and (before is None or int(m.group(1)) < before)
-    ]
-    return os.path.join(work, f"state_{max(vs)}") if vs else None
+    return latest_state_version(work, before)
 
 
 def kmv_fold_batch(

@@ -1790,6 +1790,46 @@ ORACLES: dict[str, str] = {
     # tests/test_dedup.py.
 }
 
+def dedup_exact_fold_batch(
+    spark: SparkSession, work: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """One canonical-table fold step of the streaming exact dedup:
+    aggregate the batch by text hash, merge (min canonical, sum
+    counts) onto the PREDECESSOR state — the highest version strictly
+    below this batch id — and write state_<batch_id>.
+
+    Retry safety (r8, the ADVICE r07 class generalized): the previous
+    versionless read-fold-replace state meant a batch redelivered
+    after its os.replace but before the checkpoint commit folded
+    itself into state that ALREADY contained it — min(canonical)
+    survived by idempotence but sum(dup_cnt) silently double-counted
+    the whole batch. Reading the strictly-older predecessor makes the
+    retry recompute byte-identical content. Module-level so the retry
+    path is directly testable."""
+    import os
+
+    from ..streaming import latest_state_version
+
+    agg = batch_df.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("dup_cnt"),
+    )
+    prev = latest_state_version(work, before=batch_id)
+    if prev is not None:
+        agg = (
+            spark.read.parquet(prev)
+            .unionByName(agg)
+            .groupBy("text_hash")
+            .agg(
+                F.min("canonical_doc_id").alias("canonical_doc_id"),
+                F.sum("dup_cnt").alias("dup_cnt"),
+            )
+        )
+    agg.write.mode("overwrite").parquet(
+        os.path.join(work, f"state_{batch_id}")
+    )
+
+
 def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup — the streaming twin of q_dedup_exact,
     ORACLE-checked: replay the documents table as a MULTI-batch file
@@ -1798,20 +1838,19 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     per batch with an aggregate MERGE: min(doc_id) wins, duplicate
     counts accumulate. min/sum are commutative+associative, so the
     final state is batch-split-independent and must equal the one-shot
-    batch aggregation.
+    batch aggregation. State is batch-id-versioned and each fold reads
+    its strict predecessor (dedup_exact_fold_batch), so checkpoint
+    redeliveries cannot double-count.
 
     This is how a 100 TB ingest actually deduplicates: each arriving
     shard folds into the canonical store at O(shard + |distinct|) cost,
     instead of re-scanning the corpus. The per-batch merge shuffles on
     text_hash — the same single key the batch twin shuffles on."""
     import os
-    import shutil
     import tempfile
-    import uuid
 
     work = tempfile.mkdtemp(prefix="stream_dedup_")
     in_dir = os.path.join(work, "docs")
-    state = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
 
     load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
@@ -1819,27 +1858,9 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(in_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        agg = batch_df.groupBy(F.md5("text").alias("text_hash")).agg(
-            F.min("doc_id").alias("canonical_doc_id"),
-            F.count("*").alias("dup_cnt"),
-        )
-        if os.path.exists(state):
-            cur = spark.read.parquet(state)
-            agg = (
-                cur.unionByName(agg)
-                .groupBy("text_hash")
-                .agg(
-                    F.min("canonical_doc_id").alias("canonical_doc_id"),
-                    F.sum("dup_cnt").alias("dup_cnt"),
-                )
-            )
-        tmp = f"{state}.fold-{uuid.uuid4().hex[:8]}"
-        agg.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state):
-            shutil.rmtree(state)
-        os.replace(tmp, state)
+        dedup_exact_fold_batch(spark, work, batch_df, batch_id)
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import latest_state_version, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -1856,7 +1877,7 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             if q.isActive:
                 q.stop()
-    return spark.read.parquet(state)
+    return spark.read.parquet(latest_state_version(work))
 
 
 def q_dedup_simhash_check(spark: SparkSession, sf_dir: str) -> DataFrame:

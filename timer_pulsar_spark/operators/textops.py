@@ -797,24 +797,55 @@ ORACLES["q_chunk_cdc"] = f"""
 """
 
 
+def hh_fold_batch(
+    spark: SparkSession, work: str, batch_df: DataFrame, batch_id: int
+) -> None:
+    """One vocabulary-count fold step: per-batch term counts summed
+    onto the PREDECESSOR state (highest version strictly below this
+    batch id), written as state_<batch_id>. Retry safety (r8, the
+    ADVICE r07 class generalized): the old versionless
+    read-fold-replace state double-counted a redelivered batch — sums
+    are not idempotent. Module-level so the retry path is directly
+    testable."""
+    import os
+
+    from ..streaming import latest_state_version
+
+    agg = (
+        batch_df.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    prev = latest_state_version(work, before=batch_id)
+    if prev is not None:
+        agg = (
+            spark.read.parquet(prev)
+            .unionByName(agg)
+            .groupBy("term")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    agg.write.mode("overwrite").parquet(
+        os.path.join(work, f"state_{batch_id}")
+    )
+
+
 def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus vocabulary statistics — the streaming twin of
     q_heavy_hitters, ORACLE-checked: replay the documents table as a
     multi-batch file stream and fold per-batch term counts into a
     persistent count table with an aggregate MERGE (sum is
     commutative+associative, so the folded state is batch-split-
-    independent); the top-k is read off the final state. At 100 TB this
+    independent); the top-k is read off the final state. State is
+    batch-id-versioned with strict-predecessor reads (hh_fold_batch),
+    so checkpoint redeliveries cannot double-count. At 100 TB this
     is how vocabulary/token statistics stay current as shards arrive:
     each batch costs O(batch + |vocab|), never a corpus re-scan, and
     the state table is |vocab| rows — millions, not billions."""
     import os
-    import shutil
     import tempfile
-    import uuid
 
     work = tempfile.mkdtemp(prefix="stream_hh_")
     in_dir = os.path.join(work, "docs")
-    state = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
 
     load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
@@ -822,25 +853,9 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(in_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        agg = (
-            batch_df.select(F.explode(F.split("text", " ")).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        if os.path.exists(state):
-            agg = (
-                spark.read.parquet(state)
-                .unionByName(agg)
-                .groupBy("term")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        tmp = f"{state}.fold-{uuid.uuid4().hex[:8]}"
-        agg.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(state):
-            shutil.rmtree(state)
-        os.replace(tmp, state)
+        hh_fold_batch(spark, work, batch_df, batch_id)
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import latest_state_version, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -858,7 +873,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             if q.isActive:
                 q.stop()
     return (
-        spark.read.parquet(state)
+        spark.read.parquet(latest_state_version(work))
         .orderBy(F.col("cnt").desc(), "term")
         .limit(TOPK_TOKENS)
     )

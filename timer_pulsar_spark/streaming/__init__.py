@@ -29,6 +29,35 @@ def replay_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def latest_state_version(work: str, before: int | None = None) -> str | None:
+    """Highest-numbered ``state_<id>`` dir under ``work``; with
+    ``before``, only versions strictly below it — the predecessor a
+    (re)delivered batch must fold onto.
+
+    This is the versioned-dir discipline EVERY manual foreachBatch
+    fold in this repo follows (ADVICE r07, generalized in r8): a fold
+    reads the newest state strictly OLDER than its own batch id and
+    overwrites its own ``state_<batch_id>`` dir. Two failure modes die
+    at once: (a) read-under-write — a batch redelivered after its
+    state write but before the checkpoint commit never reads the dir
+    it is overwriting; (b) double-fold — a versionless
+    read-fold-replace state makes the retry fold the batch into state
+    that ALREADY contains it, silently corrupting any non-idempotent
+    aggregate (sums/counts; min/max only survive by luck). With the
+    predecessor read, a retry recomputes byte-identical content from
+    the same inputs."""
+    import os
+    import re
+
+    vs = [
+        int(m.group(1))
+        for e in os.listdir(work)
+        if (m := re.match(r"state_(\d+)$", e))
+        and (before is None or int(m.group(1)) < before)
+    ]
+    return os.path.join(work, f"state_{max(vs)}") if vs else None
+
+
 def stage_range_split(df, in_dir: str, n_files: int, sort_cols: list[str],
                       base_mtime: int = 1_700_000_000) -> int:
     """DISTRIBUTED arrival staging for streaming-twin replays: write
