@@ -112,7 +112,15 @@ PRIORITY: list[str] = [
 # budget re-verifies them first.
 SECONDARY: list[str] = [
     # r8 late newcomers (same placement the r7 newcomers had: SECONDARY
-    # head, rotated into the window next round)
+    # head, rotated into the window next round), plus the two streaming
+    # folds MODIFIED late in r8 (redelivery-safe versioned state): the
+    # window was already full of never-verified + new-this-round rows,
+    # so instead of evicting those they sit first in line here — their
+    # oracles are shared verbatim with in-window twins (q_dedup_exact;
+    # the versioned-state discipline itself is in-window via
+    # q_stream_source_overlap), both re-verified at sf0.01 after the
+    # change, and the full-registry sweeps were regenerated at HEAD.
+    "q_stream_dedup_exact", "q_stream_heavy_hitters",
     "q_dedup_exact_norm", "q_redact_pii", "q_curriculum",
     "q_token_budget_sample", "q_length_buckets",
     # r8 demotions — hash-green in r07, family coverage argued at the
@@ -142,7 +150,7 @@ SECONDARY: list[str] = [
     "q_dup_clusters_star", "q_dedup_span",
     "q_bm25", "q_heavy_hitters", "q_domain_cap", "q_sample_stratified",
     "q_outliers", "q_zorder", "q_jsonl_roundtrip", "q_csv_roundtrip",
-    "q_chunk_cdc", "q_stream_centroid_assign", "q_stream_heavy_hitters",
+    "q_chunk_cdc", "q_stream_centroid_assign",
     "q_table_checksum",
     "q_repetition", "q_entropy", "q_orc_roundtrip",
     "q_unpivot", "q_range_window", "q_heavy_hitters_sketch_check",
