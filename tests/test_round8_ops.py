@@ -121,16 +121,19 @@ def test_kcenter_sampled_contract_and_composition(spark):
 
 
 def test_count_folds_survive_crash_window_redelivery(spark, tmp_path):
-    """The ADVICE r07 crash-window class, generalized (r8): the exact-
-    dedup and heavy-hitters streaming folds maintain SUM state, which
-    is not retry-idempotent — the old versionless read-fold-replace
-    state double-counted a batch redelivered after its state write but
-    before the checkpoint commit. Both folds now read the strict
-    predecessor version, so the retry must leave byte-identical counts
-    and the folded result must still equal the one-shot aggregate."""
+    """The ADVICE r07 crash-window class, generalized (r8) and
+    leaf-scoped (r9, VERDICT r08 #1): the exact-dedup and heavy-hitters
+    streaming folds maintain SUM state, which is not retry-idempotent.
+    Each fold reads, PER TOUCHED PARTITION, the newest version strictly
+    below its own batch id, so a batch redelivered after its state
+    write but before the checkpoint commit recomputes byte-identical
+    leaves and the folded result still equals the one-shot aggregate."""
     from timer_pulsar_spark.operators.dedup import dedup_exact_fold_batch
     from timer_pulsar_spark.operators.textops import hh_fold_batch
-    from timer_pulsar_spark.streaming import latest_state_version
+    from timer_pulsar_spark.streaming.state import (
+        latest_partition_versions,
+        read_state,
+    )
 
     docs = spark.createDataFrame(
         [(i, f"tok{i % 7} tok{i % 3} shared") for i in range(40)],
@@ -141,33 +144,32 @@ def test_count_folds_survive_crash_window_redelivery(spark, tmp_path):
 
     # --- exact-dedup fold
     w1 = str(tmp_path / "dedup")
-    (tmp_path / "dedup").mkdir()
     dedup_exact_fold_batch(spark, w1, b0, 0)
     dedup_exact_fold_batch(spark, w1, b1, 1)
     committed = {
         r.text_hash: (r.canonical_doc_id, r.dup_cnt)
-        for r in spark.read.parquet(f"{w1}/state_1").collect()
+        for r in read_state(spark, w1).collect()
     }
     dedup_exact_fold_batch(spark, w1, b1, 1)  # crash-window redelivery
     retried = {
         r.text_hash: (r.canonical_doc_id, r.dup_cnt)
-        for r in spark.read.parquet(f"{w1}/state_1").collect()
+        for r in read_state(spark, w1).collect()
     }
     assert retried == committed
     assert sum(c for _cid, c in retried.values()) == 40  # not 60
-    assert latest_state_version(w1, before=1).endswith("state_0")
+    # the retry's predecessor resolution excludes the batch's own leaves
+    assert set(latest_partition_versions(w1, before=1).values()) == {0}
 
     # --- heavy-hitters fold
     w2 = str(tmp_path / "hh")
-    (tmp_path / "hh").mkdir()
     hh_fold_batch(spark, w2, b0, 0)
     hh_fold_batch(spark, w2, b1, 1)
     committed_hh = {
-        r.term: r.cnt for r in spark.read.parquet(f"{w2}/state_1").collect()
+        r.term: r.cnt for r in read_state(spark, w2).collect()
     }
     hh_fold_batch(spark, w2, b1, 1)
     retried_hh = {
-        r.term: r.cnt for r in spark.read.parquet(f"{w2}/state_1").collect()
+        r.term: r.cnt for r in read_state(spark, w2).collect()
     }
     assert retried_hh == committed_hh
     assert retried_hh["shared"] == 40  # every doc once, not batch-doubled

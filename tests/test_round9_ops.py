@@ -1,0 +1,213 @@
+"""Round-9 machinery: partition-scoped, vacuumable fold state
+(VERDICT r08 #1 + ADVICE r08 atomic publish + workdir pruning)."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _snapshot(root: str) -> dict[str, tuple[int, float]]:
+    """(size, mtime) of every data file under every published leaf."""
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            fp = os.path.join(dirpath, fn)
+            st = os.stat(fp)
+            out[os.path.relpath(fp, root)] = (st.st_size, st.st_mtime)
+    return out
+
+
+def test_partitioned_fold_touches_only_batch_partitions(spark, tmp_path):
+    """The leaf-scoping law: a batch only reads and rewrites the state
+    partitions its keys hash into — every other partition's leaves stay
+    byte-identical (same files, sizes, mtimes) at their old version.
+    This is the O(batch + touched state) per-batch I/O shape that
+    replaces r8's full-state rewrite."""
+    from timer_pulsar_spark.streaming.state import (
+        latest_partition_versions,
+        partition_versions,
+        partitioned_fold,
+        read_state,
+    )
+
+    root = str(tmp_path / "st")
+    n_parts = 8
+
+    def fold(rows, batch_id):
+        agg = spark.createDataFrame(rows, "k string, cnt long")
+        return partitioned_fold(
+            spark,
+            root,
+            agg,
+            key_col="k",
+            remerge=lambda df: df.groupBy("k").agg(
+                F.sum("cnt").alias("cnt")
+            ),
+            batch_id=batch_id,
+            n_parts=n_parts,
+        )
+
+    # batch 0: many keys — populates most partitions
+    fold([(f"key{i}", 1) for i in range(64)], 0)
+    before = _snapshot(root)
+    v_before = latest_partition_versions(root)
+
+    # batch 1: ONE key — touches exactly one partition
+    touched = fold([("key3", 5)], 1)
+    assert len(touched) == 1
+    (p_hot,) = touched
+
+    after = _snapshot(root)
+    v_after = latest_partition_versions(root)
+    assert v_after[p_hot] == 1
+    for p, v in v_before.items():
+        if p != p_hot:
+            assert v_after[p] == v  # untouched partitions keep their version
+    # untouched leaves are byte-identical — never rewritten
+    hot_prefix = f"p_{p_hot}{os.sep}"
+    for rel, sig in before.items():
+        if not rel.startswith(hot_prefix) and not rel.startswith("_meta"):
+            assert after.get(rel) == sig, rel
+
+    # and the folded content is the one-shot aggregate
+    got = {r.k: r.cnt for r in read_state(spark, root).collect()}
+    assert got["key3"] == 6
+    assert all(got[f"key{i}"] == 1 for i in range(64) if i != 3)
+    # vacuum bound: <=2 versions per partition
+    assert all(len(vs) <= 2 for vs in partition_versions(root).values())
+
+
+def test_partitioned_fold_vacuum_bounds_versions_and_keeps_retry_pred(
+    spark, tmp_path
+):
+    """Over a long replay the version count per partition stays <=2
+    (current + the strict predecessor), storage O(state) not
+    O(batches x state) — and the kept predecessor really is enough for
+    a crash-window retry of the newest batch to recompute identical
+    state."""
+    from timer_pulsar_spark.streaming.state import (
+        partition_versions,
+        partitioned_fold,
+        read_state,
+    )
+
+    root = str(tmp_path / "st")
+
+    def fold(rows, batch_id):
+        agg = spark.createDataFrame(rows, "k string, cnt long")
+        partitioned_fold(
+            spark,
+            root,
+            agg,
+            key_col="k",
+            remerge=lambda df: df.groupBy("k").agg(
+                F.sum("cnt").alias("cnt")
+            ),
+            batch_id=batch_id,
+            n_parts=4,
+        )
+
+    batches = [
+        [(f"key{(b * 3 + i) % 10}", 1) for i in range(6)] for b in range(7)
+    ]
+    for b, rows in enumerate(batches):
+        fold(rows, b)
+    vs = partition_versions(root)
+    assert all(len(v) <= 2 for v in vs.values()), vs
+
+    committed = {r.k: r.cnt for r in read_state(spark, root).collect()}
+    # one-shot law across all 7 batches
+    from collections import Counter
+
+    want = Counter(k for rows in batches for k, _ in rows)
+    assert committed == dict(want)
+
+    # crash-window retry of the newest batch after vacuum already ran
+    fold(batches[6], 6)
+    retried = {r.k: r.cnt for r in read_state(spark, root).collect()}
+    assert retried == committed
+
+
+def test_partitioned_fold_pins_n_parts(spark, tmp_path):
+    """Changing n_parts mid-stream would re-hash keys into different
+    partitions and split key histories across leaves — the fold must
+    refuse instead of corrupting."""
+    from timer_pulsar_spark.streaming.state import partitioned_fold
+
+    root = str(tmp_path / "st")
+    agg = spark.createDataFrame([("a", 1)], "k string, cnt long")
+    remerge = lambda df: df.groupBy("k").agg(F.sum("cnt").alias("cnt"))
+    partitioned_fold(
+        spark, root, agg, "k", remerge, batch_id=0, n_parts=4
+    )
+    with pytest.raises(ValueError, match="n_parts"):
+        partitioned_fold(
+            spark, root, agg, "k", remerge, batch_id=1, n_parts=8
+        )
+
+
+def test_write_state_atomic_never_exposes_partial_dirs(spark, tmp_path):
+    """ADVICE r08: the flat versioned folds (KMV) publish via tmp
+    sibling + rename, so latest_state_version can never select a
+    half-written dir — a planted crashed tmp dir is invisible to
+    version resolution and vacuumed once a newer batch lands."""
+    from timer_pulsar_spark.streaming import latest_state_version
+    from timer_pulsar_spark.streaming.state import (
+        vacuum_versioned,
+        write_state_atomic,
+    )
+
+    work = str(tmp_path)
+    df = spark.createDataFrame([(1,)], "x long")
+    write_state_atomic(df, work, 0)
+    # a crashed attempt of batch 1: partial tmp dir, never renamed
+    crashed = os.path.join(work, "state_1.tmp-deadbeef")
+    os.makedirs(crashed)
+    assert latest_state_version(work).endswith("state_0")
+
+    write_state_atomic(df, work, 1)
+    write_state_atomic(df, work, 2)
+    vacuum_versioned(work, 2)
+    entries = sorted(os.listdir(work))
+    assert "state_1.tmp-deadbeef" not in entries  # orphan vacuumed
+    assert "state_0" not in entries  # below the kept predecessor
+    assert {"state_1", "state_2"} <= set(entries)
+    assert latest_state_version(work, before=2).endswith("state_1")
+
+
+def test_replay_workdir_prunes_old_dirs():
+    """VERDICT r08 #8: replay scratch dirs live under one shared root
+    that self-prunes, so long bench/test sessions cannot fill the
+    sandbox disk with dead checkpoints."""
+    from timer_pulsar_spark.streaming import state
+
+    made = [state.replay_workdir("prunetest", keep=3) for _ in range(6)]
+    survivors = [d for d in made if os.path.isdir(d)]
+    assert len(survivors) <= 4  # keep=3 plus the one just created
+    assert made[-1] in survivors
+
+
+def test_stream_dedup_exact_equals_batch_twin(spark):
+    """End-to-end on the real replay: the partition-scoped streaming
+    fold must still equal the one-shot batch dedup (same oracle as
+    q_dedup_exact), and the state layout must show the vacuum bound."""
+    from timer_pulsar_spark.operators.dedup import (
+        q_dedup_exact,
+        q_stream_dedup_exact,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    got = {
+        r.text_hash: (r.canonical_doc_id, r.dup_cnt)
+        for r in q_stream_dedup_exact(spark, sf_dir).collect()
+    }
+    want = {
+        r.text_hash: (r.canonical_doc_id, r.dup_cnt)
+        for r in q_dedup_exact(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -27,6 +27,7 @@ from ..functions.timeutil import epoch_micros, epoch_millis
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..streaming.state import replay_workdir
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -658,11 +659,10 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     delivery safe. Exercised by
     tests/test_round4_ops.py::test_scd2_fold_retry_is_noop.)"""
     import os
-    import tempfile
 
     from ..streaming import stage_range_split
 
-    work = tempfile.mkdtemp(prefix="stream_scd2_")
+    work = replay_workdir("stream_scd2")
     in_dir = os.path.join(work, "events")
     dim = os.path.join(work, "dim")
     ckpt = os.path.join(work, "ckpt")
@@ -1073,9 +1073,15 @@ def kmv_fold_batch(
                 ).alias("sk"),
             )
         )
-    sk.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(work, f"state_{batch_id}")
-    )
+    # ADVICE r08: publish atomically (tmp sibling + os.rename) so a
+    # crash mid-write can never leave a PARTIAL state_<id> dir that
+    # latest_state_version would select as newest; then vacuum versions
+    # below the strict predecessor (sketch state is O(k) per source,
+    # but version count was unbounded)
+    from ..streaming.state import vacuum_versioned, write_state_atomic
+
+    write_state_atomic(sk.coalesce(1), work, batch_id)
+    vacuum_versioned(work, batch_id)
 
 
 def q_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1096,9 +1102,8 @@ def q_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the same predecessor with identical content instead of
     reading the dir it overwrites (ADVICE r07)."""
     import os
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="stream_kmv_")
+    work = replay_workdir("stream_kmv")
     in_dir = os.path.join(work, "docs")
     ckpt = os.path.join(work, "ckpt")
 

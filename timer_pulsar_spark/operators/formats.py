@@ -23,13 +23,13 @@ from __future__ import annotations
 
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
+from ..streaming.state import replay_workdir
 
 DOC_SCHEMA = T.StructType(
     [
@@ -48,7 +48,7 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     md5(text) makes any serialization loss (newlines, quotes, unicode)
     flip the oracle hash."""
     docs = load_table(spark, sf_dir, "documents")
-    work = tempfile.mkdtemp(prefix=f"fmt_{fmt}_")
+    work = replay_workdir(f"fmt_{fmt}")
     out = os.path.join(work, fmt)
     try:
         writer = docs.repartition(4).write.mode("overwrite")

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load_table
+from ..streaming.state import replay_workdir
 
 N_FEATURES = 8
 
@@ -238,11 +239,10 @@ def q_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     excludes `content` for that shape. The 16-file staging collect is
     fixture plumbing, not the operator."""
     import os
-    import tempfile
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 16)
     rows = d.select("doc_id", "text").collect()  # bounded: 16 staged files
-    work = tempfile.mkdtemp(prefix="binfiles_")
+    work = replay_workdir("binfiles")
     for r in rows:
         with open(os.path.join(work, f"doc_{r.doc_id}.bin"), "wb") as f:
             f.write(r.text.encode("utf-8"))

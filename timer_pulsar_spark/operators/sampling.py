@@ -36,6 +36,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from .dedup import spread, with_shingles
+from ..streaming.state import replay_workdir
 
 # Parsing 6 hex chars (24 bits) keeps the value exact in both engines'
 # 64-bit integers; 100 buckets ~ percentage semantics.
@@ -805,9 +806,8 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored as it lands, at O(shard) per shard, and the model is only
     refit on a schedule, never per ingest."""
     import os
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="stream_dsir_")
+    work = replay_workdir("stream_dsir")
     in_dir = os.path.join(work, "docs")
     out = os.path.join(work, "scored")
     ckpt = os.path.join(work, "ckpt")

@@ -40,6 +40,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from .dedup import cosine_sim, dot_product, l2_norm
+from ..streaming.state import replay_workdir
 
 TOP_K = 5
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -608,11 +609,10 @@ def q_stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization — this is how a 100 TB vector store indexes new
     arrivals: each shard pays O(shard x k), never a corpus re-scan."""
     import os
-    import tempfile
 
     from pyspark.sql.window import Window as W
 
-    work = tempfile.mkdtemp(prefix="stream_vq_")
+    work = replay_workdir("stream_vq")
     in_dir = os.path.join(work, "vecs")
     out = os.path.join(work, "assigned")
     ckpt = os.path.join(work, "ckpt")

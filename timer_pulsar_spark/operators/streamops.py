@@ -15,7 +15,6 @@ exactly-once-effective semantics in detail.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -23,6 +22,7 @@ from pyspark.sql import functions as F
 from ..schemas import TIMER_ENABLED, TIMER_UNABLED
 from ..streaming.pipeline import run_pipeline_blocking
 from .timerdomain import WINDOW_END_1H, WINDOW_START, fan_out, minute_timers
+from ..streaming.state import replay_workdir
 
 
 def demo_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +50,7 @@ def q_stream_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pipeline run in temp dirs. Input tasks are doubled
     (unionAll with itself) to inject duplicates; output must hold one
     Successed row per (enabled timer, trigger instant)."""
-    work = tempfile.mkdtemp(prefix="stream_exec_")
+    work = replay_workdir("stream_exec")
     tasks_dir = os.path.join(work, "tasks")
     status_path = os.path.join(work, "status")
     ckpt = os.path.join(work, "ckpt")
@@ -97,7 +97,7 @@ def q_stream_cdf_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(changes) per batch instead of re-diffing a 100 TB table."""
     from pyspark.sql.window import Window
 
-    work = tempfile.mkdtemp(prefix="stream_cdf_")
+    work = replay_workdir("stream_cdf")
     tasks_dir = os.path.join(work, "tasks")
     status_path = os.path.join(work, "status")
     ckpt = os.path.join(work, "ckpt")

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..streaming.state import replay_workdir
 
 STOPWORDS = ("the", "a")
 EN_MARKERS = ("the", "a")
@@ -798,34 +799,41 @@ ORACLES["q_chunk_cdc"] = f"""
 
 
 def hh_fold_batch(
-    spark: SparkSession, work: str, batch_df: DataFrame, batch_id: int
+    spark: SparkSession,
+    work: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    n_parts: int | None = None,
 ) -> None:
     """One vocabulary-count fold step: per-batch term counts summed
-    onto the PREDECESSOR state (highest version strictly below this
-    batch id), written as state_<batch_id>. Retry safety (r8, the
-    ADVICE r07 class generalized): the old versionless
-    read-fold-replace state double-counted a redelivered batch — sums
-    are not idempotent. Module-level so the retry path is directly
-    testable."""
-    import os
+    LEAF-SCOPED onto the per-partition predecessor state (VERDICT r08
+    #1 — the r8 form rewrote the full vocabulary table every batch and
+    never vacuumed; the state is vocab-bounded so it was tolerable,
+    but it shares the discipline with the corpus-keyed exact-dedup
+    fold, so it shares the fix). pmod(xxhash64(term), N) partitions;
+    atomic per-leaf publish; versions vacuumed to <= 2/partition.
 
-    from ..streaming import latest_state_version
+    Retry safety (r8, the ADVICE r07 class generalized): each touched
+    partition folds onto the newest version strictly below this batch
+    id — sums cannot double-count on a crash-window redelivery.
+    Module-level so the retry path is directly testable."""
+    from ..streaming.state import STATE_PARTS, partitioned_fold
 
     agg = (
         batch_df.select(F.explode(F.split("text", " ")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    prev = latest_state_version(work, before=batch_id)
-    if prev is not None:
-        agg = (
-            spark.read.parquet(prev)
-            .unionByName(agg)
-            .groupBy("term")
-            .agg(F.sum("cnt").alias("cnt"))
-        )
-    agg.write.mode("overwrite").parquet(
-        os.path.join(work, f"state_{batch_id}")
+    partitioned_fold(
+        spark,
+        work,
+        agg,
+        key_col="term",
+        remerge=lambda df: df.groupBy("term").agg(
+            F.sum("cnt").alias("cnt")
+        ),
+        batch_id=batch_id,
+        n_parts=n_parts or STATE_PARTS,
     )
 
 
@@ -836,26 +844,30 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     persistent count table with an aggregate MERGE (sum is
     commutative+associative, so the folded state is batch-split-
     independent); the top-k is read off the final state. State is
-    batch-id-versioned with strict-predecessor reads (hh_fold_batch),
-    so checkpoint redeliveries cannot double-count. At 100 TB this
-    is how vocabulary/token statistics stay current as shards arrive:
-    each batch costs O(batch + |vocab|), never a corpus re-scan, and
-    the state table is |vocab| rows — millions, not billions."""
+    hash-partitioned and per-partition versioned (r9, VERDICT r08 #1)
+    with strict-predecessor reads (hh_fold_batch), so checkpoint
+    redeliveries cannot double-count and a batch only rewrites the
+    vocabulary leaves it touches. At 100 TB this is how vocabulary/
+    token statistics stay current as shards arrive: each batch costs
+    O(batch + touched leaves), never a corpus re-scan, and the state
+    table is |vocab| rows — millions, not billions."""
     import os
-    import tempfile
 
-    work = tempfile.mkdtemp(prefix="stream_hh_")
+    from ..streaming.state import read_state, replay_workdir
+
+    work = replay_workdir("stream_hh")
     in_dir = os.path.join(work, "docs")
     ckpt = os.path.join(work, "ckpt")
+    state_root = os.path.join(work, "state")
 
     load_table(spark, sf_dir, "documents").select("doc_id", "text").repartition(
         8
     ).write.mode("overwrite").parquet(in_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
-        hh_fold_batch(spark, work, batch_df, batch_id)
+        hh_fold_batch(spark, state_root, batch_df, batch_id)
 
-    from ..streaming import latest_state_version, replay_state_partitions
+    from ..streaming import replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -873,7 +885,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             if q.isActive:
                 q.stop()
     return (
-        spark.read.parquet(latest_state_version(work))
+        read_state(spark, state_root)
         .orderBy(F.col("cnt").desc(), "term")
         .limit(TOPK_TOKENS)
     )
@@ -894,9 +906,8 @@ def q_stream_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     and must equal the one-shot batch scoring — this is the ingest
     gate of a live corpus: each new shard pays O(shard), and rejected
     documents never enter the lake."""
-    import tempfile
 
-    return stream_quality_run(spark, sf_dir, tempfile.mkdtemp(prefix="stream_quality_"))
+    return stream_quality_run(spark, sf_dir, replay_workdir("stream_quality"))
 
 
 def stream_quality_run(
@@ -1913,11 +1924,10 @@ def q_stream_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pytest parity vs _qualclf_score_frame under the same weights —
     no SQL oracle exists for a trained model's outputs, so this is a
     rows-only registration like its batch twin)."""
-    import tempfile
 
     w, _losses, _n = qualclf_fit(spark, sf_dir)
     return stream_quality_clf_run(
-        spark, sf_dir, tempfile.mkdtemp(prefix="stream_qualclf_"), w
+        spark, sf_dir, replay_workdir("stream_qualclf"), w
     )
 
 

@@ -18,10 +18,10 @@ execution must byte-match the ANSI self-join.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .state import replay_workdir
 
 # 6 h attribution horizon: wide enough that the synthetic event stream
 # (sparse per-user activity) produces non-trivial matches at every SF
@@ -127,7 +127,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet sink then holds exactly the batch self-join's rows."""
     from . import replay_state_partitions
 
-    work = tempfile.mkdtemp(prefix="stream_join_")
+    work = replay_workdir("stream_join")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
 
@@ -165,7 +165,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.timeutil import epoch_micros
     from . import replay_state_partitions
 
-    work = tempfile.mkdtemp(prefix="stream_joino_")
+    work = replay_workdir("stream_joino")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
 

@@ -17,12 +17,12 @@ sentinel row pushes the closing watermark past every real window).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .sessionize import SENTINEL_TS
+from .state import replay_workdir
 
 
 def rollup_stream(events_stream: DataFrame) -> DataFrame:
@@ -50,7 +50,7 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain GROUP BY the oracle runs."""
     from ..catalog import load_table
 
-    work = tempfile.mkdtemp(prefix="stream_rollup_")
+    work = replay_workdir("stream_rollup")
     in_dir = os.path.join(work, "events")
     out_dir = os.path.join(work, "rollup")
     ckpt = os.path.join(work, "ckpt")
@@ -132,7 +132,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
     from ..functions.timeutil import as_utc_instant, utc_wallclock_ntz
 
-    work = tempfile.mkdtemp(prefix="stream_sw_")
+    work = replay_workdir("stream_sw")
     in_dir = os.path.join(work, "events")
     os.makedirs(in_dir)
     out_dir = os.path.join(work, "sessions")
@@ -234,7 +234,7 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load_table
     from ..functions.timeutil import as_utc_instant, utc_wallclock_ntz
 
-    work = tempfile.mkdtemp(prefix="stream_hop_")
+    work = replay_workdir("stream_hop")
     in_dir = os.path.join(work, "events")
     out_dir = os.path.join(work, "hopping")
     ckpt = os.path.join(work, "ckpt")

@@ -21,7 +21,6 @@ the same scale factor.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Iterator
 from typing import Any
 
@@ -29,6 +28,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .state import replay_workdir
 
 SESSION_GAP_MINUTES = 30
 _GAP_US = SESSION_GAP_MINUTES * 60 * 1_000_000
@@ -107,7 +107,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization the oracle runs."""
     from ..catalog import load_table
 
-    work = tempfile.mkdtemp(prefix="stream_sess_")
+    work = replay_workdir("stream_sess")
     in_dir = os.path.join(work, "events")
     out_dir = os.path.join(work, "sessions")
     ckpt = os.path.join(work, "ckpt")

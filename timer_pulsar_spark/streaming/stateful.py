@@ -42,7 +42,6 @@ per key-batch, never per row).
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Iterator
 from typing import Any
 
@@ -50,6 +49,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from .state import replay_workdir
 
 
 def transform_with_state_available() -> bool:
@@ -329,7 +329,7 @@ def q_stream_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.timeutil import as_utc_instant
     from . import replay_state_partitions, stage_range_split
 
-    work = tempfile.mkdtemp(prefix="stream_tot_")
+    work = replay_workdir("stream_tot")
     in_dir = os.path.join(work, "events")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
@@ -389,7 +389,7 @@ def q_stream_ttl_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.timeutil import as_utc_instant, utc_wallclock_ntz
     from . import replay_state_partitions, stage_range_split
 
-    work = tempfile.mkdtemp(prefix="stream_ttl_")
+    work = replay_workdir("stream_ttl")
     in_dir = os.path.join(work, "events")
     out_dir = os.path.join(work, "out")
     ckpt = os.path.join(work, "ckpt")
