@@ -125,8 +125,11 @@ def bench_pipeline(spark, status_mode: str = "merge") -> dict:
         # pipeline_merge is the first side section the bench runs.
         # Same min-of-N discipline the sub-second headliners got in r7;
         # both walls are reported so the cold cost stays visible.
-        walls: list[float] = []
-        executed = 0
+        # ADVICE r08: capture (executed, wall) PER replay and report
+        # the pair from the min-wall replay — r8 divided the last
+        # replay's row count by a (possibly different) replay's wall,
+        # correct only when the counts happen to match.
+        reps: list[tuple[int, float]] = []
         for rep in range(2):
             rep_status = f"{status_path}_{rep}"
             rep_ckpt = f"{ckpt}_{rep}"
@@ -135,15 +138,17 @@ def bench_pipeline(spark, status_mode: str = "merge") -> dict:
                 spark, tasks_dir, timers, rep_status, rep_ckpt,
                 status_mode=status_mode,
             )
-            walls.append(round(time.perf_counter() - t0, 3))
-            executed = spark.read.parquet(rep_status).count()
-        wall = min(walls)
+            wall = round(time.perf_counter() - t0, 3)
+            reps.append((spark.read.parquet(rep_status).count(), wall))
+        executed, wall = min(reps, key=lambda ew: ew[1])
         return {
             "status_mode": status_mode,
             "tasks": n_tasks,
             "executed": executed,
             "wall_sec": wall,
-            "walls_sec_reps": walls,
+            "walls_sec_reps": [w for _e, w in reps],
+            "executed_reps": [e for e, _w in reps],
+            "executed_reps_equal": bool(len({e for e, _w in reps}) == 1),
             "tasks_per_sec": round(executed / wall, 1),
             "design_point_tasks_per_sec": 11.6,
         }
@@ -587,6 +592,95 @@ def bench_ingest_gate(spark, sf_dir: str, n_batches: int = 8) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_stream_fold_state(spark, n_parts: int = 64,
+                            n_batches: int = 8) -> dict:
+    """Touched-leaf audit of the partition-scoped streaming count-fold
+    state (VERDICT r08 item 1 — the r8 fold read the FULL predecessor
+    state and wrote a COMPLETE new copy every micro-batch, with no
+    vacuum: O(state)/batch I/O and O(batches x state) storage, the one
+    remaining 100 TB scale-killer). The claim this measures: a batch
+    rewrites ONLY the state partitions its keys hash into, untouched
+    leaves stay byte-identical, and vacuum bounds versions to <= 2 per
+    partition — per-batch I/O tracks the batch, not the accumulated
+    state.
+
+    Shape: a 10k-key seeded canonical table across n_parts leaves,
+    then n_batches small batches (48 docs, ~24 distinct keys each —
+    the 1-second-micro-batch:corpus ratio a 100 TB ingest has). With
+    24 keys over 64 partitions a batch touches <= ~20 leaves, so
+    rewritten bytes per batch must stay a small, roughly FLAT fraction
+    of the (growing) state."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.operators.dedup import dedup_exact_fold_batch
+    from timer_pulsar_spark.streaming.state import partition_versions
+
+    work = tempfile.mkdtemp(prefix="bench_fold_state_")
+    root = os.path.join(work, "state")
+
+    def leaf_bytes() -> dict[str, int]:
+        out: dict[str, int] = {}
+        for dirpath, _d, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    fp = os.path.join(dirpath, fn)
+                    out[os.path.relpath(fp, root)] = os.path.getsize(fp)
+        return out
+
+    try:
+        seed = spark.range(10_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("seed text "), F.col("id")).alias("text"),
+        )
+        dedup_exact_fold_batch(spark, root, seed, 0, n_parts=n_parts)
+
+        walls, touched_bytes, state_bytes, touched_leaves = [], [], [], []
+        for b in range(1, n_batches + 1):
+            batch = spark.range(48).select(
+                (F.col("id") + 100_000 * b).alias("doc_id"),
+                F.concat(
+                    F.lit(f"batch {b} text "), (F.col("id") % 24)
+                ).alias("text"),
+            )
+            before = leaf_bytes()
+            t0 = time.perf_counter()
+            dedup_exact_fold_batch(spark, root, batch, b, n_parts=n_parts)
+            walls.append(round(time.perf_counter() - t0, 3))
+            after = leaf_bytes()
+            new = {p: sz for p, sz in after.items() if p not in before}
+            touched_bytes.append(sum(new.values()))
+            touched_leaves.append(
+                len({p.split(os.sep)[0] for p in new})
+            )
+            state_bytes.append(sum(after.values()))
+        max_versions = max(
+            len(vs) for vs in partition_versions(root).values()
+        )
+        pct = [
+            round(100 * t / s, 2)
+            for t, s in zip(touched_bytes, state_bytes)
+        ]
+        return {
+            "n_parts": n_parts,
+            "n_batches": n_batches,
+            "batch_walls_sec": walls,
+            "touched_leaves_per_batch": touched_leaves,
+            "touched_bytes_per_batch": touched_bytes,
+            "state_bytes_after": state_bytes,
+            "touched_pct_per_batch": pct,
+            "max_versions_per_partition": max_versions,
+            # the r8 design would read+rewrite 100% every batch and
+            # accumulate one full copy per batch
+            "leaf_scoped_ok": bool(max(pct) <= 50.0),
+            "versions_bounded_ok": bool(max_versions <= 2),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_qualclf(spark, sf_dir: str) -> dict:
     """Quality-discriminator training throughput: 12 full-batch GD
     iterations, each ONE driver round trip collecting DIM+1 rows —
@@ -659,7 +753,9 @@ def main() -> None:
     # (VERDICT r06: q_dedup_exact 0.29<->0.43 s, q_fanout 0.29<->0.39 s),
     # drowning real regressions. Report min-of-3 for any query whose
     # first timed rep lands under 1 s — the min is the steady-state
-    # compute floor; the extra reps cost <2 s total at sf0.1.
+    # compute floor. The >=1 s rows get min-of-2 (VERDICT r08 item 7:
+    # the heavy dedup rows carry ±0.3-0.7 s JIT/IO noise too — r8's
+    # q_dedup_near differed 0.3 s between two runs of identical code).
     timings: dict[str, float] = {}
     reps_used: dict[str, int] = {}
     for name in warm_ok:
@@ -668,7 +764,7 @@ def main() -> None:
             continue
         best = time.perf_counter() - t0
         reps = 1
-        while best < 1.0 and reps < 3:
+        while reps < (3 if best < 1.0 else 2):
             t0 = time.perf_counter()
             if not run_noop(name):
                 break
@@ -704,6 +800,7 @@ def main() -> None:
     bpe_sat = side("bpe_saturation", bench_bpe, spark, sf_dir, 256)
     qualclf = side("qualclf_train", bench_qualclf, spark, sf_dir)
     ingest = side("ingest_gate", bench_ingest_gate, spark, sf_dir)
+    fold_state = side("stream_fold_state", bench_stream_fold_state, spark)
 
     total = round(sum(timings.values()), 3)
     # explicit self-grading vs BASELINE.md's derived targets:
@@ -734,6 +831,14 @@ def main() -> None:
         ),
         # per-batch ingest classify cost must not track the corpus
         "ingest_gate_flat_ok": bool(ingest.get("flat_ok", False)),
+        # streaming count-fold state: per-batch rewrite leaf-scoped,
+        # version count vacuum-bounded (VERDICT r08 item 1)
+        "fold_state_leaf_scoped_ok": bool(
+            fold_state.get("leaf_scoped_ok", False)
+        ),
+        "fold_state_versions_ok": bool(
+            fold_state.get("versions_bounded_ok", False)
+        ),
         "all_queries_ok": not errors,
     }
     line = {
@@ -752,6 +857,7 @@ def main() -> None:
         "bpe_saturation": bpe_sat,
         "qualclf_train": qualclf,
         "ingest_gate": ingest,
+        "stream_fold_state": fold_state,
         "targets": targets,
         "sf": sf_from_dir(sf_dir),
     }

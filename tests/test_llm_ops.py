@@ -451,6 +451,54 @@ def test_dedup_incremental_df_cap_parity_when_cap_binds(spark, tmp_path):
         assert w[did].verdict == got[did].verdict, did
 
 
+def test_banded_arm_sound_when_df_cap_binds(spark, tmp_path, monkeypatch):
+    """ADVICE r08 (medium): q_dedup_incremental_check pins sound=true,
+    but pre-fix the banded arm verified exact Jaccard on UNCAPPED
+    shingle sets while the postings reference df-caps hot shingles —
+    on a corpus where the cap binds, a banded hit through a hot-only
+    overlap legitimately exceeded the capped reference and the
+    always-on check failed on valid data. The verify now subtracts the
+    same over-cap set, so soundness is structural: plant the binding
+    corpus, force the switch, and the contract must hold — and the
+    hot-only incoming copy must score n_near=0 on BOTH arms."""
+    import hashlib
+
+    import timer_pulsar_spark.operators.dedup as dedup
+
+    def bucket(i: int) -> int:
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 100
+
+    ex_ids = [i for i in range(2000) if bucket(i) < dedup.INCR_EXISTING_PCT]
+    inc_ids = [i for i in range(2000) if bucket(i) >= dedup.INCR_EXISTING_PCT]
+    n_hot = dedup.SHINGLE_DF_CAP + 100
+    hot = "common hot gram"  # 3 tokens -> exactly one (hot) shingle
+    base = " ".join(f"w{i}" for i in range(50))
+    variant = " ".join(f"w{i}" for i in range(49)) + " CHANGED"
+    rows = [(ex_ids[k], hot) for k in range(n_hot)]
+    rows.append((ex_ids[n_hot], base))
+    rows.append((inc_ids[0], hot))      # hot-only overlap with existing
+    rows.append((inc_ids[1], variant))  # near pair via cold shingles
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/documents.parquet")
+
+    monkeypatch.setattr(dedup, "NEAR_DUP_AUTO_THRESHOLD", 1)
+    row = dedup.q_dedup_incremental_check(spark, str(tmp_path)).collect()[0]
+    assert row.switched
+    assert row.sound  # pre-fix: banded found the hot pair, ref did not
+    assert row.exact_tier_identical and row.recall_ok
+
+    existing, incoming = dedup._incr_split(spark, str(tmp_path))
+    banded = {
+        r.doc_id: r.n_near
+        for r in dedup._incr_near_banded(existing, incoming).collect()
+    }
+    # band buckets collide on the identical hot text, but the capped
+    # verify scores the pair 0/… — no hit, matching the reference
+    assert inc_ids[0] not in banded
+    assert banded.get(inc_ids[1], 0) >= 1  # cold-shingle pair survives
+
+
 def test_kmv_fold_retry_after_crash_window(spark, tmp_path):
     """ADVICE r07: a batch redelivered AFTER its state_<id> dir was
     written but BEFORE the checkpoint committed must not read the dir

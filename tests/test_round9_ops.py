@@ -190,6 +190,57 @@ def test_replay_workdir_prunes_old_dirs():
     assert made[-1] in survivors
 
 
+def test_kcenter_sampled_guards_tiny_corpora(spark, tmp_path):
+    """ADVICE r08 (low): k==1 used to IndexError on radii[-1], and an
+    empty xxhash64 sample bucket (possible on tiny corpora — mod is
+    floored at 2 but bucket-0 membership is not guaranteed) crashed the
+    greedy seed lookup with AttributeError. k==1 must select the seed;
+    the empty bucket must fall back to the full frame with mod=1."""
+    from timer_pulsar_spark.operators import similarity as sim
+
+    # ids chosen so pmod(xxhash64(vec_id), 2) == 1 for every row
+    cands = spark.createDataFrame(
+        [(i,) for i in range(64)], "vec_id long"
+    ).withColumn("b", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)))
+    odd_ids = [r.vec_id for r in cands.filter("b = 1").collect()][:3]
+    assert len(odd_ids) == 3
+    rows = [
+        (int(v), [float(j + 1), float((j * 7) % 5 + 1)])
+        for j, v in enumerate(odd_ids)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    picks, _cs, covered_full, mod = sim.kcenter_select_sampled(
+        spark, str(tmp_path), k=2
+    )
+    assert mod == 1  # empty bucket -> full-frame fallback, reported
+    assert len(picks) == 2
+    assert covered_full.count() == 3
+
+    # k == 1: seed only, no radii — both selectors must not crash
+    picks1, covered1 = sim.kcenter_select_over(
+        spark,
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ),
+        k=1,
+    )
+    assert len(picks1) == 1 and covered1.count() == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty frame"):
+        sim.kcenter_select_over(
+            spark,
+            spark.createDataFrame(
+                [], "vec_id long, embedding array<double>"
+            ),
+            k=2,
+        )
+
+
 def test_stream_dedup_exact_equals_batch_twin(spark):
     """End-to-end on the real replay: the partition-scoped streaming
     fold must still equal the one-shot batch dedup (same oracle as

@@ -1548,11 +1548,22 @@ def _incr_near_banded(existing: DataFrame, incoming: DataFrame) -> DataFrame:
 
     At scale the maintained index is (band_id, band_key, doc_id) plus
     the per-doc shingle set for the exact verify of matched candidates
-    — both appended per ingest batch, so per-batch cost stays
-    O(batch + matched candidates), never O(corpus). Candidates come
-    from an equi-join of incoming band keys against the index; the
-    exact-Jaccard verify joins shingle sets for CANDIDATE pairs only,
-    so banded results are always a sound subset of the exact arm's."""
+    and the over-cap shingle set — all appended/updated per ingest
+    batch, so per-batch cost stays O(batch + matched candidates),
+    never O(corpus). Candidates come from an equi-join of incoming
+    band keys against the index; the verify joins shingle sets for
+    CANDIDATE pairs only.
+
+    Soundness is STRUCTURAL vs the capped postings reference (ADVICE
+    r08): the reference arm drops existing-side shingles with
+    df > SHINGLE_DF_CAP before counting shared, so its score for a
+    pair is shared_capped / (n_inc + n_ex - shared_capped). The verify
+    here subtracts the same over-cap set from its intersection, so a
+    banded hit scores with THE SAME FORMULA as the reference for the
+    same pair — banded results are a subset of the reference's on any
+    corpus, including one where the cap binds (pre-fix, a banded hit
+    through a hot-only overlap could legitimately exceed the capped
+    reference and wedge q_dedup_incremental_check on valid data)."""
 
     def banded(df: DataFrame, idcol: str):
         sh = (
@@ -1575,11 +1586,25 @@ def _incr_near_banded(existing: DataFrame, incoming: DataFrame) -> DataFrame:
         .select("inc_doc", "ex_doc")
         .distinct()
     )
-    inter = F.size(F.array_intersect("sh_inc", "sh_ex"))
+    # the same over-cap definition incr_index enforces (df over the
+    # EXISTING corpus, distinct per doc) — tiny/usually empty, one row
+    # as a broadcast array; at scale it is maintained with the index
+    hot_arr = F.broadcast(
+        with_shingles(existing)
+        .select(F.explode("shingles").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .agg(F.collect_list("s").alias("hot_sh"))
+    )
+    inter = F.size(
+        F.array_except(F.array_intersect("sh_inc", "sh_ex"), "hot_sh")
+    )
     union = F.size("sh_inc") + F.size("sh_ex") - inter
     return (
         cand.join(inc_sh.withColumnRenamed("shingles", "sh_inc"), "inc_doc")
         .join(ex_sh.withColumnRenamed("shingles", "sh_ex"), "ex_doc")
+        .crossJoin(hot_arr)
         .filter(inter / union >= NEAR_DUP_THRESHOLD)
         .groupBy(F.col("inc_doc").alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_near"))
@@ -1632,13 +1657,12 @@ def q_dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
       auto arm's exact_dup set must equal the exact arm's — a banded
       near-miss can never leak into the exact tier;
     - sound: every auto near count is <= the reference arm's for the
-      same doc (banded candidates are exact-Jaccard-verified, so the
-      banded arm may miss pairs, never invent them). Caveat: the
-      postings reference itself df-caps hot shingles, so on a corpus
-      where the cap binds, a banded hit through a hot-only overlap
-      could legitimately exceed the capped reference — no tested SF
-      has a shingle within 40x of the cap, and the planted-hot pytest
-      exercises the cap through the reference arm, not this check;
+      same doc. STRUCTURAL as of r9 (ADVICE r08): the banded verify
+      subtracts the same over-cap shingle set the reference df-caps,
+      so the two arms score a pair with the identical capped formula —
+      sound holds by construction even on a corpus where the cap
+      binds (the planted-hot pytest forces the cap down and checks
+      both the parity and this contract);
     - recall_ok: auto detects >= 0.7 of the exact arm's near_dup docs.
       Below the switch the arms are the same plan (recall 1.0); above
       it the 16x4 banding floor keeps the bound honest. n_ref_near is

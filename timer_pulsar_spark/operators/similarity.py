@@ -2041,6 +2041,11 @@ def kcenter_select_over(
     production path share."""
     e = frame.localCheckpoint()
     first = e.orderBy("vec_id").first()
+    if first is None:
+        raise ValueError(
+            "k-center selection over an empty frame (guard upstream: "
+            "a hash-sample bucket can be empty on a tiny corpus)"
+        )
     centers: list[tuple[int, list[float]]] = [
         (int(first.vec_id), [float(v) for v in first.embedding])
     ]
@@ -2116,7 +2121,7 @@ def q_kcenter_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 len(picks),
                 bool(monotone),
-                bool(r_final <= radii[-1] + 1e-9),
+                bool(r_final <= (radii[-1] if radii else math.inf) + 1e-9),
                 bool(min_sep >= r_final - 1e-9),
             )
         ],
@@ -2157,6 +2162,12 @@ def kcenter_select_sampled(
     )
     mod = max(2, e.count() // KCENTER_SAMPLE_TARGET)
     sample = e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(mod)) == 0)
+    # ADVICE r08: mod is floored at 2 but membership of bucket 0 is not
+    # guaranteed on a tiny corpus — an empty sample would crash the
+    # greedy seed lookup. Fall back to the full frame (mod=1, honestly
+    # reported so strict_sample reads false downstream).
+    if sample.limit(1).count() == 0:
+        sample, mod = e, 1
     picks, covered_sample = kcenter_select_over(spark, sample, k)
     # one full-corpus pass: min distance to the k selected centers
     centers = [
@@ -2219,7 +2230,7 @@ def q_kcenter_sampled_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 len(picks),
                 bool(mod >= 2),
                 bool(monotone),
-                bool(r_sample <= radii[-1] + 1e-9),
+                bool(r_sample <= (radii[-1] if radii else math.inf) + 1e-9),
                 bool(min_sep >= r_sample - 1e-9),
                 bool(r_full >= r_sample - 1e-9),
             )
