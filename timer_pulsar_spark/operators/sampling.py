@@ -497,6 +497,184 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_SHARDS = 4  # (lang, shard) sub-key fan-out for the windowed ops
+TOKEN_BUCKET_SHIFT = 36  # 48-bit order key >> 36 -> 4096 coarse buckets
+
+
+def _order_key() -> Column:
+    """Content-stable selection/order key: first 12 hex chars of
+    md5(doc_id) as a 48-bit long — deterministic, engine-recomputable
+    (the q_shuffle_shards idiom)."""
+    return F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("long")
+
+
+def q_pack_concat_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: SHARD-LOCAL concat-and-chunk packing] q_pack_concat
+    with the (lang, shard) sub-keying its docstring only promised
+    (VERDICT r08 #2): the running-total window partitions by
+    (lang, shard) and chunks NEVER cross shards — which is the
+    semantics real loaders have anyway (each loader worker owns whole
+    shards and concatenates within them; a chunk spanning two shards
+    would couple two workers). Shard assignment is the content-stable
+    md5 order key mod PACK_SHARDS, so both engines recompute it.
+
+    Why this is the 100 TB form: a per-lang window puts an entire
+    language through ONE sort partition — tens of TB for `en` — and
+    window partitions cannot be AQE-skew-split. Sub-keying bounds
+    every sort partition at corpus/(langs x PACK_SHARDS) and the bound
+    scales out by raising PACK_SHARDS; the only cross-shard artifact
+    is one short tail chunk per (lang, shard) instead of per lang."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    shard = F.pmod(_order_key(), F.lit(PACK_SHARDS)).cast("int")
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    b = F.lit(PACK_BUDGET).cast("long")
+    spans = (
+        d.select(
+            "doc_id",
+            "lang",
+            toks.cast("long").alias("n_tokens"),
+            shard.alias("shard"),
+        )
+        .withColumn("end_off", F.sum("n_tokens").over(w))
+        .withColumn("start_off", F.col("end_off") - F.col("n_tokens"))
+    )
+    touched = spans.select(
+        "lang",
+        "shard",
+        "start_off",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_off") / b),
+                F.floor((F.col("end_off") - 1) / b),
+            )
+        ).alias("chunk_id"),
+    )
+    totals = spans.groupBy("lang", "shard").agg(
+        F.max("end_off").alias("total")
+    )
+    return (
+        touched.groupBy("lang", "shard", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                (F.floor(F.col("start_off") / b) == F.col("chunk_id")).cast(
+                    "long"
+                )
+            ).alias("n_doc_starts"),
+        )
+        .join(F.broadcast(totals), ["lang", "shard"])
+        .select(
+            "lang",
+            "shard",
+            "chunk_id",
+            "n_docs",
+            "n_doc_starts",
+            F.least(b, F.col("total") - F.col("chunk_id") * b).alias(
+                "chunk_tokens"
+            ),
+        )
+        .orderBy("lang", "shard", "chunk_id")
+    )
+
+
+def q_curriculum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: SHARD-LOCAL curriculum phases] q_curriculum with the
+    promised (lang, shard) sub-keying coded (VERDICT r08 #2): ntile
+    runs within (lang, shard) — shard-local quantiles, the exact
+    trade q_curriculum's docstring described — so no sort partition
+    ever holds more than corpus/(langs x PACK_SHARDS) rows. The card
+    still aggregates per (lang, phase): with the content-stable hash
+    shard, shard-local quartiles are an unbiased estimate of the
+    global ones, and the phase populations stay balanced by ntile's
+    construction."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    score = F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
+    shard = F.pmod(_order_key(), F.lit(PACK_SHARDS)).cast("int")
+    w = Window.partitionBy("lang", "shard").orderBy("score", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.size(toks).cast("long").alias("n_tokens"),
+            score.alias("score"),
+            shard.alias("shard"),
+        )
+        .withColumn("phase", F.ntile(CURRICULUM_PHASES).over(w))
+        .groupBy("lang", "phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+            F.round(F.min("score"), 6).alias("score_min"),
+            F.round(F.max("score"), 6).alias("score_max"),
+        )
+        .orderBy("lang", "phase")
+    )
+
+
+def q_token_budget_sample_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: token-budget sampling, two-pass 100 TB form] the
+    SAME selected set as q_token_budget_sample (identical output, same
+    oracle) without ever sorting a whole language in one window
+    partition (VERDICT r08 #2). Pass 1: per-(lang, bucket) token
+    totals — bucket is the top 12 bits of the 48-bit order key, so the
+    cumulative-bucket window runs over <= 4096 ROWS per lang whatever
+    the corpus size, and yields each bucket's global running-total
+    BASE. Pass 2: buckets whose base already exceeds the budget are
+    dropped in the (broadcast, map-side) join; surviving docs flow
+    through a window partitioned by (lang, bucket) — every sort
+    partition is ~corpus/4096 per lang — where base + within-bucket
+    cumsum is the EXACT global running total, so the kept set is the
+    identical maximal prefix.
+
+    Scale shape: one map-side-combined hash agg, one window over a
+    <=4096-rows-per-lang frame, one broadcast join, one bounded-
+    partition window. Nothing sorts more than corpus/4096 rows in one
+    task; the budget cut is applied map-side for all but the boundary
+    bucket."""
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        _order_key().alias("order_key"),
+    ).withColumn("bucket", F.shiftright("order_key", TOKEN_BUCKET_SHIFT))
+    btot = keyed.groupBy("lang", "bucket").agg(
+        F.sum("n_tokens").alias("btok")
+    )
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    live = (
+        btot.withColumn("base", F.sum("btok").over(wb) - F.col("btok"))
+        .filter(F.col("base") <= F.lit(TOKEN_BUDGET_PER_LANG))
+        .select("lang", "bucket", "base")
+    )
+    wd = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("order_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        keyed.join(F.broadcast(live), ["lang", "bucket"])
+        .withColumn(
+            "cum_tokens", F.col("base") + F.sum("n_tokens").over(wd)
+        )
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_LANG)
+        .select("lang", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("lang", "cum_tokens")
+    )
+
+
 LENGTH_BUCKET_WIDTH = 64
 
 
@@ -1146,6 +1324,64 @@ ORACLES["q_pack_concat"] = f"""
     GROUP BY t.lang, t.chunk_id, tot.total
     ORDER BY lang, chunk_id
 """
+
+_SHARD_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT"
+    f" % {PACK_SHARDS} AS INT)"
+)
+ORACLES["q_pack_concat_sharded"] = f"""
+    WITH spans AS (
+        SELECT lang, {_SHARD_SQL} AS shard, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(sum(len(string_split(text, ' ')))
+                    OVER (PARTITION BY lang, {_SHARD_SQL} ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS end_off
+        FROM documents
+    ),
+    s2 AS (SELECT *, end_off - n_tokens AS start_off FROM spans),
+    touched AS (
+        SELECT lang, shard, start_off, CAST(u.c AS BIGINT) AS chunk_id
+        FROM s2, UNNEST(range(start_off // {PACK_BUDGET},
+                              (end_off - 1) // {PACK_BUDGET} + 1)) AS u(c)
+    ),
+    totals AS (
+        SELECT lang, shard, max(end_off) AS total FROM s2 GROUP BY 1, 2
+    )
+    SELECT t.lang, t.shard, t.chunk_id,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN start_off // {PACK_BUDGET} = chunk_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_starts,
+           CAST(least({PACK_BUDGET}, tot.total - chunk_id * {PACK_BUDGET})
+                AS BIGINT) AS chunk_tokens
+    FROM touched t JOIN totals tot USING (lang, shard)
+    GROUP BY t.lang, t.shard, t.chunk_id, tot.total
+    ORDER BY lang, shard, chunk_id
+"""
+ORACLES["q_curriculum_sharded"] = f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {_SHARD_SQL} AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               round(len(list_distinct(string_split(text, ' '))) * 1.0
+                     / len(string_split(text, ' ')), 6) AS score
+        FROM documents
+    ),
+    phased AS (
+        SELECT *, ntile({CURRICULUM_PHASES})
+                   OVER (PARTITION BY lang, shard
+                         ORDER BY score, doc_id) AS phase
+        FROM scored
+    )
+    SELECT lang, CAST(phase AS INT) AS phase,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens,
+           round(min(score), 6) AS score_min,
+           round(max(score), 6) AS score_max
+    FROM phased GROUP BY lang, phase ORDER BY lang, phase
+"""
+# the two-pass form selects the IDENTICAL maximal prefix — it shares
+# the one-pass definition as its oracle verbatim
+ORACLES["q_token_budget_sample_2pass"] = ORACLES["q_token_budget_sample"]
 
 QUERIES = {
     name: fn
