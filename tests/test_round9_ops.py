@@ -338,6 +338,98 @@ def test_kcenter_sampled_guards_tiny_corpora(spark, tmp_path):
         )
 
 
+def test_stream_ivfpq_append_encodes_like_one_shot(spark):
+    """VERDICT r08 #6: the streamed IVF-PQ index (train once on the
+    seed, frozen-model encode per arriving batch, batch-id-keyed
+    appends) must hold EXACTLY the codes a one-shot frozen-model
+    encode of the same vectors produces — encode is stateless per row,
+    so the index is batch-split-independent. Also pins that every
+    vector of the corpus ended up indexed exactly once."""
+    from timer_pulsar_spark.catalog import load_table
+    from timer_pulsar_spark.operators.similarity import (
+        _ivfpq_streamed_index,
+        ivfpq_encode_with_model,
+    )
+
+    from .conftest import SF_DIR
+
+    e, codes, cb, cents, subdim = _ivfpq_streamed_index(spark, SF_DIR)
+    n_vecs = load_table(spark, SF_DIR, "embeddings").count()
+    m = max(b for b, _c, _v in cb) + 1
+    assert codes.count() == n_vecs * m
+    assert codes.select("vec_id").distinct().count() == n_vecs
+
+    arriving = e.filter(F.pmod(F.xxhash64(F.col("vec_id")), F.lit(2)) != 0)
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_encode_with_model(
+                spark, arriving, cents, cb, subdim
+            ).collect(),
+        )
+    )
+    arr_ids = {r.vec_id for r in arriving.select("vec_id").collect()}
+    got = sorted(
+        tuple(r)
+        for r in codes.collect()
+        if r.vec_id in arr_ids
+    )
+    assert got == want
+
+
+def test_image_dims_parses_golden_container_bytes(spark):
+    """The codec-free dims parser must recover width/height from REAL
+    container bytes (not just invert the planted generator): the
+    canonical 1x1 transparent PNG, a JFIF-led 640x480 baseline JPEG,
+    a progressive (SOF2) 31x77 JPEG, and garbage -> unknown/null."""
+    import base64
+
+    from timer_pulsar_spark.operators.multimodal import image_dims
+
+    png_1x1 = base64.b64decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNk"
+        "YPhfDwAChwGA60e6kgAAAABJRU5ErkJggg=="
+    )
+    # SOI + real APP0 JFIF segment (16 bytes) + SOF0: h=480, w=640
+    jpeg_640x480 = (
+        bytes.fromhex("FFD8FFE00010")
+        + b"JFIF\x00"
+        + bytes.fromhex("0102000048004800")
+        + bytes.fromhex("FFC0001108") + (480).to_bytes(2, "big")
+        + (640).to_bytes(2, "big") + bytes.fromhex("03")
+    )
+    jpeg_prog = (
+        bytes.fromhex("FFD8FFE00010")
+        + b"JFIF\x00"
+        + bytes.fromhex("0102000048004800")
+        + bytes.fromhex("FFC2001108") + (77).to_bytes(2, "big")
+        + (31).to_bytes(2, "big") + bytes.fromhex("03")
+    )
+    frame = spark.createDataFrame(
+        [
+            (1, bytearray(png_1x1)),
+            (2, bytearray(jpeg_640x480)),
+            (3, bytearray(jpeg_prog)),
+            (4, bytearray(b"not an image at all")),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in image_dims(frame).collect()}
+    assert (got[1].codec, got[1].width, got[1].height) == ("png", 1, 1)
+    assert (got[2].codec, got[2].width, got[2].height) == (
+        "jpeg", 640, 480,
+    )
+    assert (got[3].codec, got[3].width, got[3].height) == ("jpeg", 31, 77)
+    assert got[4].codec == "unknown"
+    assert got[4].width is None and got[4].height is None
+
+    # plan gate: pure byte math, no Python eval
+    plan = (
+        image_dims(frame)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan
+
+
 def test_stream_dedup_exact_equals_batch_twin(spark):
     """End-to-end on the real replay: the partition-scoped streaming
     fold must still equal the one-shot batch dedup (same oracle as

@@ -136,9 +136,19 @@ def cooccurring_pairs(
     shuffle, never its postings), the tiny over-cap key set broadcasts,
     and a broadcast anti-join drops those postings before the heavy
     shuffle ever sees them. Same keys dropped — results identical —
-    at the price of deriving the postings subtree twice (Catalyst does
-    not reuse it across the two aggregations); the worst-case reducer
-    is bounded at max_df postings regardless of data skew.
+    and the worst-case reducer is bounded at max_df postings
+    regardless of data skew.
+
+    The postings frame is PERSISTed (serialized memory, disk spill)
+    across the two consumers (VERDICT r08 #3): Catalyst does not reuse
+    a subtree feeding two different aggregations, so r8 re-derived the
+    whole upstream pipeline (scan + tokenize + shingle + explode) for
+    the hot-key count — measured +46% on q_dedup_near at sf0.1. One
+    cache write replaces the second derivation; the hot-count job
+    (executed first, to build the broadcast) populates the cache and
+    the collect_list shuffle reads it back. The cached blocks are
+    reclaimed by Spark's ContextCleaner once the query's plan is
+    garbage-collected — the lifetime of one registered query.
 
     `pair_pred_sql` (SQL boolean over member structs `x`, `y`) prunes
     pairs INSIDE the expansion lambda, before the pair rows exist — the
@@ -148,6 +158,9 @@ def cooccurring_pairs(
     Output columns: a_<payload>, b_<payload> for doc_id + payloads.
     """
     if max_df is not None:
+        from pyspark import StorageLevel
+
+        postings = postings.persist(StorageLevel.MEMORY_AND_DISK_DESER)
         hot = (
             postings.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("df"))
@@ -1480,10 +1493,17 @@ def incr_index(existing: DataFrame) -> tuple[DataFrame, DataFrame]:
     anti-join drops hot postings before the candidate join's exchange
     ever ships them. Same keys dropped — results identical. Exact at
     every tested SF (sf0.1 max df is 25 vs the 1000 cap)."""
+    from pyspark import StorageLevel
+
     exdim = existing.groupBy(F.md5("text").alias("h")).agg(
         F.count(F.lit(1)).alias("n_exact")
     )
-    ex_post = _incr_postings(existing)
+    # persisted across the hot-key count and the candidate join — the
+    # same one-cache-write-vs-second-derivation trade as
+    # cooccurring_pairs (VERDICT r08 #3)
+    ex_post = _incr_postings(existing).persist(
+        StorageLevel.MEMORY_AND_DISK_DESER
+    )
     hot = (
         ex_post.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
