@@ -148,6 +148,24 @@ AUDITED: dict[str, str] = {
         "aggregate — one scan, one exchange, however many levels roll "
         "up."
     ),
+    "q_pack_concat_sharded": (
+        "Shard-local packing (r9): the running-total window partitions "
+        "by (lang, shard) — windowspecdefinition must show BOTH keys — "
+        "so no sort partition ever holds a whole language; totals join "
+        "back broadcast."
+    ),
+    "q_token_budget_sample_2pass": (
+        "Two-pass token budget (r9): map-side-combined (lang, bucket) "
+        "histogram, a window over the <=4096-rows-per-lang bucket "
+        "frame, the bucket dim joined back as a BroadcastHashJoin "
+        "(map-side drop of over-budget buckets), then the doc window "
+        "partitioned by (lang, bucket) — never a whole-language sort."
+    ),
+    "q_image_dims": (
+        "Codec-free image dims (r9): pure projection — substring/hex/"
+        "conv byte math inside WholeStageCodegen, zero exchanges before "
+        "the final order, no Python eval."
+    ),
 }
 
 

@@ -430,6 +430,35 @@ def test_image_dims_parses_golden_container_bytes(spark):
     assert "EvalPython" not in plan
 
 
+def test_audio_meta_parses_golden_wav_header(spark):
+    """The RIFF parser must recover channels/rate/bits/duration from a
+    REAL canonical WAV header (CD-quality stereo: 44100 Hz, 2ch,
+    16-bit, 1 second of data = 176400 bytes), not just invert the
+    planted generator; junk bytes read unknown/null."""
+    import struct
+
+    from timer_pulsar_spark.operators.multimodal import audio_meta
+
+    data_bytes = 176400
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100,
+                                176400, 4, 16)
+        + b"data" + struct.pack("<I", data_bytes)
+    )
+    frame = spark.createDataFrame(
+        [(1, bytearray(hdr)), (2, bytearray(b"definitely not riff"))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r for r in audio_meta(frame).collect()}
+    assert got[1].codec == "wav"
+    assert got[1].channels == 2
+    assert got[1].sample_rate == 44100
+    assert got[1].bits_per_sample == 16
+    assert got[1].duration_ms == 1000
+    assert got[2].codec == "unknown" and got[2].sample_rate is None
+
+
 def test_stream_dedup_exact_equals_batch_twin(spark):
     """End-to-end on the real replay: the partition-scoped streaming
     fold must still equal the one-shot batch dedup (same oracle as

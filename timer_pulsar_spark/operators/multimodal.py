@@ -29,7 +29,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -360,7 +360,107 @@ def q_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_dims(planted_images(spark, sf_dir)).orderBy("doc_id")
 
 
+def audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Codec-free WAV metadata extraction: channels, sample rate, bits
+    per sample, and duration parsed straight from the RIFF/fmt header
+    bytes (WAVE spec: canonical 44-byte header — 'RIFF' at 1, 'WAVE'
+    at 9, fmt chunk fields at fixed offsets; the data-chunk size at
+    41). WAV fields are LITTLE-endian, so each one is summed from its
+    bytes with positional powers of 256 — still pure JVM byte math,
+    no Python, no codec libs. duration_ms is exact integer math:
+    data_bytes * 1000 / byte_rate."""
+    p = F.col(payload_col)
+
+    def u8(pos: int) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, 1)), 16, 10).cast("long")
+
+    def le(pos: int, nbytes: int) -> Column:
+        total = F.lit(0).cast("long")
+        for k in range(nbytes):
+            total = total + u8(pos + k) * F.lit(256**k).cast("long")
+        return total
+
+    is_wav = (F.hex(F.substring(p, 1, 4)) == "52494646") & (
+        F.hex(F.substring(p, 9, 4)) == "57415645"
+    )
+    byte_rate = le(29, 4)
+    data_bytes = le(41, 4)
+    return df.select(
+        "doc_id",
+        F.when(is_wav, "wav").otherwise("unknown").alias("codec"),
+        F.when(is_wav, le(23, 2)).alias("channels"),
+        F.when(is_wav, le(25, 4)).alias("sample_rate"),
+        F.when(is_wav, le(35, 2)).alias("bits_per_sample"),
+        F.when(is_wav, F.floor(data_bytes * 1000 / byte_rate))
+        .cast("long")
+        .alias("duration_ms"),
+    )
+
+
+def planted_wavs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic canonical 44-byte WAV headers per document:
+    channels/sample-rate/bits derive from doc_id (which is what lets
+    DuckDB oracle the parser arithmetically), data size from a second
+    doc_id formula. Only the header is planted — the parser never
+    reads sample data."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    channels = (F.col("doc_id") % 2 + 1).cast("long")          # 1..2
+    rate = (F.lit(8000) + (F.col("doc_id") % 5) * 8000).cast("long")
+    bits = F.lit(16).cast("long")
+    block_align = (channels * bits / 8).cast("long")
+    byte_rate = (rate * block_align).cast("long")
+    data_bytes = ((F.col("doc_id") % 977 + 1) * 64).cast("long")
+
+    def le_hex(col: Column, nbytes: int) -> Column:
+        """Little-endian hex string of a long: byte-reverse the
+        zero-padded big-endian hex."""
+        be = F.lpad(F.hex(col), nbytes * 2, "0")
+        parts = [
+            F.substring(be, (nbytes - 1 - k) * 2 + 1, 2)
+            for k in range(nbytes)
+        ]
+        return F.concat(*parts)
+
+    wav_hex = F.concat(
+        F.lit("52494646"),                  # 'RIFF'
+        le_hex(data_bytes + 36, 4),         # riff chunk size
+        F.lit("57415645"),                  # 'WAVE'
+        F.lit("666D7420"),                  # 'fmt '
+        F.lit("10000000"),                  # fmt size 16 (LE)
+        F.lit("0100"),                      # PCM
+        le_hex(channels, 2),
+        le_hex(rate, 4),
+        le_hex(byte_rate, 4),
+        le_hex(block_align, 2),
+        le_hex(bits, 2),
+        F.lit("64617461"),                  # 'data'
+        le_hex(data_bytes, 4),
+    )
+    return d.select("doc_id", F.unhex(wav_hex).alias("payload"))
+
+
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked codec-free audio metadata: plant canonical WAV
+    headers, parse channels/rate/bits/duration back OUT OF THE BYTES
+    (little-endian byte math), oracle recomputes the planted values
+    from doc_id arithmetic — Spark only matches if the RIFF parser
+    really recovered them. Completes the multimodal metadata family
+    next to q_image_dims (PNG/JPEG)."""
+    return audio_meta(planted_wavs(spark, sf_dir)).orderBy("doc_id")
+
+
 ORACLES: dict[str, str] = {
+    "q_audio_meta": """
+        SELECT doc_id,
+               'wav' AS codec,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+               CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sample_rate,
+               CAST(16 AS BIGINT) AS bits_per_sample,
+               CAST(((doc_id % 977 + 1) * 64) * 1000
+                    // ((8000 + (doc_id % 5) * 8000) * (doc_id % 2 + 1) * 2)
+                    AS BIGINT) AS duration_ms
+        FROM documents ORDER BY doc_id
+    """,
     "q_image_dims": """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS codec,

@@ -32,11 +32,10 @@ PRIORITY: list[str] = [
     "q_groupby_minute", "q_window_bucket", "q_dedup_merge",
     # metrics sink (S13) + raw SQL (S4) + timer domain (T1-T4)
     "q_metrics_summary", "q_sql", "q_fanout",
-    # LLM-pipeline family representatives (one per family, oracle-backed)
-    "q_dedup_exact", "q_dedup_near", "q_centroid_assign",
-    "q_textstats",
-    "q_sample_hash",
-    "q_multimodal_meta",
+    # LLM-pipeline family representatives (one per family, oracle-
+    # backed; the r9 rotation moved several family slots to this
+    # round's newer, stronger reps — see the r9 comment below)
+    "q_dedup_near",
     # r4 rotation (VERDICT r03 item 8): first driver rows for families
     # that sat past the budget — each replaced slot was double-covered
     # (q_json keeps P9, q_distinct keeps A3, q_groupby_minute keeps T5,
@@ -51,58 +50,50 @@ PRIORITY: list[str] = [
     # q_session_window, q_dup_clusters via q_pagerank.
     "q_dedup_near_auto_check",
     "q_stream_ttl_evict",
-    # r7 rotation (VERDICT r06 item 5): first driver rows for the six
-    # never-windowed candidates the verdict named. Slots freed by
-    # demoting r5 rows that went green in r06 and stay double-covered
-    # (see SECONDARY head): q_bigram_lm keeps its family via
-    # q_textstats + q_bpe_check, q_scd2_lookup via q_stream_scd2,
-    # q_binaryfile_ingest via q_multimodal_meta, q_stream_join_outer
-    # via q_stream_join, q_semdedup via q_semdedup_scaled_check +
-    # q_centroid_assign, q_quality via q_textstats. The two queries
-    # MODIFIED this round (q_dedup_near_auto_check schema + the TTL
-    # fold behind q_stream_ttl_evict) stay in the window so the
-    # driver re-verifies them.
-    "q_quality_clf_check", "q_kcenter_check",
+    # (r7 rotation rationale in git history; superseded below)
     "q_dedup_incremental",
-    # r8 rotation (VERDICT r07 item 5): first driver rows for the
-    # eight never-windowed r7-tail queries the verdict named —
-    # q_dup_profile, q_pack_bfd_check, q_bpe_encode_check,
-    # q_stream_source_overlap, q_stream_dsir, q_winnow_pairs,
-    # q_ivfpq_check, q_embed_classifier_check — plus the four checks
-    # BUILT this round (ingest-gate switch, the two sampled-trainer
-    # contracts, sampled k-center). Slots freed by demoting rows
-    # hash-green in r07 whose family keeps an in-window rep (see
-    # SECONDARY head): q_pretrain_mix & q_split_leakproof (sampling
-    # keeps q_sample_hash), q_interval_join_bucketed (join family
-    # keeps q_join/q_anti/q_topk_per_group), q_pq_check (ANN keeps
-    # q_ann_topk + gains q_ivfpq_check), q_stream_cdf_consume
-    # (stateful keeps q_stream_ttl_evict + gains q_stream_source_
-    # overlap/q_stream_dsir), q_xml_roundtrip (format roundtrips at
-    # the SECONDARY head; q_json/q_string keep P9/§2.8), q_gapfill_
-    # interp (window family keeps q_window_bucket), q_span_scrub
-    # (dedup keeps exact/near/incremental + gains q_dup_profile/
-    # q_winnow_pairs), q_runtime_filter (plan-gated in pytest),
-    # q_pca_check & q_embed_prune (embedding family keeps
-    # q_centroid_assign + gains q_embed_classifier_check +
-    # q_kcenter_sampled_check), q_source_overlap (its family's
-    # stream twin q_stream_source_overlap shares the oracle and is
-    # promoted). Queries MODIFIED this round stay in-window per
-    # policy: q_dedup_near, q_dedup_near_auto_check,
-    # q_stream_ttl_evict, q_dedup_incremental, q_quality_clf_check,
-    # q_kcenter_check.
-    "q_dup_profile", "q_pack_bfd_check", "q_bpe_encode_check",
-    "q_stream_source_overlap", "q_stream_dsir", "q_winnow_pairs",
-    "q_ivfpq_check", "q_embed_classifier_check",
+    "q_dup_profile", "q_bpe_encode_check",
+    "q_stream_source_overlap", "q_winnow_pairs",
     "q_dedup_incremental_check", "q_quality_clf_sampled_check",
     "q_embed_classifier_sampled_check", "q_kcenter_sampled_check",
-    # r8 new operators — in-window the round they ship. Slots freed by
-    # demoting three more r07-green rows with in-window family reps:
-    # q_zipf_fit (textstats keeps q_textstats + q_bpe_encode_check),
-    # q_dsir_weights (q_stream_dsir shares the batch DSIR oracle and
-    # model computation verbatim), q_ann_topk (ANN keeps q_ivfpq_check,
-    # whose coarse quantizer also exercises centroid assignment, plus
-    # q_centroid_assign stays in-window).
-    "q_pack_concat", "q_rollup_cube", "q_stream_dedup_incremental",
+    "q_rollup_cube", "q_stream_dedup_incremental",
+    # r9 rotation (VERDICT r08 item 3): first driver rows for the seven
+    # never-windowed r8-tail queries the verdict named —
+    # q_stream_dedup_exact, q_stream_heavy_hitters, q_dedup_exact_norm,
+    # q_redact_pii, q_curriculum, q_token_budget_sample,
+    # q_length_buckets — plus the five r9 newcomers (three sharded
+    # sampling forms, codec-free image dims, streamed IVF-PQ check).
+    # Queries MODIFIED this round stay in-window per policy: the two
+    # partition-scoped folds (q_stream_dedup_exact/q_stream_heavy_
+    # hitters, rotating in), the KMV atomic publish
+    # (q_stream_source_overlap), the banded-soundness cap
+    # (q_dedup_incremental_check), the postings persist (q_dedup_near,
+    # q_winnow_pairs, q_dup_profile, q_dedup_incremental), and the
+    # guarded sampled k-center (q_kcenter_sampled_check). Slots freed
+    # by demoting rows hash-green in r08 whose family keeps an
+    # in-window rep (see SECONDARY head): q_dedup_exact (its oracle is
+    # shared VERBATIM by the rotating-in q_stream_dedup_exact, so the
+    # driver still verifies the exact-dedup law), q_centroid_assign +
+    # q_ivfpq_check (embedding/ANN keep q_stream_ivfpq_append_check —
+    # the same coarse quantizer + probe/ADC/re-rank plan + appends —
+    # plus the two sampled checks), q_textstats (textops keep
+    # q_redact_pii + q_bpe_encode_check + q_quality_clf_sampled_check),
+    # q_sample_hash (sampling gains four in-window reps this round),
+    # q_multimodal_meta (q_image_dims is the strictly stronger
+    # multimodal metadata rep — real byte parsing, same family),
+    # q_pack_bfd_check + q_pack_concat (packing keeps the rotating-in
+    # q_pack_concat_sharded, same chunk law sub-keyed), q_stream_dsir
+    # (stream family keeps source_overlap + dedup_incremental + the
+    # three rotating-in twins), q_embed_classifier_check +
+    # q_quality_clf_check (their SAMPLED production twins stay),
+    # q_kcenter_check (the sampled check stays and was re-verified
+    # after this round's guards).
+    "q_stream_dedup_exact", "q_stream_heavy_hitters",
+    "q_dedup_exact_norm", "q_redact_pii", "q_curriculum",
+    "q_token_budget_sample", "q_length_buckets",
+    "q_pack_concat_sharded", "q_curriculum_sharded",
+    "q_token_budget_sample_2pass", "q_image_dims",
+    "q_stream_ivfpq_append_check",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -111,20 +102,18 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
-    # r8 late newcomers (same placement the r7 newcomers had: SECONDARY
-    # head, rotated into the window next round), plus the two streaming
-    # folds MODIFIED late in r8 (redelivery-safe versioned state): the
-    # window was already full of never-verified + new-this-round rows,
-    # so instead of evicting those they sit first in line here — their
-    # oracles are shared verbatim with in-window twins (q_dedup_exact;
-    # the versioned-state discipline itself is in-window via
-    # q_stream_source_overlap), both re-verified at sf0.01 after the
-    # change, and the full-registry sweeps were regenerated at HEAD.
-    "q_stream_dedup_exact", "q_stream_heavy_hitters",
-    "q_dedup_exact_norm", "q_redact_pii", "q_curriculum",
-    "q_token_budget_sample", "q_length_buckets",
-    # r8 demotions — hash-green in r07, family coverage argued at the
-    # PRIORITY r8-rotation comment; first to re-enter on budget+1
+    # r9 late newcomer (the established pattern: SECONDARY head, rotate
+    # into the window next round) — codec-free WAV metadata; its family
+    # rep q_image_dims is in-window this round
+    "q_audio_meta",
+    # r9 demotions — hash-green in r08, family coverage argued at the
+    # PRIORITY r9-rotation comment; first to re-enter on budget+1
+    "q_dedup_exact", "q_centroid_assign", "q_ivfpq_check",
+    "q_textstats", "q_sample_hash", "q_multimodal_meta",
+    "q_pack_bfd_check", "q_pack_concat", "q_stream_dsir",
+    "q_embed_classifier_check", "q_quality_clf_check", "q_kcenter_check",
+    # r8 demotions — hash-green in r07, family coverage argued in git
+    # history; first to re-enter after the r9 demotions
     "q_pretrain_mix", "q_interval_join_bucketed", "q_pq_check",
     "q_stream_cdf_consume", "q_xml_roundtrip", "q_gapfill_interp",
     "q_span_scrub", "q_runtime_filter", "q_pca_check",
@@ -157,8 +146,6 @@ SECONDARY: list[str] = [
     "q_stream_quality", "q_ann_matmul", "q_stream_session_window",
     "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance", "q_stream_dedup_near",
     "q_pmi_collocations",
-    # round-7 newcomers
-    "q_winnow_pairs", "q_ivfpq_check", "q_embed_classifier_check",
 ]
 
 
