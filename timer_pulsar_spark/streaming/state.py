@@ -78,34 +78,42 @@ def _pin_n_parts(root: str, n_parts: int) -> int:
     return n_parts
 
 
-def partition_versions(root: str) -> dict[int, list[int]]:
-    """All published versions per partition: {part: sorted [batch_id]}."""
+def partition_versions(
+    root: str, parts: set[int] | None = None
+) -> dict[int, list[int]]:
+    """All published versions per partition: {part: sorted [batch_id]}.
+    With ``parts``, lists ONLY those partition dirs — the per-fold fast
+    path (a fold needs its touched partitions, never a full O(n_parts)
+    directory walk per micro-batch)."""
     out: dict[int, list[int]] = {}
     if not os.path.isdir(root):
         return out
-    for entry in os.listdir(root):
-        pm = _PRE.match(entry)
-        if not pm:
-            continue
+    if parts is not None:
+        entries = [f"p_{p}" for p in parts]
+    else:
+        entries = [e for e in os.listdir(root) if _PRE.match(e)]
+    for entry in entries:
         pdir = os.path.join(root, entry)
+        if not os.path.isdir(pdir):
+            continue
         vs = sorted(
             int(vm.group(1))
             for v in os.listdir(pdir)
             if (vm := _VRE.match(v))
         )
         if vs:
-            out[int(pm.group(1))] = vs
+            out[int(_PRE.match(entry).group(1))] = vs
     return out
 
 
 def latest_partition_versions(
-    root: str, before: int | None = None
+    root: str, before: int | None = None, parts: set[int] | None = None
 ) -> dict[int, int]:
     """Newest published version per partition; with ``before``, only
     versions strictly below it — the per-partition predecessor a
     (re)delivered batch must fold onto."""
     out: dict[int, int] = {}
-    for p, vs in partition_versions(root).items():
+    for p, vs in partition_versions(root, parts).items():
         eligible = [v for v in vs if before is None or v < before]
         if eligible:
             out[p] = max(eligible)
@@ -123,32 +131,41 @@ def read_state(
     parts: set[int] | None = None,
 ) -> DataFrame | None:
     """Union of the newest leaf per partition (optionally restricted to
-    ``parts`` / versions strictly below ``before``); None if no state."""
-    latest = latest_partition_versions(root, before)
-    paths = [
-        _leaf(root, p, v)
-        for p, v in sorted(latest.items())
-        if parts is None or p in parts
-    ]
+    ``parts`` / versions strictly below ``before``); None if no state.
+    With ``parts`` only those partition dirs are listed at all."""
+    latest = latest_partition_versions(root, before, parts)
+    paths = [_leaf(root, p, v) for p, v in sorted(latest.items())]
     return spark.read.parquet(*paths) if paths else None
 
 
-def vacuum_state(root: str, current_batch_id: int) -> int:
+def vacuum_state(
+    root: str, current_batch_id: int, parts: set[int] | None = None
+) -> int:
     """Delete state versions no future fold or retry can need: per
     partition keep the current batch's leaf plus the single newest
     version strictly below it (the crash-window retry of the CURRENT
     batch reads that predecessor; batches below it are checkpoint-
     committed, so their versions are dead). Also clears stage dirs left
-    by crashed attempts of older batches. Returns #dirs removed."""
+    by crashed attempts of older batches. Returns #dirs removed.
+
+    With ``parts``, vacuums only those partitions — the per-fold fast
+    path. Scoping to the touched set preserves the <=2-versions bound
+    globally: versions are only CREATED by a touch, and every touch
+    vacuums its own partition, so an untouched partition stays frozen
+    at whatever (already-bounded) version set its last touch left."""
     removed = 0
-    for p, vs in partition_versions(root).items():
+    for p, vs in partition_versions(root, parts).items():
         preds = [v for v in vs if v < current_batch_id]
         keep = set(preds[-1:]) | {current_batch_id}
         for v in vs:
             if v not in keep:
                 shutil.rmtree(_leaf(root, p, v), ignore_errors=True)
                 removed += 1
-    if os.path.isdir(root):
+    # stale stage dirs (a crashed attempt's leftovers) need a root
+    # listing — skip it on the scoped per-fold path (each fold removes
+    # its own stage on success; at most one stray survives a crash and
+    # any full vacuum or the replay-root pruning reclaims it)
+    if parts is None and os.path.isdir(root):
         for entry in os.listdir(root):
             m = re.match(r"stage_(\d+)_", entry)
             if m and int(m.group(1)) < current_batch_id:
@@ -188,9 +205,7 @@ def partitioned_fold(
     if not touched:
         return touched
 
-    prev = read_state(
-        spark, root, before=batch_id, parts=touched
-    )
+    prev = read_state(spark, root, before=batch_id, parts=touched)
     merged = agg.drop("fold_p")
     if prev is not None:
         merged = remerge(prev.unionByName(merged))
@@ -213,7 +228,7 @@ def partitioned_fold(
         os.rename(src, dst)
     shutil.rmtree(stage, ignore_errors=True)
     if vacuum:
-        vacuum_state(root, batch_id)
+        vacuum_state(root, batch_id, parts=touched)
     return touched
 
 
