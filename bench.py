@@ -55,6 +55,11 @@ HEADLINERS = [
     "q_pretrain_mix",
     "q_rollup_cube",
     "q_fanout",
+    # r9 newcomers: shard-local packing, two-pass token budget,
+    # codec-free container metadata
+    "q_pack_concat_sharded",
+    "q_token_budget_sample_2pass",
+    "q_image_dims",
 ]
 
 

@@ -217,10 +217,18 @@ def partitioned_fold(
         src = os.path.join(stage, f"fold_p={p}")
         dst = _leaf(root, p, batch_id)
         if not os.path.isdir(src):
-            # a touched partition can vanish from the merge only if the
-            # remerge law dropped every row — legal (e.g. a decrement
-            # fold); publish an empty leaf is impossible, so skip
-            continue
+            # a touched partition produced no merged rows. For the
+            # merge laws this module serves (grow-only min/sum/union
+            # folds) that cannot happen — prev ∪ batch is non-empty for
+            # a touched partition. A law that can DELETE every row of a
+            # partition (retention/decrement) must not skip here: the
+            # stale old version would stay latest and resurrect the
+            # deleted keys — such a law needs an explicit empty/
+            # tombstone leaf, which partitionBy cannot emit. Guard it.
+            raise ValueError(
+                f"fold produced no rows for touched partition {p}; "
+                "partitioned_fold only supports grow-only merge laws"
+            )
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         # only a retry of THIS batch can own dst; checkpoint serializes
         # retries, so rmtree+rename races nothing
