@@ -287,11 +287,14 @@ def vacuum_versioned(work: str, current_batch_id: int) -> int:
 _REPLAY_ROOT = None
 
 
-def replay_workdir(prefix: str, keep: int = 12) -> str:
+def replay_workdir(prefix: str, keep: int = 48) -> str:
     """Scratch dir for a streaming-twin replay, under one shared root
     that self-prunes (VERDICT r08 #8): each call deletes the oldest
     dirs beyond ``keep``, so repeated bench/test/sweep sessions cannot
-    fill the sandbox disk with dead checkpoints and state replicas."""
+    fill the sandbox disk with dead checkpoints and state replicas.
+    ``keep`` leaves enough headroom that a second process's IN-FLIGHT
+    replay dirs (a concurrent sweep or test session) are never pruned
+    out from under it — only dirs dozens of replays old are dead."""
     import tempfile
 
     global _REPLAY_ROOT
