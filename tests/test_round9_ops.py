@@ -459,6 +459,28 @@ def test_audio_meta_parses_golden_wav_header(spark):
     assert got[2].codec == "unknown" and got[2].sample_rate is None
 
 
+def test_vocab_coverage_monotone_and_bounded(spark):
+    """Coverage is a CDF over the rank-frequency curve: it must be
+    monotone nondecreasing in K, within (0, 1], n_terms == min(K,
+    vocab), and coverage@K == 1 exactly when K >= vocab."""
+    from timer_pulsar_spark.operators.textops import (
+        VOCAB_COVERAGE_GRID,
+        q_vocab_coverage,
+    )
+
+    from .conftest import SF_DIR
+
+    rows = q_vocab_coverage(spark, SF_DIR).collect()
+    assert [r.k for r in rows] == sorted(VOCAB_COVERAGE_GRID)
+    covs = [r.coverage for r in rows]
+    assert all(0 < c <= 1 for c in covs)
+    assert covs == sorted(covs)
+    for r in rows:
+        assert r.n_terms == min(r.k, r.vocab_size)
+        assert (r.coverage == 1.0) == (r.k >= r.vocab_size)
+        assert abs(r.coverage + r.oov_rate - 1.0) < 2e-6
+
+
 def test_stream_dedup_exact_equals_batch_twin(spark):
     """End-to-end on the real replay: the partition-scoped streaming
     fold must still equal the one-shot batch dedup (same oracle as

@@ -2036,6 +2036,97 @@ ORACLES["q_zipf_fit"] = f"""
 """
 
 
+VOCAB_COVERAGE_GRID = [100, 1_000, 10_000]
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[tokenizer sizing card] cumulative token-mass coverage of the
+    top-K vocabulary at each K of a sizing grid — the curve a
+    tokenizer/vocab decision actually reads: coverage@K = occurrences
+    of the K most frequent terms / all occurrences, oov_rate@K its
+    complement. A corpus whose coverage@10k is low needs a bigger
+    vocab (or byte-fallback); one where coverage@100 is already high
+    is boilerplate-heavy (cross-check q_zipf_fit).
+
+    Scale shape: ONE vocabulary hash aggregate (map-side combined) +
+    one scalar total, then a TakeOrdered top-maxK — never a full-vocab
+    global sort or window; the grid join and cumulative masses run on
+    the maxK-row frame with the grid broadcast. Exchange volume past
+    the frequency agg is O(maxK)."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = freq.agg(
+        F.sum("cnt").alias("total_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )
+    top = freq.orderBy(F.col("cnt").desc(), "term").limit(
+        max(VOCAB_COVERAGE_GRID)
+    )
+    from pyspark.sql.window import Window
+
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), "term")),
+    )
+    grid = spark.createDataFrame(
+        [(k,) for k in VOCAB_COVERAGE_GRID], "k int"
+    )
+    return (
+        ranked.join(F.broadcast(grid), F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("cnt").alias("top_mass"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "k",
+            "n_terms",
+            F.round(F.col("top_mass") / F.col("total_tokens"), 6).alias(
+                "coverage"
+            ),
+            F.round(
+                F.lit(1.0) - F.col("top_mass") / F.col("total_tokens"), 6
+            ).alias("oov_rate"),
+            "vocab_size",
+            "total_tokens",
+        )
+        .orderBy("k")
+    )
+
+
+ORACLES["q_vocab_coverage"] = f"""
+    WITH freq AS (
+        SELECT term, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term
+    ),
+    tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens,
+               count(*) AS vocab_size
+        FROM freq
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+        FROM freq
+    ),
+    grid AS (SELECT CAST(unnest({VOCAB_COVERAGE_GRID}) AS INT) AS k)
+    SELECT g.k, count(*) AS n_terms,
+           round(sum(cnt) * 1.0 / any_value(t.total_tokens), 6)
+               AS coverage,
+           round(1.0 - sum(cnt) * 1.0 / any_value(t.total_tokens), 6)
+               AS oov_rate,
+           any_value(t.vocab_size) AS vocab_size,
+           any_value(t.total_tokens) AS total_tokens
+    FROM grid g JOIN ranked r ON r.rank <= g.k CROSS JOIN tot t
+    GROUP BY g.k ORDER BY g.k
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -102,10 +102,12 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
-    # r9 late newcomer (the established pattern: SECONDARY head, rotate
-    # into the window next round) — codec-free WAV metadata; its family
-    # rep q_image_dims is in-window this round
-    "q_audio_meta",
+    # r9 late newcomers (the established pattern: SECONDARY head,
+    # rotate into the window next round) — codec-free WAV metadata
+    # (family rep q_image_dims is in-window this round) and the
+    # tokenizer-sizing vocab-coverage card (textops family has three
+    # in-window reps)
+    "q_audio_meta", "q_vocab_coverage",
     # r9 demotions — hash-green in r08, family coverage argued at the
     # PRIORITY r9-rotation comment; first to re-enter on budget+1
     "q_dedup_exact", "q_centroid_assign", "q_ivfpq_check",
