@@ -686,6 +686,143 @@ def bench_stream_fold_state(spark, n_parts: int = 64,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_fold_state_delta(spark, n_parts: int = 16,
+                           n_batches: int = 8) -> dict:
+    """Write-amplification audit of the DELTA fold mode + the reshard
+    path (VERDICT r09 #1): rewrite mode rewrites every touched leaf in
+    full, so a 24-key batch against large leaves costs O(touched-leaf
+    bytes) per tick; delta mode appends O(batch) delta leaves and
+    compacts periodically, so steady-state write bytes must track the
+    BATCH, not the leaves. Mid-run the state is resharded to 4x the
+    partitions (the stream outgrew its initial sizing — the case the
+    r9 pin made impossible to fix) and folding continues across the
+    epoch boundary; the final counts must equal the one-shot aggregate.
+
+    Shape: a 50k-key seeded sum state over n_parts leaves (a few MB per
+    leaf — small by 128 MiB standards, which UNDERSTATES delta's
+    advantage), then small 24-key batches folded in both modes side by
+    side. Reported: per-batch written bytes for each mode, their ratio,
+    and the post-reshard equality check."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.streaming.state import (
+        partitioned_fold,
+        read_state,
+        reshard_state,
+    )
+
+    remerge = lambda df: df.groupBy("k").agg(F.sum("cnt").alias("cnt"))  # noqa: E731
+
+    def batch_agg(b: int):
+        # 24 distinct keys per batch: half hit seeded keys, half new
+        return (
+            spark.range(48)
+            .select(
+                F.concat(
+                    F.lit("k"),
+                    F.when(F.col("id") % 2 == 0, F.col("id") % 12)
+                    .otherwise(F.lit(50_000) + b * 100 + F.col("id") % 12),
+                ).alias("k")
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def written_bytes(root: str, before: dict) -> tuple[int, dict]:
+        after: dict[str, int] = {}
+        for dirpath, _d, files in os.walk(root):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    fp = os.path.join(dirpath, fn)
+                    after[os.path.relpath(fp, root)] = os.path.getsize(fp)
+        new = sum(sz for p, sz in after.items() if p not in before)
+        return new, after
+
+    work = tempfile.mkdtemp(prefix="bench_fold_delta_")
+    try:
+        seed = (
+            spark.range(50_000)
+            .select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        roots = {m: os.path.join(work, m) for m in ("rewrite", "delta")}
+        for m, root in roots.items():
+            partitioned_fold(
+                spark, root, seed, "k", remerge, 0,
+                n_parts=n_parts, mode=m,
+            )
+        per_mode: dict[str, list[int]] = {"rewrite": [], "delta": []}
+        walls: dict[str, list[float]] = {"rewrite": [], "delta": []}
+        snap = {m: written_bytes(r, {})[1] for m, r in roots.items()}
+        for b in range(1, n_batches + 1):
+            agg = batch_agg(b).localCheckpoint(eager=True)
+            for m, root in roots.items():
+                t0 = time.perf_counter()
+                partitioned_fold(
+                    spark, root, agg, "k", remerge, b,
+                    n_parts=n_parts, mode=m, compact_every=4,
+                )
+                walls[m].append(round(time.perf_counter() - t0, 3))
+                new, snap[m] = written_bytes(root, snap[m])
+                per_mode[m].append(new)
+
+        # the stream outgrew its sizing: reshard delta state to 4x and
+        # keep folding across the epoch boundary
+        reshard_state(spark, roots["delta"], "k", n_parts * 4, remerge=remerge)
+        post_reshard: list[int] = []
+        snap_d = written_bytes(roots["delta"], {})[1]
+        for b in range(n_batches + 1, n_batches + 4):
+            agg = batch_agg(b).localCheckpoint(eager=True)
+            partitioned_fold(
+                spark, roots["delta"], agg, "k", remerge, b,
+                n_parts=n_parts * 4, mode="delta", compact_every=4,
+            )
+            new, snap_d = written_bytes(roots["delta"], snap_d)
+            post_reshard.append(new)
+            partitioned_fold(
+                spark, roots["rewrite"], agg, "k", remerge, b,
+                n_parts=n_parts, mode="rewrite",
+            )
+
+        got_d = {
+            r.k: r.cnt
+            for r in read_state(
+                spark, roots["delta"], remerge=remerge
+            ).collect()
+        }
+        got_r = {
+            r.k: r.cnt
+            for r in read_state(spark, roots["rewrite"]).collect()
+        }
+        # exclude compaction ticks for the steady-state delta number
+        # (compaction amortizes; the median batch is pure append)
+        steady = sorted(per_mode["delta"])[: max(1, n_batches // 2)]
+        steady_delta = sum(steady) / len(steady)
+        mean_rewrite = sum(per_mode["rewrite"]) / n_batches
+        amp = round(mean_rewrite / max(1.0, steady_delta), 1)
+        return {
+            "n_parts": n_parts,
+            "rewrite_bytes_per_batch": per_mode["rewrite"],
+            "delta_bytes_per_batch": per_mode["delta"],
+            "delta_bytes_post_reshard": post_reshard,
+            "rewrite_walls_sec": walls["rewrite"],
+            "delta_walls_sec": walls["delta"],
+            "steady_delta_bytes": int(steady_delta),
+            "mean_rewrite_bytes": int(mean_rewrite),
+            "write_amp_ratio": amp,
+            "reshard_equal_ok": bool(got_d == got_r),
+            # steady-state delta appends must be far below rewrite's
+            # touched-leaf rewrites even on these modest leaves
+            "delta_tracks_batch_ok": bool(amp >= 4.0),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_qualclf(spark, sf_dir: str) -> dict:
     """Quality-discriminator training throughput: 12 full-batch GD
     iterations, each ONE driver round trip collecting DIM+1 rows —
@@ -777,14 +914,35 @@ def main() -> None:
             reps += 1
         timings[name] = round(best, 3)
         reps_used[name] = reps
+        # reclaim postings caches AFTER all reps (ADVICE r09): within a
+        # query the persisted frame is part of the measured plan, but
+        # blocks must not accumulate across the 34-query loop
+        from timer_pulsar_spark.operators.dedup import release_persisted
+
+        release_persisted()
         print(
             f"# {name}: {timings[name]:.3f}s (min of {reps})",
             file=sys.stderr,
         )
 
-    def side(name: str, fn, *args, **kwargs) -> dict:
+    def _wall_of(out: dict) -> float:
+        # each section reports either one wall or a per-batch list
+        w = out.get("wall_sec")
+        if w is not None:
+            return float(w)
+        ws = out.get("batch_walls_sec") or out.get("delta_walls_sec") or []
+        return float(sum(ws))
+
+    def side(name: str, fn, *args, reps: int = 1, **kwargs) -> dict:
+        """Run a side section; with reps=2 (VERDICT r09 #3: min-of-2 for
+        the trainer/BPE/ingest/fold sections) keep the rep with the
+        lower wall so ambient-load noise stops reading as
+        round-over-round regressions, and report both walls."""
         try:
-            out = fn(*args, **kwargs)
+            outs = [fn(*args, **kwargs) for _ in range(reps)]
+            out = min(outs, key=_wall_of)
+            if reps > 1:
+                out = {**out, "walls_sec_reps": [round(_wall_of(o), 3) for o in outs]}
             print(f"# {name}: {out}", file=sys.stderr)
             return out
         except Exception as exc:  # noqa: BLE001
@@ -801,11 +959,12 @@ def main() -> None:
     )
     merge_io = side("merge_io", bench_merge_io, spark)
     delay = side("delay_slo", bench_delay_slo, spark)
-    bpe = side("bpe_64", bench_bpe, spark, sf_dir, 64)
-    bpe_sat = side("bpe_saturation", bench_bpe, spark, sf_dir, 256)
-    qualclf = side("qualclf_train", bench_qualclf, spark, sf_dir)
-    ingest = side("ingest_gate", bench_ingest_gate, spark, sf_dir)
-    fold_state = side("stream_fold_state", bench_stream_fold_state, spark)
+    bpe = side("bpe_64", bench_bpe, spark, sf_dir, 64, reps=2)
+    bpe_sat = side("bpe_saturation", bench_bpe, spark, sf_dir, 256, reps=2)
+    qualclf = side("qualclf_train", bench_qualclf, spark, sf_dir, reps=2)
+    ingest = side("ingest_gate", bench_ingest_gate, spark, sf_dir, reps=2)
+    fold_state = side("stream_fold_state", bench_stream_fold_state, spark, reps=2)
+    fold_delta = side("fold_state_delta", bench_fold_state_delta, spark)
 
     total = round(sum(timings.values()), 3)
     # explicit self-grading vs BASELINE.md's derived targets:
@@ -844,6 +1003,14 @@ def main() -> None:
         "fold_state_versions_ok": bool(
             fold_state.get("versions_bounded_ok", False)
         ),
+        # delta-mode fold: steady-state write bytes track the batch,
+        # and state survives a mid-stream reshard (VERDICT r09 item 1)
+        "fold_delta_tracks_batch_ok": bool(
+            fold_delta.get("delta_tracks_batch_ok", False)
+        ),
+        "fold_delta_reshard_ok": bool(
+            fold_delta.get("reshard_equal_ok", False)
+        ),
         "all_queries_ok": not errors,
     }
     line = {
@@ -863,6 +1030,7 @@ def main() -> None:
         "qualclf_train": qualclf,
         "ingest_gate": ingest,
         "stream_fold_state": fold_state,
+        "fold_state_delta": fold_delta,
         "targets": targets,
         "sf": sf_from_dir(sf_dir),
     }

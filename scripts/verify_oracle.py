@@ -97,6 +97,12 @@ def main():
             fails.append(name)
             results[name] = {"err": str(ex)[:400]}
             print(f"ERR  {name}: {str(ex)[:300]}")
+        finally:
+            # reclaim postings caches the query registered (ADVICE r09):
+            # a 225-query sweep session must not accumulate cached blocks
+            from timer_pulsar_spark.operators.dedup import release_persisted
+
+            release_persisted()
 
     n = len(results)
     print(f"\n{n - len(fails)}/{n} pass; failures: {fails}")

@@ -160,16 +160,20 @@ def test_count_folds_survive_crash_window_redelivery(spark, tmp_path):
     # the retry's predecessor resolution excludes the batch's own leaves
     assert set(latest_partition_versions(w1, before=1).values()) == {0}
 
-    # --- heavy-hitters fold
+    # --- heavy-hitters fold (delta mode since r10: reads remerge)
+    from timer_pulsar_spark.operators.textops import hh_remerge
+
     w2 = str(tmp_path / "hh")
     hh_fold_batch(spark, w2, b0, 0)
     hh_fold_batch(spark, w2, b1, 1)
     committed_hh = {
-        r.term: r.cnt for r in read_state(spark, w2).collect()
+        r.term: r.cnt
+        for r in read_state(spark, w2, remerge=hh_remerge).collect()
     }
     hh_fold_batch(spark, w2, b1, 1)
     retried_hh = {
-        r.term: r.cnt for r in read_state(spark, w2).collect()
+        r.term: r.cnt
+        for r in read_state(spark, w2, remerge=hh_remerge).collect()
     }
     assert retried_hh == committed_hh
     assert retried_hh["shared"] == 40  # every doc once, not batch-doubled

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import os
+import time
 
 import pyspark.sql.functions as F
 import pytest
@@ -178,16 +179,47 @@ def test_write_state_atomic_never_exposes_partial_dirs(spark, tmp_path):
     assert latest_state_version(work, before=2).endswith("state_1")
 
 
-def test_replay_workdir_prunes_old_dirs():
+def test_replay_workdir_prunes_old_dirs(tmp_path):
     """VERDICT r08 #8: replay scratch dirs live under one shared root
     that self-prunes, so long bench/test sessions cannot fill the
-    sandbox disk with dead checkpoints."""
+    sandbox disk with dead checkpoints. keep=3 runs against an ISOLATED
+    base (ADVICE r09) so the shrunken margin never applies to the real
+    shared root a concurrent session is using."""
     from timer_pulsar_spark.streaming import state
 
-    made = [state.replay_workdir("prunetest", keep=3) for _ in range(6)]
+    base = str(tmp_path / "replays")
+    made = [
+        state.replay_workdir("prunetest", keep=3, base=base)
+        for _ in range(6)
+    ]
     survivors = [d for d in made if os.path.isdir(d)]
     assert len(survivors) <= 4  # keep=3 plus the one just created
     assert made[-1] in survivors
+
+
+def test_replay_workdir_age_is_newest_nested_mtime(tmp_path):
+    """ADVICE r09: prune order must follow the newest mtime UNDER each
+    dir, not the dir's own mtime — a long-lived replay dir receiving
+    nested checkpoint writes is in use even though its top-level mtime
+    never moves."""
+    from timer_pulsar_spark.streaming import state
+
+    base = str(tmp_path / "replays")
+    old_active = state.replay_workdir("active", keep=10, base=base)
+    idle = [state.replay_workdir("idle", keep=10, base=base) for _ in range(3)]
+    # age the dir mtimes: old_active's top-level looks OLDEST...
+    past = time.time() - 3600
+    os.utime(old_active, (past, past))
+    for k, d in enumerate(idle):
+        os.utime(d, (past + 60 * (k + 1), past + 60 * (k + 1)))
+    # ...but a NESTED file write marks it freshly in use
+    nested = os.path.join(old_active, "ckpt", "offsets")
+    os.makedirs(nested)
+    with open(os.path.join(nested, "0"), "w") as fh:
+        fh.write("x")
+    state.replay_workdir("new", keep=2, base=base)
+    assert os.path.isdir(old_active)      # in-use dir survived
+    assert not os.path.isdir(idle[0])     # truly-idle oldest pruned
 
 
 def _plan(spark, name):

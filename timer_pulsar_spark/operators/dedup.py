@@ -39,6 +39,40 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..streaming.state import replay_workdir
 
+# --- session-scoped cache bookkeeping ---------------------------------------
+# cooccurring_pairs / incr_index persist their postings frame across two
+# consumers (the hot-key count and the main shuffle — VERDICT r08 #3).
+# The frames live inside LAZY plans returned to the caller, so the
+# operators themselves cannot unpersist after the consuming action; they
+# register here instead, and long-lived hosts (the 225-query sweep, the
+# bench loop, test teardown) call release_persisted() between queries so
+# cached blocks don't accumulate for the whole session (ADVICE r09).
+_PERSISTED_FRAMES: list[DataFrame] = []
+
+
+def _track_persist(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+    _PERSISTED_FRAMES.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every postings frame registered since the last call;
+    returns how many were released. Safe to call at any time — a frame
+    whose query already unpersisted it is a no-op."""
+    n = 0
+    while _PERSISTED_FRAMES:
+        df = _PERSISTED_FRAMES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    return n
+
+
 # --- deterministic MinHash permutation constants ---------------------------
 # (a*x + b) mod P over 32-bit reduced shingle hashes; P prime > 2^32,
 # a < 2^30 keeps a*x inside int64. Constants from a fixed-seed LCG so the
@@ -158,9 +192,7 @@ def cooccurring_pairs(
     Output columns: a_<payload>, b_<payload> for doc_id + payloads.
     """
     if max_df is not None:
-        from pyspark import StorageLevel
-
-        postings = postings.persist(StorageLevel.MEMORY_AND_DISK_DESER)
+        postings = _track_persist(postings)
         hot = (
             postings.groupBy(*key_cols)
             .agg(F.count(F.lit(1)).alias("df"))
@@ -1493,17 +1525,15 @@ def incr_index(existing: DataFrame) -> tuple[DataFrame, DataFrame]:
     anti-join drops hot postings before the candidate join's exchange
     ever ships them. Same keys dropped — results identical. Exact at
     every tested SF (sf0.1 max df is 25 vs the 1000 cap)."""
-    from pyspark import StorageLevel
-
     exdim = existing.groupBy(F.md5("text").alias("h")).agg(
         F.count(F.lit(1)).alias("n_exact")
     )
     # persisted across the hot-key count and the candidate join — the
     # same one-cache-write-vs-second-derivation trade as
-    # cooccurring_pairs (VERDICT r08 #3)
-    ex_post = _incr_postings(existing).persist(
-        StorageLevel.MEMORY_AND_DISK_DESER
-    )
+    # cooccurring_pairs (VERDICT r08 #3); registered with
+    # release_persisted() so sweep/bench hosts can reclaim the blocks
+    # between queries (ADVICE r09)
+    ex_post = _track_persist(_incr_postings(existing))
     hot = (
         ex_post.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df"))
