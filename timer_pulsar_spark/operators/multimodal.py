@@ -623,7 +623,273 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_meta(planted_wavs(spark, sf_dir)).orderBy("doc_id")
 
 
+# --------------------------------------------------------------------
+# Perceptual image dedup (VERDICT r09 #4): dHash over uncompressed
+# bitmaps + banded Hamming candidate generation. Completes the dedup
+# family for binary/media columns, which previously only had byte-md5
+# identity (q_multimodal_meta) — a recompressed or slightly-edited
+# image has a different md5 but the same perceptual hash.
+
+GRID_W = 9          # dHash canonical grid: 9 cols x 8 rows of gray
+GRID_H = 8          # pixels; adjacent-column compares give 8x8 = 64 bits
+HAMMING_K = 8       # near-duplicate threshold (of 64 bits)
+BAND_BITS = 16      # 4 bands x 16 bits: Hamming<=8 pairs share >=2
+BAND_DF_CAP = 64    # bands (pigeonhole when flips cluster); buckets
+                    # larger than the cap are skew-dropped (both engines)
+
+
+def planted_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 9x8 grayscale bitmaps (72 raw bytes, row-major) per
+    document, planted in GROUPS OF FOUR near-duplicates: the group
+    leader (doc_id % 4 == 0) gets a pseudo-random pixel grid derived
+    from the group id, and each variant perturbs exactly ONE pixel by
+    +125 — which flips at most the two dHash bits adjacent to it, so
+    same-group pairs sit at Hamming <= 4 while cross-group grids are
+    unrelated. All pixel values are doc_id arithmetic, which is what
+    lets DuckDB recompute the expected hashes without parsing bytes
+    (the q_image_dims oracle trick)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    base = F.col("doc_id") - F.col("doc_id") % 4
+    v = F.col("doc_id") % 4
+
+    def pixel(idx: int) -> Column:
+        # the triple (base%251, base%17, base%13) determines the grid;
+        # 251*17*13 = 55,471 > any testdata doc_id, so every group gets
+        # a DISTINCT pixel pattern (no accidental cross-group dups)
+        p0 = (
+            base * 37
+            + F.lit(idx * idx) * (base % 17 + 3)
+            + F.lit(idx) * (base % 13)
+        ) % 251
+        idx_p = (base * 7 + v * 23) % 72
+        return F.when(
+            (v > 0) & (idx_p == idx), (p0 + 125) % 251
+        ).otherwise(p0)
+
+    payload_hex = F.concat(
+        *[
+            F.lpad(F.hex(pixel(i)), 2, "0")
+            for i in range(GRID_W * GRID_H)
+        ]
+    )
+    return d.select("doc_id", F.unhex(payload_hex).alias("payload"))
+
+
+def dhash64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """CODEC-FREE perceptual difference-hash: parse the 72 raw bytes of
+    a 9x8 grayscale bitmap with JVM byte math (substring+hex+conv, the
+    image_dims idiom — no Python, no codec libs) and emit the 64-bit
+    dHash as two uint32 halves (`hi`, `lo` — both engines then agree
+    on non-negative BIGINT math; Hamming distance recomposes as
+    bit_count(hi^hi') + bit_count(lo^lo')). Bit (r, c) is set when
+    pixel[r][c] < pixel[r][c+1] (Krawetz's dHash). A production path
+    for real images first decodes + downsamples to this grid via a
+    mapInPandas kernel (decode_image stub); everything from the 72-byte
+    grid onward — this function and the band join — is the real
+    operator and stays inside WholeStageCodegen."""
+    p = F.col(payload_col)
+
+    def u8(pos: int) -> Column:
+        return F.conv(F.hex(F.substring(p, pos, 1)), 16, 10).cast("long")
+
+    def half(lo_pos: int) -> Column:
+        total = F.lit(0).cast("long")
+        for k in range(32):
+            pos = lo_pos + k
+            r, c = pos // 8, pos % 8
+            bit = u8(r * GRID_W + c + 1) < u8(r * GRID_W + c + 2)
+            total = total + F.when(bit, F.lit(1 << k)).otherwise(0).cast(
+                "long"
+            )
+        return total
+
+    return df.select(
+        "doc_id", half(32).alias("hi"), half(0).alias("lo")
+    )
+
+
+def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked perceptual hash card: plant deterministic bitmap
+    bytes, parse the dHash back OUT OF THE BYTES, and emit (hi, lo)
+    per document. The oracle recomputes both halves from doc_id
+    arithmetic (pixel grid -> adjacent compares -> bit sums), so
+    Spark's answer only matches if the byte-level hash really ran."""
+    return dhash64(planted_bitmaps(spark, sf_dir)).orderBy("doc_id")
+
+
+def dhash_bands(hashes: DataFrame) -> DataFrame:
+    """Split each 64-bit dHash into 4 x 16-bit bands — the LSH-style
+    candidate key for Hamming search: two hashes within Hamming k
+    differ in at most k bands, so with k <= 8 over 4 bands every
+    qualifying pair shares at least 2 exact-equal bands and is found
+    by an equality join (never an all-pairs scan)."""
+    halves = {0: F.col("lo"), 1: F.col("lo"), 2: F.col("hi"), 3: F.col("hi")}
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                (
+                    halves[i] % 65536
+                    if i % 2 == 0
+                    else F.shiftright(halves[i], BAND_BITS)
+                ).cast("long").alias("band_val"),
+            )
+            for i in range(4)
+        ]
+    )
+    return hashes.select(
+        "doc_id", F.explode(bands).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_val")
+
+
+def image_dedup_pairs(
+    hashes: DataFrame, k: int = HAMMING_K, band_df_cap: int = BAND_DF_CAP
+) -> DataFrame:
+    """Near-duplicate image pairs at Hamming <= k via banded candidate
+    generation — the postings/banded discipline from text dedup
+    (dedup.py cooccurring_pairs) applied to 64-bit perceptual hashes:
+
+    - each doc contributes 4 (band_idx, band_val) keys; candidates come
+      from an EQUALITY self-join on the band key — work is
+      sum(bucket^2) over buckets, never n^2 over the corpus;
+    - buckets larger than band_df_cap are dropped before the join (a
+      band value shared by >cap images is a degenerate/flat pattern —
+      the same df-cap skew guard the shingle postings use), so the
+      worst reducer is bounded at cap^2 whatever the corpus does;
+    - survivors get the EXACT 64-bit Hamming check via two xor +
+      bit_count column ops (JVM, codegen) — no Python, no re-scan of
+      payload bytes.
+
+    At 100 TB the hashes frame is ~16 bytes/image and the band join
+    shuffles 4 slim rows/image; the payload bytes never enter the
+    exchange."""
+    bands = dhash_bands(hashes)
+    kept_keys = (
+        bands.groupBy("band_idx", "band_val")
+        .count()
+        .filter(F.col("count") <= band_df_cap)
+        .select("band_idx", "band_val")
+    )
+    kept = bands.join(kept_keys, ["band_idx", "band_val"])
+    a, b = kept.alias("a"), kept.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    hamming = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    ).cast("int")
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= k)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked perceptual image dedup: near-duplicate bitmap
+    pairs at Hamming <= 8 over the planted corpus (groups of four
+    one-pixel variants). The oracle replays the IDENTICAL algorithm —
+    arithmetic pixel grid, dHash bits, 16-bit bands, df-capped bucket
+    join, exact xor/bit_count Hamming — in DuckDB SQL, so both the
+    byte parse AND the banded candidate discipline are pinned (a
+    non-banded all-pairs implementation would also match values, but
+    the planted pytest additionally asserts the plan has no cartesian
+    product and that every same-group pair is recovered)."""
+    return image_dedup_pairs(
+        dhash64(planted_bitmaps(spark, sf_dir))
+    ).orderBy("doc_a", "doc_b")
+
+
+_DHASH_ORACLE_CTE = f"""
+    WITH params AS (
+        SELECT doc_id, doc_id - doc_id % 4 AS base, doc_id % 4 AS v
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, idx,
+               CASE WHEN v > 0 AND idx = (base * 7 + v * 23) % 72
+                    THEN ((base * 37 + idx*idx*(base % 17 + 3)
+                           + idx*(base % 13)) % 251 + 125) % 251
+                    ELSE (base * 37 + idx*idx*(base % 17 + 3)
+                          + idx*(base % 13)) % 251
+               END AS p
+        FROM params, generate_series(0, {GRID_W * GRID_H - 1}) g(idx)
+    ),
+    bits AS (
+        SELECT a.doc_id, (a.idx // {GRID_W}) * 8 + (a.idx % {GRID_W}) AS pos
+        FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+        WHERE a.idx % {GRID_W} < 8 AND a.p < b.p
+    ),
+    hashes AS (
+        SELECT p.doc_id,
+               CAST(COALESCE(SUM(CASE WHEN pos >= 32
+                    THEN (1::BIGINT << (pos - 32)) END), 0) AS BIGINT) AS hi,
+               CAST(COALESCE(SUM(CASE WHEN pos < 32
+                    THEN (1::BIGINT << pos) END), 0) AS BIGINT) AS lo
+        FROM params p LEFT JOIN bits USING (doc_id)
+        GROUP BY p.doc_id
+    )
+"""
+
 ORACLES: dict[str, str] = {
+    "q_image_dhash": _DHASH_ORACLE_CTE
+    + """
+        SELECT doc_id, hi, lo FROM hashes ORDER BY doc_id
+    """,
+    "q_image_dedup": _DHASH_ORACLE_CTE
+    + f"""
+        , bands AS (
+            SELECT doc_id, 0 AS band_idx, lo % 65536 AS band_val FROM hashes
+            UNION ALL SELECT doc_id, 1, lo // 65536 FROM hashes
+            UNION ALL SELECT doc_id, 2, hi % 65536 FROM hashes
+            UNION ALL SELECT doc_id, 3, hi // 65536 FROM hashes
+        ),
+        kept_keys AS (
+            SELECT band_idx, band_val FROM bands
+            GROUP BY band_idx, band_val HAVING count(*) <= {BAND_DF_CAP}
+        ),
+        kept AS (
+            SELECT b.* FROM bands b JOIN kept_keys USING (band_idx, band_val)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept a JOIN kept b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(bit_count(xor(ha.hi, hb.hi))
+                    + bit_count(xor(ha.lo, hb.lo)) AS INT) AS hamming
+        FROM cand
+        JOIN hashes ha ON ha.doc_id = doc_a
+        JOIN hashes hb ON hb.doc_id = doc_b
+        WHERE bit_count(xor(ha.hi, hb.hi))
+              + bit_count(xor(ha.lo, hb.lo)) <= {HAMMING_K}
+        ORDER BY doc_a, doc_b
+    """,
     "q_audio_meta": """
         SELECT doc_id,
                'wav' AS codec,
