@@ -510,3 +510,45 @@ def test_image_dedup_band_df_cap_drops_degenerate_buckets(spark):
         [(i, 12345, 67890) for i in range(10)], "doc_id long, hi long, lo long"
     )
     assert image_dedup_pairs(small).count() == 10 * 9 // 2
+
+
+# ---------------------------------------------------------------- #
+# HTML boilerplate extraction (VERDICT r09 #5)                       #
+# ---------------------------------------------------------------- #
+
+def test_html_extract_drops_boilerplate_keeps_body(spark):
+    """Planted page: script/style bodies (including a '<' comparison
+    inside the script that defeats tag-first stripping) and all markup
+    must vanish; the paragraph text survives; entities decode."""
+    from timer_pulsar_spark.operators.textops import html_extract_text
+
+    page = (
+        '<html><head><script>if (a < b) { alert("x < y"); }</script>'
+        "<style>p { margin: 0; }</style></head>"
+        '<body><h1>Title</h1><p>real body text</p>'
+        "<footer>Privacy &amp; Terms &copy; 2026 &lt;end&gt;</footer>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(page,)], "html string")
+    out = df.select(html_extract_text(F.col("html")).alias("t")).first().t
+    assert out == "Title real body text Privacy & Terms (c) 2026 <end>"
+    assert "alert" not in out and "margin" not in out
+
+
+def test_html_link_density_gate_binds(spark):
+    """The spam-link block drives link_density across the 0.2 gate:
+    docs with many planted spam anchors and short bodies are dropped,
+    long clean docs are kept — both outcomes must occur."""
+    from timer_pulsar_spark.operators.textops import q_html_extract
+
+    rows = q_html_extract(spark, "/root/testdata/sf0.001").collect()
+    kept = [r for r in rows if r.kept]
+    dropped = [r for r in rows if not r.kept]
+    assert kept and dropped
+    for r in rows:
+        assert r.kept == (
+            r.link_chars / max(r.body_chars, 1) < 0.2
+        )
+        # anchor inner text is counted from the original markup:
+        # nav (4+5) + footer (7+5) + 9 per spam link
+        assert r.link_chars == 21 + 9 * (r.doc_id % 5)

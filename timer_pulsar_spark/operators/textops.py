@@ -2137,6 +2137,183 @@ ORACLES["q_vocab_coverage"] = f"""
 """
 
 
+# HTML boilerplate extraction (VERDICT r09 #5): real pretraining
+# corpora start from markup; this is the tag-strip + link-density gate
+# that turns a crawled page into trainable text. Patterns are chosen
+# for Java-regex (Spark) / RE2 (DuckDB) parity like PII_PATTERNS: no
+# lookaround, no backreferences; (?s) + non-greedy are in both engines.
+HTML_SCRIPT_RE = r"(?s)<script\b[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?s)<style\b[^>]*>.*?</style>"
+HTML_TAG_RE = r"<[^>]*>"
+HTML_ANCHOR_RE = r"(?s)<a\b[^>]*>(.*?)</a>"
+HTML_WS_RE = r"\s+"
+# entity decode order matters: named entities first, &amp; LAST so
+# double-encoded text ("&amp;copy;") is not re-decoded into a tag-era
+# entity — the standard single-pass decode rule.
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&copy;", "(c)"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+LINK_DENSITY_MAX = 0.2
+
+
+def html_extract_text(html_col) -> "F.Column":
+    """Strip a markup document to trainable text: drop script/style
+    BLOCKS (content and all), then every remaining tag, decode the
+    common entities, and collapse whitespace. Pure map-side projection
+    — zero exchanges, the compliance-scrub plan shape (q_redact_pii);
+    at 100 TB this runs inside the parquet scan's codegen stage."""
+    out = F.regexp_replace(html_col, HTML_SCRIPT_RE, " ")
+    out = F.regexp_replace(out, HTML_STYLE_RE, " ")
+    out = F.regexp_replace(out, HTML_TAG_RE, " ")
+    for ent, repl in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(out, HTML_WS_RE, " "))
+
+
+def planted_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wrap each document's text in a deterministic full page — head
+    with script (containing a '<'-bearing comparison that defeats a
+    naive first-tag-strip) and style blocks, nav/footer link
+    boilerplate, entities, and doc_id-many spam links — so both the
+    block-strip rules and the link-density gate visibly bind, and the
+    oracle can rebuild the identical page with SQL string concat."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat(
+        F.lit(
+            "<html><head><title>Doc</title>"
+            "<script type=\"text/javascript\">var x = 1;"
+            " if (x < 2) { x = 3; }</script>"
+            "<style>.nav { color: red; }</style></head>"
+            "<body><nav><a href=\"/\">Home</a> | "
+            "<a href=\"/about\">About</a></nav><h1>Doc "
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div class=\"ads\">"),
+        F.repeat(
+            F.lit("<a href=\"/t\">spam spam</a> "),
+            (F.col("doc_id") % 5).cast("int"),
+        ),
+        F.lit(
+            "</div><footer><a href=\"/privacy\">Privacy</a> &amp; "
+            "<a href=\"/terms\">Terms</a> &copy; 2026</footer>"
+            "</body></html>"
+        ),
+    )
+    return d.select("doc_id", page.alias("html"))
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: markup -> text gate] ORACLE-checked HTML boilerplate
+    extraction + link-density quality signal over planted pages:
+
+    - body_md5 pins the EXTRACTED BYTES (script/style bodies gone,
+      tags gone, entities decoded, whitespace collapsed) — not just
+      counts, so a sloppy strip order (e.g. tags before script blocks,
+      which leaks 'var x = 1;' into the body) flips the hash;
+    - n_links / link_chars come from the anchor inner texts of the
+      ORIGINAL markup (group-1 regexp_extract_all);
+    - link_density = link_chars / body_chars is the classic
+      boilerplate signal; kept = density < 0.2 — the planted spam-link
+      block makes it flip per doc_id, so the gate provably binds.
+
+    One map-side pass, no shuffle; the oracle replays the identical
+    regex pipeline in DuckDB (RE2/Java parity patterns)."""
+    h = planted_html(spark, sf_dir)
+    body = html_extract_text(F.col("html"))
+    anchors = F.regexp_extract_all("html", F.lit(HTML_ANCHOR_RE), 1)
+    link_chars = F.aggregate(
+        F.transform(anchors, lambda a: F.length(a)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        h.select(
+            "doc_id",
+            F.md5(body).alias("body_md5"),
+            F.size(anchors).alias("n_links"),
+            link_chars.alias("link_chars"),
+            F.length(body).alias("body_chars"),
+        )
+        .withColumn(
+            "link_density",
+            F.round(
+                F.col("link_chars")
+                / F.greatest(F.col("body_chars"), F.lit(1)),
+                6,
+            ),
+        )
+        .withColumn(
+            # gate on the UNROUNDED ratio (the oracle does the same) so
+            # a density that only crosses the threshold after rounding
+            # can't flip the verdict between engines
+            "kept",
+            (
+                F.col("link_chars")
+                / F.greatest(F.col("body_chars"), F.lit(1))
+            )
+            < LINK_DENSITY_MAX,
+        )
+        .orderBy("doc_id")
+    )
+
+
+_HTML_PAGE_SQL = (
+    "'<html><head><title>Doc</title>"
+    "<script type=\"text/javascript\">var x = 1;"
+    " if (x < 2) { x = 3; }</script>"
+    "<style>.nav { color: red; }</style></head>"
+    "<body><nav><a href=\"/\">Home</a> | "
+    "<a href=\"/about\">About</a></nav><h1>Doc ' || doc_id || "
+    "'</h1><p>' || text || '</p><div class=\"ads\">' || "
+    "repeat('<a href=\"/t\">spam spam</a> ', CAST(doc_id % 5 AS INT)) || "
+    "'</div><footer><a href=\"/privacy\">Privacy</a> &amp; "
+    "<a href=\"/terms\">Terms</a> &copy; 2026</footer>"
+    "</body></html>'"
+)
+
+ORACLES["q_html_extract"] = f"""
+    WITH pages AS (
+        SELECT doc_id, {_HTML_PAGE_SQL} AS html FROM documents
+    ),
+    stripped AS (
+        SELECT doc_id, html,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(html,
+                                   '{HTML_SCRIPT_RE}', ' ', 'g'),
+                               '{HTML_STYLE_RE}', ' ', 'g'),
+                           '{HTML_TAG_RE}', ' ', 'g'),
+                       '&copy;', '(c)'), '&lt;', '<'), '&gt;', '>'),
+                       '&nbsp;', ' '), '&amp;', '&'),
+                   '{HTML_WS_RE}', ' ', 'g')) AS body,
+               regexp_extract_all(html, '{HTML_ANCHOR_RE}', 1) AS anchors
+        FROM pages
+    )
+    SELECT doc_id,
+           md5(body) AS body_md5,
+           CAST(len(anchors) AS INT) AS n_links,
+           CAST(COALESCE(list_sum(
+               list_transform(anchors, a -> length(a))), 0) AS INT)
+               AS link_chars,
+           CAST(length(body) AS INT) AS body_chars,
+           round(COALESCE(list_sum(
+               list_transform(anchors, a -> length(a))), 0) * 1.0
+               / greatest(length(body), 1), 6) AS link_density,
+           (COALESCE(list_sum(
+               list_transform(anchors, a -> length(a))), 0) * 1.0
+               / greatest(length(body), 1)) < {LINK_DENSITY_MAX} AS kept
+    FROM stripped ORDER BY doc_id
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
