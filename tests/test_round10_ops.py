@@ -552,3 +552,36 @@ def test_html_link_density_gate_binds(spark):
         # anchor inner text is counted from the original markup:
         # nav (4+5) + footer (7+5) + 9 per spam link
         assert r.link_chars == 21 + 9 * (r.doc_id % 5)
+
+
+# ---------------------------------------------------------------- #
+# IVF-PQ append drift guard (VERDICT r09 #7)                         #
+# ---------------------------------------------------------------- #
+
+def test_ivfpq_drift_guard_forces_rebuild_below_threshold(spark):
+    """With rebuild_threshold below the actual appended/seed ratio
+    (~1.0 from the xxhash half-split), the guard must retrain on the
+    full corpus; with the default 1.5 it must keep the frozen-model
+    index. The rebuilt index must still satisfy the recall floor."""
+    from timer_pulsar_spark.operators.similarity import (
+        q_ann_topk, stream_ivfpq_with_drift,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    search_drift, info_drift = stream_ivfpq_with_drift(
+        spark, sf, rebuild_threshold=0.1
+    )
+    assert info_drift["rebuilt"] is True
+    assert info_drift["ratio"] >= 0.1
+    assert info_drift["n_seed"] > 0 and info_drift["n_appended"] > 0
+
+    search_keep, info_keep = stream_ivfpq_with_drift(spark, sf)
+    assert info_keep["rebuilt"] is False
+    assert 0.5 <= info_keep["ratio"] <= 2.0
+
+    truth = {
+        (r.query_id, r.neighbor_id) for r in q_ann_topk(spark, sf).collect()
+    }
+    for search in (search_drift, search_keep):
+        got = {(r.query_id, r.neighbor_id) for r in search.collect()}
+        assert len(got & truth) / len(truth) >= 0.4

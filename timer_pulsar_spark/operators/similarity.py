@@ -2501,7 +2501,7 @@ def _ivfpq_streamed_index(
             if q.isActive:
                 q.stop()
     codes = spark.read.parquet(idx).select(
-        "vec_id", "cell_id", "block", "code"
+        "vec_id", "cell_id", "block", "code", "batch"
     )
     return e, codes, cb, cents, subdim
 
@@ -2515,7 +2515,9 @@ def q_stream_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     — is q_stream_ivfpq_append_check, and the encode-parity pytest
     pins streamed codes == one-shot frozen-model codes."""
     e, codes, cb, cents, subdim = _ivfpq_streamed_index(spark, sf_dir)
-    return _ivfpq_search(spark, e, codes, cb, cents, subdim)
+    return _ivfpq_search(
+        spark, e, codes.drop("batch"), cb, cents, subdim
+    )
 
 
 def q_stream_ivfpq_append_check(
@@ -2532,6 +2534,114 @@ def q_stream_ivfpq_append_check(
 
 
 ORACLES["q_stream_ivfpq_append_check"] = _CHECK_ORACLE
+
+
+# Appended/seed mass ratio beyond which the frozen seed-trained model
+# is declared stale and the index is retrained on the full corpus
+# (VERDICT r09 #7): residual codebooks fitted to the seed distribution
+# decay silently as appended mass grows — the guard makes the decay
+# observable and the rebuild deterministic.
+IVFPQ_REBUILD_THRESHOLD = 1.5
+
+
+def stream_ivfpq_with_drift(
+    spark: SparkSession,
+    sf_dir: str,
+    rebuild_threshold: float = IVFPQ_REBUILD_THRESHOLD,
+) -> tuple[DataFrame, dict]:
+    """The streamed IVF-PQ index with a DRIFT GUARD: after the appends,
+    measure appended/seed vector mass; at or above `rebuild_threshold`
+    the seed-trained model is stale — retrain coarse centroids +
+    residual codebook on the FULL corpus and re-encode (the offline
+    rebuild a production index schedules), else keep serving the
+    frozen-model index. Returns (search results, drift info). The two
+    counts are cell-count aggregates over the slim codes frame
+    (distinct vec_id per batch sign) — driver state is two scalars."""
+    e, codes, cb, cents, subdim = _ivfpq_streamed_index(spark, sf_dir)
+    row = (
+        codes.select("vec_id", "batch")
+        .distinct()
+        .agg(
+            F.count(F.when(F.col("batch") == -1, 1)).alias("n_seed"),
+            F.count(F.when(F.col("batch") >= 0, 1)).alias("n_appended"),
+        )
+        .first()
+    )
+    ratio = row.n_appended / max(row.n_seed, 1)
+    rebuilt = ratio >= rebuild_threshold
+    if rebuilt:
+        codes_full, cb, cents, subdim = ivfpq_train_encode_over(spark, e)
+        search = _ivfpq_search(spark, e, codes_full, cb, cents, subdim)
+    else:
+        search = _ivfpq_search(
+            spark, e, codes.drop("batch"), cb, cents, subdim
+        )
+    info = {
+        "n_seed": row.n_seed,
+        "n_appended": row.n_appended,
+        "ratio": ratio,
+        "rebuild_threshold": rebuild_threshold,
+        "rebuilt": rebuilt,
+    }
+    return search, info
+
+
+def q_stream_ivfpq_drift_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ORACLE-checked drift contract for the streamed IVF-PQ index
+    (VERDICT r09 #7): exposes the appended/seed mass ratio next to the
+    recall contract so staleness is observable, and pins the rebuild
+    trigger logic:
+
+    - n_indexed — every embedding is in the index exactly once
+      (seed + appended partitions cover the corpus);
+    - ratio_in_band — the content-stable xxhash64 half-split keeps
+      appended/seed mass near 1.0 (deterministic for fixed data);
+    - rebuild_due — false at the default 1.5 threshold (the pytest
+      forces the true branch with a low threshold and asserts the
+      full-corpus retrain actually happens);
+    - trigger_consistent — the applied action equals the declared
+      decision rule (ratio >= threshold);
+    - recall_ok / exact_rerank_ok — the un-rebuilt index still meets
+      the append-check floor (0.4) with exact re-rank scores."""
+    search, info = stream_ivfpq_with_drift(spark, sf_dir)
+    truth = q_ann_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("cosine").alias("t_cos")
+    )
+    approx = search.select(
+        "query_id", "neighbor_id", F.col("cosine").alias("a_cos")
+    )
+    hits = approx.join(truth, ["query_id", "neighbor_id"], "inner").agg(
+        F.count("*").alias("n_hit"),
+        F.max(F.abs(F.col("a_cos") - F.col("t_cos"))).alias("max_dev"),
+    )
+    total = truth.agg(F.count("*").alias("n_truth"))
+    return hits.crossJoin(total).select(
+        F.lit(info["n_seed"] + info["n_appended"])
+        .cast("long")
+        .alias("n_indexed"),
+        F.lit(0.5 <= info["ratio"] <= 2.0).alias("ratio_in_band"),
+        F.lit(info["rebuilt"]).alias("rebuild_due"),
+        F.lit(
+            info["rebuilt"] == (info["ratio"] >= info["rebuild_threshold"])
+        ).alias("trigger_consistent"),
+        (F.col("n_hit") / F.col("n_truth") >= 0.4).alias("recall_ok"),
+        (F.coalesce(F.col("max_dev"), F.lit(0.0)) < 1e-9).alias(
+            "exact_rerank_ok"
+        ),
+    )
+
+
+ORACLES["q_stream_ivfpq_drift_check"] = """
+    SELECT CAST(count(*) AS BIGINT) AS n_indexed,
+           true AS ratio_in_band,
+           false AS rebuild_due,
+           true AS trigger_consistent,
+           true AS recall_ok,
+           true AS exact_rerank_ok
+    FROM embeddings
+"""
 
 
 QUERIES = {
