@@ -4,18 +4,61 @@ DuckDB oracle at sf0.01.  Mirrors the per-round gate so mismatches are caught
 locally before the driver records them.
 
 Usage: python scripts/verify_oracle.py [sf_dir] [only_query ...]
+       python scripts/verify_oracle.py [sf_dir] --changed-since <rev>
+
+--changed-since sweeps only queries whose IMPLEMENTING MODULE changed
+between <rev> and the working tree (registry hygiene at 225+ queries:
+a full sweep is ~35 min, a per-commit sweep should cost what the
+commit touched). Conservative rule: if the diff touches any package
+file that is NOT a query module (catalog/session/functions/streaming
+helpers feed many queries), it falls back to the FULL sweep.
 """
 import hashlib
 import json
 import os
+import subprocess
 import sys
 
 import duckdb
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+argv = sys.argv[1:]
+CHANGED_SINCE = None
+if "--changed-since" in argv:
+    i = argv.index("--changed-since")
+    CHANGED_SINCE = argv[i + 1]
+    argv = argv[:i] + argv[i + 2 :]
+
+SF_DIR = argv[0] if argv else "/root/testdata/sf0.01"
+ONLY = set(argv[1:])
+
+
+def changed_query_names(rev, queries):
+    """Queries whose implementing module differs from `rev`. Returns
+    None to request a FULL sweep (a shared/non-query module changed,
+    whose blast radius the module map can't bound)."""
+    diff = subprocess.run(
+        ["git", "diff", "--name-only", rev, "--", "timer_pulsar_spark",
+         "__spark_entry__.py"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    if not diff:
+        return set()
+    mod_files = {}  # package-relative path -> query names
+    for name, fn in queries.items():
+        rel = fn.__module__.replace(".", "/") + ".py"
+        mod_files.setdefault(rel, set()).add(name)
+    selected = set()
+    for path in diff:
+        if path in mod_files:
+            selected |= mod_files[path]
+        else:
+            print(f"--changed-since: {path} is not a query module -> "
+                  "full sweep (shared-helper blast radius)")
+            return None
+    return selected
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -61,10 +104,18 @@ def main():
     queries = entry.queries()
     oracles = entry.oracle_sql()
 
+    only = set(ONLY)
+    if CHANGED_SINCE is not None:
+        changed = changed_query_names(CHANGED_SINCE, queries)
+        if changed is not None:
+            only |= changed or {"__nothing_changed__"}
+            print(f"--changed-since {CHANGED_SINCE}: "
+                  f"{len(changed)} queries selected")
+
     results = {}
     fails = []
     for name, fn in queries.items():
-        if ONLY and name not in ONLY:
+        if only and name not in only:
             continue
         try:
             sdf = fn(spark, SF_DIR)
