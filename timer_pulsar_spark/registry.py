@@ -48,15 +48,11 @@ PRIORITY: list[str] = [
     # analytic-window rep beyond §2, q_materialize keeps T9 via pytest
     # api.run_migration, q_sessionize keeps its shape via
     # q_session_window, q_dup_clusters via q_pagerank.
-    "q_dedup_near_auto_check",
-    "q_stream_ttl_evict",
     # (r7 rotation rationale in git history; superseded below)
-    "q_dedup_incremental",
     "q_dup_profile", "q_bpe_encode_check",
-    "q_stream_source_overlap", "q_winnow_pairs",
+    "q_stream_source_overlap",
     "q_dedup_incremental_check", "q_quality_clf_sampled_check",
-    "q_embed_classifier_sampled_check", "q_kcenter_sampled_check",
-    "q_rollup_cube", "q_stream_dedup_incremental",
+    "q_stream_dedup_incremental",
     # r9 rotation (VERDICT r08 item 3): first driver rows for the seven
     # never-windowed r8-tail queries the verdict named —
     # q_stream_dedup_exact, q_stream_heavy_hitters, q_dedup_exact_norm,
@@ -89,11 +85,50 @@ PRIORITY: list[str] = [
     # q_kcenter_check (the sampled check stays and was re-verified
     # after this round's guards).
     "q_stream_dedup_exact", "q_stream_heavy_hitters",
-    "q_dedup_exact_norm", "q_redact_pii", "q_curriculum",
-    "q_token_budget_sample", "q_length_buckets",
-    "q_pack_concat_sharded", "q_curriculum_sharded",
-    "q_token_budget_sample_2pass", "q_image_dims",
+    "q_redact_pii", "q_pack_concat_sharded",
     "q_stream_ivfpq_append_check",
+    # r10 rotation (VERDICT r09 item 3): five r10 newcomers get their
+    # first driver rows — the segment-walk image parser over the decoy
+    # corpus (q_image_dims_real), the perceptual dHash card + banded-
+    # Hamming dedup pair (q_image_dhash/q_image_dedup), the HTML
+    # boilerplate/link-density gate (q_html_extract), and the IVF-PQ
+    # drift contract (q_stream_ivfpq_drift_check) — plus nine of the
+    # never-driver-verified queries the r09 verdict named (all 9 green
+    # in the judge's independent spot-verify AND both committed r9
+    # sweeps): q_audio_meta (also r10-modified: byte_rate ANSI guard),
+    # q_vocab_coverage, q_dedup_minhash, q_stream_dedup_near,
+    # q_corpus_card, q_asof_tolerance, q_stats, q_sample_weighted,
+    # q_hopping_window. Queries MODIFIED this round stay in-window per
+    # policy: the three fold-state streams (q_stream_dedup_exact /
+    # q_stream_heavy_hitters — now delta-mode — / q_stream_source_
+    # overlap, all on the r10 commit-marker + reshard state machinery)
+    # and q_stream_ivfpq_append_check (codes frame now carries the
+    # batch column). Slots freed by demoting rows hash-green in r09
+    # whose family keeps an in-window rep (see SECONDARY head):
+    # q_dedup_near_auto_check (near-dup keeps q_dedup_near +
+    # q_dedup_minhash + the incremental check's banded arm),
+    # q_stream_ttl_evict (stateful streaming keeps q_hopping_window +
+    # four stream folds), q_dedup_incremental (its _check twin stays —
+    # same pipeline, stricter contract — plus the stream twin),
+    # q_winnow_pairs (span family keeps q_dup_profile, the shared span
+    # pipeline), q_embed_classifier_sampled_check +
+    # q_kcenter_sampled_check (trainer family keeps
+    # q_quality_clf_sampled_check; embedding/ANN keep the two streamed
+    # IVF-PQ contracts), q_rollup_cube (analytics keeps q_stats +
+    # q_corpus_card), q_dedup_exact_norm (exact dedup keeps
+    # q_stream_dedup_exact, whose oracle it shares VERBATIM),
+    # q_curriculum / q_token_budget_sample / q_curriculum_sharded /
+    # q_token_budget_sample_2pass (sampling keeps q_sample_weighted;
+    # packing keeps q_pack_concat_sharded; all four hash-green r09),
+    # q_length_buckets (textops keep q_vocab_coverage + q_redact_pii +
+    # q_html_extract), q_image_dims (the STRICTLY STRONGER
+    # q_image_dims_real — same parse contract, adversarial decoy
+    # corpus, real segment walk — replaces it).
+    "q_image_dims_real", "q_image_dhash", "q_image_dedup",
+    "q_html_extract", "q_stream_ivfpq_drift_check",
+    "q_audio_meta", "q_vocab_coverage", "q_dedup_minhash",
+    "q_stream_dedup_near", "q_corpus_card", "q_asof_tolerance",
+    "q_stats", "q_sample_weighted", "q_hopping_window",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -102,14 +137,17 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
-    # r9 late newcomers (the established pattern: SECONDARY head,
-    # rotate into the window next round) — codec-free WAV metadata
-    # (family rep q_image_dims is in-window this round) and the
-    # tokenizer-sizing vocab-coverage card (textops family has three
-    # in-window reps)
-    "q_audio_meta", "q_vocab_coverage",
+    # r10 demotions — hash-green in r09, family coverage argued at the
+    # PRIORITY r10-rotation comment; first to re-enter on budget+1
+    "q_dedup_near_auto_check", "q_stream_ttl_evict",
+    "q_dedup_incremental", "q_winnow_pairs",
+    "q_embed_classifier_sampled_check", "q_kcenter_sampled_check",
+    "q_rollup_cube", "q_dedup_exact_norm", "q_curriculum",
+    "q_token_budget_sample", "q_curriculum_sharded",
+    "q_token_budget_sample_2pass", "q_length_buckets", "q_image_dims",
     # r9 demotions — hash-green in r08, family coverage argued at the
-    # PRIORITY r9-rotation comment; first to re-enter on budget+1
+    # PRIORITY r9-rotation comment; first to re-enter after the r10
+    # demotions
     "q_dedup_exact", "q_centroid_assign", "q_ivfpq_check",
     "q_textstats", "q_sample_hash", "q_multimodal_meta",
     "q_pack_bfd_check", "q_pack_concat", "q_stream_dsir",
@@ -146,7 +184,9 @@ SECONDARY: list[str] = [
     "q_repetition", "q_entropy", "q_orc_roundtrip",
     "q_unpivot", "q_range_window", "q_heavy_hitters_sketch_check",
     "q_stream_quality", "q_ann_matmul", "q_stream_session_window",
-    "q_json_variant", "q_sample_weighted", "q_record_linkage", "q_langid_eval", "q_hopping_window", "q_stream_hopping", "q_dedup_plan", "q_dist_rank", "q_corpus_card", "q_dedup_containment", "q_asof_tolerance", "q_stream_dedup_near",
+    "q_json_variant", "q_record_linkage", "q_langid_eval",
+    "q_stream_hopping", "q_dedup_plan", "q_dist_rank",
+    "q_dedup_containment",
     "q_pmi_collocations",
 ]
 
