@@ -60,6 +60,11 @@ HEADLINERS = [
     "q_pack_concat_sharded",
     "q_token_budget_sample_2pass",
     "q_image_dims",
+    # r10 newcomers: perceptual image dedup (banded Hamming), HTML
+    # boilerplate/link-density gate, real segment-walk image parse
+    "q_image_dedup",
+    "q_html_extract",
+    "q_image_dims_real",
 ]
 
 

@@ -648,29 +648,34 @@ def planted_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrelated. All pixel values are doc_id arithmetic, which is what
     lets DuckDB recompute the expected hashes without parsing bytes
     (the q_image_dims oracle trick)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
-    base = F.col("doc_id") - F.col("doc_id") % 4
-    v = F.col("doc_id") % 4
+    from .dedup import spread
 
-    def pixel(idx: int) -> Column:
-        # the triple (base%251, base%17, base%13) determines the grid;
-        # 251*17*13 = 55,471 > any testdata doc_id, so every group gets
-        # a DISTINCT pixel pattern (no accidental cross-group dups)
-        p0 = (
-            base * 37
-            + F.lit(idx * idx) * (base % 17 + 3)
-            + F.lit(idx) * (base % 13)
-        ) % 251
-        idx_p = (base * 7 + v * 23) % 72
-        return F.when(
-            (v > 0) & (idx_p == idx), (p0 + 125) % 251
-        ).otherwise(p0)
-
-    payload_hex = F.concat(
-        *[
-            F.lpad(F.hex(pixel(i)), 2, "0")
-            for i in range(GRID_W * GRID_H)
-        ]
+    # spread the single-file scan before the CPU-heavy plant + parse
+    # (the shingle-pipeline idiom): a real media lake arrives in
+    # thousands of splits where this is a no-op
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    ).select(
+        "doc_id",
+        (F.col("doc_id") - F.col("doc_id") % 4).alias("base"),
+        (F.col("doc_id") % 4).alias("v"),
+    )
+    # one transform lambda instead of 72 unrolled projections: the
+    # expression tree stays small enough for whole-stage codegen (the
+    # unrolled form fell back to interpreted mode). The triple
+    # (base%251, base%17, base%13) determines the grid; 251*17*13 =
+    # 55,471 > any testdata doc_id, so every group gets a DISTINCT
+    # pixel pattern (no accidental cross-group dups).
+    payload_hex = F.expr(
+        f"""
+        concat_ws('', transform(sequence(0, {GRID_W * GRID_H - 1}),
+            i -> lpad(hex(CASE
+                WHEN v > 0 AND i = (base * 7 + v * 23) % 72
+                THEN ((base * 37 + i*i*(base % 17 + 3)
+                       + i*(base % 13)) % 251 + 125) % 251
+                ELSE (base * 37 + i*i*(base % 17 + 3)
+                      + i*(base % 13)) % 251 END), 2, '0')))
+        """
     )
     return d.select("doc_id", F.unhex(payload_hex).alias("payload"))
 
@@ -687,23 +692,35 @@ def dhash64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     mapInPandas kernel (decode_image stub); everything from the 72-byte
     grid onward — this function and the band join — is the real
     operator and stays inside WholeStageCodegen."""
-    p = F.col(payload_col)
-
-    def u8(pos: int) -> Column:
-        return F.conv(F.hex(F.substring(p, pos, 1)), 16, 10).cast("long")
+    # decode the 72 bytes into an array ONCE (one projection), then
+    # run the 64 adjacent compares against the array column — each
+    # byte is hex-decoded once instead of once per comparison. Higher-
+    # order lambdas (transform/aggregate) measured ~10x slower here
+    # (interpreted per element), so the compares stay unrolled — a
+    # fixed 64-term tree over a 72-element array column.
+    px = F.array(
+        *[
+            F.conv(
+                F.hex(F.substring(F.col(payload_col), i + 1, 1)), 16, 10
+            ).cast("long")
+            for i in range(GRID_W * GRID_H)
+        ]
+    )
 
     def half(lo_pos: int) -> Column:
         total = F.lit(0).cast("long")
         for k in range(32):
             pos = lo_pos + k
             r, c = pos // 8, pos % 8
-            bit = u8(r * GRID_W + c + 1) < u8(r * GRID_W + c + 2)
+            bit = (
+                F.col("px")[r * GRID_W + c] < F.col("px")[r * GRID_W + c + 1]
+            )
             total = total + F.when(bit, F.lit(1 << k)).otherwise(0).cast(
                 "long"
             )
         return total
 
-    return df.select(
+    return df.select("doc_id", px.alias("px")).select(
         "doc_id", half(32).alias("hi"), half(0).alias("lo")
     )
 
@@ -749,63 +766,67 @@ def image_dedup_pairs(
     generation — the postings/banded discipline from text dedup
     (dedup.py cooccurring_pairs) applied to 64-bit perceptual hashes:
 
-    - each doc contributes 4 (band_idx, band_val) keys; candidates come
-      from an EQUALITY self-join on the band key — work is
-      sum(bucket^2) over buckets, never n^2 over the corpus;
-    - buckets larger than band_df_cap are dropped before the join (a
-      band value shared by >cap images is a degenerate/flat pattern —
-      the same df-cap skew guard the shingle postings use), so the
-      worst reducer is bounded at cap^2 whatever the corpus does;
-    - survivors get the EXACT 64-bit Hamming check via two xor +
-      bit_count column ops (JVM, codegen) — no Python, no re-scan of
-      payload bytes.
+    - each doc contributes 4 (band_idx, band_val) keys carrying its
+      (hi, lo); ONE hash-partition shuffle groups them into buckets
+      (collect_list) — work is sum(bucket^2) over buckets, never n^2
+      over the corpus, and there is no self-join: candidate pairs AND
+      their exact 64-bit Hamming (xor + bit_count) are produced
+      in-lambda inside each bucket, the cooccurring_pairs in-lambda
+      prune idiom;
+    - buckets larger than band_df_cap are dropped (a band value shared
+      by >cap images is a degenerate/flat pattern — the same df-cap
+      skew guard the shingle postings use), so the worst bucket is
+      bounded at cap^2 pairs whatever the corpus does;
+    - a pair sharing several bands dedups in the final distinct (the
+      Hamming value is a pure function of the pair, so distinct over
+      all three columns is exact).
 
-    At 100 TB the hashes frame is ~16 bytes/image and the band join
-    shuffles 4 slim rows/image; the payload bytes never enter the
-    exchange."""
-    bands = dhash_bands(hashes)
-    kept_keys = (
-        bands.groupBy("band_idx", "band_val")
-        .count()
-        .filter(F.col("count") <= band_df_cap)
-        .select("band_idx", "band_val")
+    At 100 TB the exchange carries 4 slim rows/image (~28 bytes); the
+    payload bytes never enter the exchange, and the hash projection is
+    computed exactly once per image inside the scan stage."""
+    halves = {0: F.col("lo"), 1: F.col("lo"), 2: F.col("hi"), 3: F.col("hi")}
+    band_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                (
+                    halves[i] % 65536
+                    if i % 2 == 0
+                    else F.shiftright(halves[i], BAND_BITS)
+                ).cast("long").alias("band_val"),
+            )
+            for i in range(4)
+        ]
     )
-    kept = bands.join(kept_keys, ["band_idx", "band_val"])
-    a, b = kept.alias("a"), kept.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    bands = hashes.select(
+        F.struct("doc_id", "hi", "lo").alias("rec"),
+        F.explode(band_arr).alias("b"),
+    ).select("rec", "b.band_idx", "b.band_val")
+    pairs = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.array_sort(F.collect_list("rec")).alias("mem"))
+        .filter(
+            (F.size("mem") >= 2) & (F.size("mem") <= band_df_cap)
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.explode(
+                F.expr(
+                    f"""
+                    filter(
+                      flatten(transform(mem, (x, i) ->
+                        transform(slice(mem, i + 2, size(mem)), y ->
+                          struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+                                 CAST(bit_count(x.hi ^ y.hi)
+                                      + bit_count(x.lo ^ y.lo) AS INT)
+                                 AS hamming)))),
+                      p -> p.hamming <= {k})
+                    """
+                )
+            ).alias("p")
         )
-        .distinct()
+        .select("p.doc_a", "p.doc_b", "p.hamming")
     )
-    ha = hashes.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("hi").alias("hi_a"),
-        F.col("lo").alias("lo_a"),
-    )
-    hb = hashes.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("hi").alias("hi_b"),
-        F.col("lo").alias("lo_b"),
-    )
-    hamming = (
-        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
-    ).cast("int")
-    return (
-        cand.join(ha, "doc_a")
-        .join(hb, "doc_b")
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= k)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return pairs.distinct()
 
 
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
