@@ -80,3 +80,30 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, *, check_rows: int | Non
             f"value mismatch on {int(mism.sum())}/{len(got)} rows; first:\n"
             f"spark:\n{got.loc[idx]}\nduck:\n{want.loc[idx]}"
         )
+
+
+def replay_batch_ids(prefix: str) -> set[int]:
+    """Committed micro-batch ids of the NEWEST replay workdir for a
+    prefix. Replay scratch dirs moved under the shared self-pruning
+    root (streaming.state.replay_workdir) in round 8; tests that
+    globbed bare /tmp/<prefix>_* kept passing on stale pre-move dirs
+    until a fresh container surfaced the rot (round 10). Newest-dir
+    selection keeps concurrent/old replays from vacuously passing."""
+    import glob
+    import re
+    import tempfile
+
+    root = os.path.join(tempfile.gettempdir(), "timerlake_replays")
+    dirs = sorted(
+        glob.glob(os.path.join(root, f"{prefix}_*")),
+        key=os.path.getmtime,
+    )
+    if not dirs:
+        return set()
+    ckpts = glob.glob(os.path.join(dirs[-1], "ckpt", "offsets", "*"))
+    return {
+        int(m.group(1))
+        for p in ckpts
+        for m in [re.search(r"/offsets/(\d+)$", p)]
+        if m
+    }

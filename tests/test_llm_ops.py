@@ -223,8 +223,9 @@ def test_stream_dedup_folds_across_multiple_batches(spark):
     assert (a["dup_cnt"].astype("int64") == b["dup_cnt"].astype("int64")).all()
     # the checkpoint records one offset file per committed micro-batch —
     # several must exist, or the "incremental" claim is vacuous
-    ckpts = glob.glob("/tmp/stream_dedup_*/ckpt/offsets/*")
-    batch_ids = {int(m.group(1)) for p in ckpts for m in [re.search(r"/offsets/(\d+)$", p)] if m}
+    from tests.conftest import replay_batch_ids
+
+    batch_ids = replay_batch_ids("stream_dedup")
     assert len(batch_ids) >= 3, f"expected a multi-batch replay, saw {sorted(batch_ids)}"
 
 

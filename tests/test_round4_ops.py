@@ -310,18 +310,11 @@ def test_stream_scd2_folds_across_multiple_batches(spark):
     """The incremental SCD2 dimension must be built over several real
     micro-batches (8 files at maxFilesPerTrigger=2), not one shot —
     the checkpoint must record multiple committed offsets."""
-    import glob
-    import re
+    from tests.conftest import replay_batch_ids
 
     out = _q("q_stream_scd2")(spark, SF_DIR)
     assert out.filter("is_current").count() > 0
-    ckpts = glob.glob("/tmp/stream_scd2_*/ckpt/offsets/*")
-    batch_ids = {
-        int(m.group(1))
-        for p in ckpts
-        for m in [re.search(r"/offsets/(\d+)$", p)]
-        if m
-    }
+    batch_ids = replay_batch_ids("stream_scd2")
     assert len(batch_ids) >= 3, f"expected a multi-batch replay, saw {sorted(batch_ids)}"
 
 
@@ -371,18 +364,11 @@ def test_scd2_fold_retry_is_noop(spark, tmp_path):
 def test_stream_session_window_folds_across_multiple_batches(spark):
     """Native streaming session_window must merge open-session state
     over several real micro-batches (7 files at maxFilesPerTrigger=2)."""
-    import glob
-    import re
+    from tests.conftest import replay_batch_ids
 
     out = _q("q_stream_session_window")(spark, SF_DIR)
     assert out.count() > 0
-    ckpts = glob.glob("/tmp/stream_sw_*/ckpt/offsets/*")
-    batch_ids = {
-        int(m.group(1))
-        for p in ckpts
-        for m in [re.search(r"/offsets/(\d+)$", p)]
-        if m
-    }
+    batch_ids = replay_batch_ids("stream_sw")
     assert len(batch_ids) >= 3, f"expected a multi-batch replay, saw {sorted(batch_ids)}"
 
 

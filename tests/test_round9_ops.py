@@ -403,7 +403,11 @@ def test_stream_ivfpq_append_encodes_like_one_shot(spark):
     arr_ids = {r.vec_id for r in arriving.select("vec_id").collect()}
     got = sorted(
         tuple(r)
-        for r in codes.collect()
+        # codes carries the batch partition column since r10 (drift
+        # guard counts seed vs appended mass); parity is over the codes
+        for r in codes.select(
+            "vec_id", "cell_id", "block", "code"
+        ).collect()
         if r.vec_id in arr_ids
     )
     assert got == want
