@@ -166,6 +166,27 @@ AUDITED: dict[str, str] = {
         "conv byte math inside WholeStageCodegen, zero exchanges before "
         "the final order, no Python eval."
     ),
+    "q_image_dims_real": (
+        "Segment-walk image dims (r10): ONE MapInPandas kernel over "
+        "(doc_id, payload) Arrow batches — no joins, no shuffle before "
+        "the final order; the walk is O(#segments) per file, never an "
+        "O(n_bytes) offset array."
+    ),
+    "q_image_dedup": (
+        "Perceptual image dedup (r10): the postings discipline on dHash "
+        "bands — exactly four exchange nodes: the input spread "
+        "(RoundRobin), ONE band-key hash exchange into df-capped "
+        "collect_list buckets (pairs AND exact Hamming in-lambda, worst "
+        "bucket cap^2), the pair distinct, and the final sort — ZERO "
+        "joins, no cartesian; the scan reads only doc_id and payload "
+        "bytes never enter an exchange."
+    ),
+    "q_html_extract": (
+        "HTML boilerplate extraction (r10): the whole strip/decode/"
+        "link-density pipeline is ONE map-side projection (Java-regex "
+        "chains inside the scan stage) — zero exchanges before the "
+        "final order, no Python eval."
+    ),
 }
 
 

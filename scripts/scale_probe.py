@@ -76,6 +76,16 @@ PROBES = [
     # watch as per-lang groups grow
     "q_dup_profile",
     "q_pack_bfd",
+    # r10 additions: the perceptual image dedup is postings-shaped
+    # (ONE band-bucket shuffle, df-capped in-lambda pairs), so its
+    # curve should track q_dedup_minhash's banded shape, not a pair
+    # explosion (doc_id replication reuses grid patterns past 55,471
+    # ids — genuine hamming-0 cross-copy dups, each a ~2-doc bucket);
+    # the HTML gate and the segment-walk parser are pure map passes
+    # (textstats-shaped: ~flat per-row cost, trivially parallel)
+    "q_image_dedup",
+    "q_html_extract",
+    "q_image_dims_real",
 ]
 
 
@@ -464,6 +474,15 @@ def main() -> None:
         "each one distributed scan + a ONE-ROW collect; per-round work",
         "is O(n·round) distance evals, so the ratio should stay linear",
         "in rows with a small constant.",
+        "",
+        "q_image_dedup (r10) is the banded-Hamming postings shape: 4",
+        "slim band rows per image into ONE hash exchange, pairs and the",
+        "exact xor/bit_count Hamming in-lambda inside df-capped buckets",
+        "— candidate volume is sum(bucket^2), never corpus^2, so the",
+        "curve tracks q_dedup_minhash's banded behavior rather than a",
+        "pair explosion. q_html_extract and q_image_dims_real are pure",
+        "map passes (regex pipeline / Arrow-batched segment walk):",
+        "per-row cost is flat and the wall follows rows/parallelism.",
         "",
         "## SemDeDup k-cap: driver state bounded as the corpus grows",
         "",
