@@ -273,3 +273,33 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     # and the probe really sits on the fact (lineitem) scan side
     probe_side = plan.split("might_contain")[1]
     assert "l_orderkey" in plan.split("might_contain")[0].splitlines()[-1] or "l_orderkey" in probe_side
+
+
+def test_image_dedup_is_one_band_shuffle_no_joins(spark):
+    """r10 perceptual image dedup plan gate: the postings discipline —
+    no join operator of any kind (pairs + Hamming come from in-lambda
+    bucket expansion), and exactly the four intended exchange nodes
+    (input spread, the ONE band-key hash into collect_list buckets,
+    the pair distinct, the final sort). A fifth exchange or a join
+    appearing means the 4-join shape regressed."""
+    plan = _plan(spark, "q_image_dedup")
+    for op in ("Join", "CartesianProduct"):
+        assert op not in plan, op
+    tree = plan.split("\n\n")[0]  # count nodes once (tree, not detail)
+    assert tree.count("Exchange") == 4, tree
+
+
+def test_html_extract_and_walk_dims_are_single_pass(spark):
+    """r10 map-pass gates: the HTML pipeline is pure JVM projection
+    (no Python eval, no exchange before the final sort); the
+    segment-walk parser is exactly one Arrow-batched kernel with no
+    joins and no shuffle before its sort."""
+    plan = _plan(spark, "q_html_extract")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, tree  # the final orderBy only
+    plan2 = _plan(spark, "q_image_dims_real")
+    assert plan2.count("MapInPandas") == 1
+    assert "Join" not in plan2
+    tree2 = plan2.split("\n\n")[0]
+    assert tree2.count("Exchange") == 1, tree2
