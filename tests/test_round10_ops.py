@@ -585,3 +585,30 @@ def test_ivfpq_drift_guard_forces_rebuild_below_threshold(spark):
     for search in (search_drift, search_keep):
         got = {(r.query_id, r.neighbor_id) for r in search.collect()}
         assert len(got & truth) / len(truth) >= 0.4
+
+
+# ---------------------------------------------------------------- #
+# Temperature-based language mixture                                #
+# ---------------------------------------------------------------- #
+
+def test_temperature_mix_law(spark):
+    """alpha=0.5 temperature law: shares sum to 1, smaller languages
+    get HIGHER sampling rates than larger ones (the anti-proportional
+    upsampling the law exists for), epochs>1 only where the rate is
+    pinned at 1.0, and the kept census tracks rate x mass within the
+    integer-percent hash granularity."""
+    from timer_pulsar_spark.operators.sampling import q_temperature_mix
+
+    rows = q_temperature_mix(spark, "/root/testdata/sf0.001").collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    by_mass = sorted(rows, key=lambda r: r.mass_chars)
+    rates = [r.rate for r in by_mass]
+    assert rates == sorted(rates, reverse=True), rates
+    for r in rows:
+        assert r.epochs >= 1.0
+        if r.epochs > 1.0:
+            assert r.rate == 1.0
+        # hash gate selects bucket < rate*100 of 100 integer buckets:
+        # expected kept mass fraction is within the bucket quantization
+        got_frac = r.kept_chars / r.mass_chars
+        assert abs(got_frac - r.rate) < 0.15, (r.lang, got_frac, r.rate)

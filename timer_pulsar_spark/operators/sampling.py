@@ -1383,6 +1383,102 @@ ORACLES["q_curriculum_sharded"] = f"""
 # the one-pass definition as its oracle verbatim
 ORACLES["q_token_budget_sample_2pass"] = ORACLES["q_token_budget_sample"]
 
+# Temperature-based language mixture (mC4 / XLM-R style): sampling
+# share per language q_l ∝ mass_l^alpha with alpha = 0.5 — written as
+# sqrt(), which is IEEE-correctly-rounded in BOTH engines (a pow()
+# call could differ sub-ulp across libms). The budget is a fraction
+# of total corpus mass; a language whose share exceeds its own mass
+# cannot be downsampled past rate 1.0 — the surplus is reported as
+# `epochs` (the repeat factor an upsampling data loader applies).
+TEMP_MIX_BUDGET_FRAC = 0.5
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[curation: temperature mixture] derive per-language sampling
+    rates FROM THE CORPUS CENSUS (unlike q_mix_sources' fixed config
+    rates): share_l = sqrt(mass_l) / Σ sqrt(mass), target mass =
+    share_l × (0.5 × total mass), rate_l = min(1, target/mass_l) —
+    the α=0.5 temperature law that upsamples low-resource languages
+    relative to proportional sampling. Two corpus passes, both the
+    right plan at 100 TB: a map-side-combined per-lang census (5-row
+    result), then the content-stable hash gate with the 5-row rates
+    frame broadcast onto the scan. Rates are rounded to 6 decimals
+    BEFORE gating in BOTH engines, so a sub-ulp difference in the
+    cross-language sqrt sum cannot flip a doc's membership. Output is
+    the per-language card: census mass, share, rate, epochs, and the
+    actually-kept doc/char counts (which verify the gate itself)."""
+    d = load_table(spark, sf_dir, "documents")
+    census = d.groupBy("lang").agg(
+        F.sum("n_chars").cast("double").alias("mass")
+    )
+    tot = census.agg(
+        F.sum(F.sqrt(F.col("mass"))).alias("s"),
+        F.sum("mass").alias("m"),
+    )
+    raw = F.sqrt(F.col("mass")) / F.col("s")
+    target = raw * (F.lit(TEMP_MIX_BUDGET_FRAC) * F.col("m"))
+    rates = census.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("mass").cast("long").alias("mass_chars"),
+        F.round(raw, 6).alias("share"),
+        F.round(F.least(F.lit(1.0), target / F.col("mass")), 6).alias(
+            "rate"
+        ),
+        F.round(F.greatest(F.lit(1.0), target / F.col("mass")), 6).alias(
+            "epochs"
+        ),
+    )
+    kept = (
+        d.join(F.broadcast(rates.select("lang", "rate")), "lang")
+        .filter(hash_bucket(F.col("doc_id")) < F.col("rate") * 100)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang", "mass_chars", "share", "rate", "epochs",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_chars", F.lit(0)).alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+ORACLES["q_temperature_mix"] = f"""
+    WITH census AS (
+        SELECT lang, CAST(SUM(n_chars) AS DOUBLE) AS mass
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT SUM(sqrt(mass)) AS s, SUM(mass) AS m FROM census),
+    rates AS (
+        SELECT lang, CAST(mass AS BIGINT) AS mass_chars,
+               round(sqrt(mass) / s, 6) AS share,
+               round(least(1.0, (sqrt(mass) / s)
+                     * ({TEMP_MIX_BUDGET_FRAC} * m) / mass), 6) AS rate,
+               round(greatest(1.0, (sqrt(mass) / s)
+                     * ({TEMP_MIX_BUDGET_FRAC} * m) / mass), 6) AS epochs
+        FROM census, tot
+    ),
+    kept AS (
+        SELECT d.lang,
+               count(*) AS kept_docs,
+               CAST(sum(d.n_chars) AS BIGINT) AS kept_chars
+        FROM documents d JOIN rates r USING (lang)
+        WHERE {_bucket_sql("doc_id")} < r.rate * 100
+        GROUP BY d.lang
+    )
+    SELECT r.lang, r.mass_chars, r.share, r.rate, r.epochs,
+           CAST(COALESCE(k.kept_docs, 0) AS BIGINT) AS kept_docs,
+           CAST(COALESCE(k.kept_chars, 0) AS BIGINT) AS kept_chars
+    FROM rates r LEFT JOIN kept k USING (lang)
+    ORDER BY r.lang
+"""
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())
