@@ -525,7 +525,8 @@ def test_html_extract_drops_boilerplate_keeps_body(spark):
     page = (
         '<html><head><script>if (a < b) { alert("x < y"); }</script>'
         "<style>p { margin: 0; }</style></head>"
-        '<body><h1>Title</h1><p>real body text</p>'
+        "<body><h1>Title</h1><!-- <em>commented-out draft</em> -->"
+        "<p>real body text</p>"
         "<footer>Privacy &amp; Terms &copy; 2026 &lt;end&gt;</footer>"
         "</body></html>"
     )
@@ -533,6 +534,9 @@ def test_html_extract_drops_boilerplate_keeps_body(spark):
     out = df.select(html_extract_text(F.col("html")).alias("t")).first().t
     assert out == "Title real body text Privacy & Terms (c) 2026 <end>"
     assert "alert" not in out and "margin" not in out
+    # the comment body must vanish WHOLE — a tag-only strip would
+    # leak "commented-out draft" into the training text
+    assert "draft" not in out
 
 
 def test_html_link_density_gate_binds(spark):

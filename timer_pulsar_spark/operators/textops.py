@@ -2144,6 +2144,7 @@ ORACLES["q_vocab_coverage"] = f"""
 # lookaround, no backreferences; (?s) + non-greedy are in both engines.
 HTML_SCRIPT_RE = r"(?s)<script\b[^>]*>.*?</script>"
 HTML_STYLE_RE = r"(?s)<style\b[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
 HTML_TAG_RE = r"<[^>]*>"
 HTML_ANCHOR_RE = r"(?s)<a\b[^>]*>(.*?)</a>"
 HTML_WS_RE = r"\s+"
@@ -2168,6 +2169,10 @@ def html_extract_text(html_col) -> "F.Column":
     at 100 TB this runs inside the parquet scan's codegen stage."""
     out = F.regexp_replace(html_col, HTML_SCRIPT_RE, " ")
     out = F.regexp_replace(out, HTML_STYLE_RE, " ")
+    # comments BEFORE the tag strip: a commented-out fragment like
+    # <!-- <p>old draft</p> --> must vanish whole, not leak its text
+    # once the tag strip removes only the angle-bracket runs
+    out = F.regexp_replace(out, HTML_COMMENT_RE, " ")
     out = F.regexp_replace(out, HTML_TAG_RE, " ")
     for ent, repl in HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(repl))
@@ -2192,7 +2197,7 @@ def planted_html(spark: SparkSession, sf_dir: str) -> DataFrame:
             "<a href=\"/about\">About</a></nav><h1>Doc "
         ),
         F.col("doc_id").cast("string"),
-        F.lit("</h1><p>"),
+        F.lit("</h1><!-- <p>draft boilerplate do not ship</p> --><p>"),
         F.col("text"),
         F.lit("</p><div class=\"ads\">"),
         F.repeat(
@@ -2270,7 +2275,8 @@ _HTML_PAGE_SQL = (
     "<style>.nav { color: red; }</style></head>"
     "<body><nav><a href=\"/\">Home</a> | "
     "<a href=\"/about\">About</a></nav><h1>Doc ' || doc_id || "
-    "'</h1><p>' || text || '</p><div class=\"ads\">' || "
+    "'</h1><!-- <p>draft boilerplate do not ship</p> --><p>' "
+    "|| text || '</p><div class=\"ads\">' || "
     "repeat('<a href=\"/t\">spam spam</a> ', CAST(doc_id % 5 AS INT)) || "
     "'</div><footer><a href=\"/privacy\">Privacy</a> &amp; "
     "<a href=\"/terms\">Terms</a> &copy; 2026</footer>"
@@ -2287,9 +2293,11 @@ ORACLES["q_html_extract"] = f"""
                    replace(replace(replace(replace(replace(
                        regexp_replace(
                            regexp_replace(
-                               regexp_replace(html,
-                                   '{HTML_SCRIPT_RE}', ' ', 'g'),
-                               '{HTML_STYLE_RE}', ' ', 'g'),
+                               regexp_replace(
+                                   regexp_replace(html,
+                                       '{HTML_SCRIPT_RE}', ' ', 'g'),
+                                   '{HTML_STYLE_RE}', ' ', 'g'),
+                               '{HTML_COMMENT_RE}', ' ', 'g'),
                            '{HTML_TAG_RE}', ' ', 'g'),
                        '&copy;', '(c)'), '&lt;', '<'), '&gt;', '>'),
                        '&nbsp;', ' '), '&amp;', '&'),
