@@ -734,31 +734,6 @@ def q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dhash64(planted_bitmaps(spark, sf_dir)).orderBy("doc_id")
 
 
-def dhash_bands(hashes: DataFrame) -> DataFrame:
-    """Split each 64-bit dHash into 4 x 16-bit bands — the LSH-style
-    candidate key for Hamming search: two hashes within Hamming k
-    differ in at most k bands, so with k <= 8 over 4 bands every
-    qualifying pair shares at least 2 exact-equal bands and is found
-    by an equality join (never an all-pairs scan)."""
-    halves = {0: F.col("lo"), 1: F.col("lo"), 2: F.col("hi"), 3: F.col("hi")}
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                (
-                    halves[i] % 65536
-                    if i % 2 == 0
-                    else F.shiftright(halves[i], BAND_BITS)
-                ).cast("long").alias("band_val"),
-            )
-            for i in range(4)
-        ]
-    )
-    return hashes.select(
-        "doc_id", F.explode(bands).alias("b")
-    ).select("doc_id", "b.band_idx", "b.band_val")
-
-
 def image_dedup_pairs(
     hashes: DataFrame, k: int = HAMMING_K, band_df_cap: int = BAND_DF_CAP
 ) -> DataFrame:
