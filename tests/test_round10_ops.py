@@ -616,3 +616,82 @@ def test_temperature_mix_law(spark):
         # expected kept mass fraction is within the bucket quantization
         got_frac = r.kept_chars / r.mass_chars
         assert abs(got_frac - r.rate) < 0.15, (r.lang, got_frac, r.rate)
+
+
+# ---------------------------------------------------------------- #
+# MP4 / ISO-BMFF video metadata                                      #
+# ---------------------------------------------------------------- #
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def test_walk_mp4_parses_golden_and_edge_boxes():
+    """The box walker must handle version-1 mvhd (64-bit times),
+    largesize boxes, leading free boxes, truncated payloads, and
+    refuse non-BMFF bytes — all without touching sample data."""
+    from timer_pulsar_spark.operators.multimodal import _walk_mp4
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 4)
+    matrix = bytes.fromhex(
+        "00010000000000000000000000000000"
+        "00010000000000000000000000000000"
+        "40000000"
+    )
+    # version 1: ctime/mtime/duration are 64-bit, timescale still 32
+    mvhd_v1 = _box(
+        b"mvhd",
+        bytes([1, 0, 0, 0]) + (0).to_bytes(8, "big") * 2
+        + (1000).to_bytes(4, "big") + (90_000).to_bytes(8, "big")
+        + (0x00010000).to_bytes(4, "big") + (0x0100).to_bytes(2, "big")
+        + b"\x00" * 10 + matrix + b"\x00" * 24 + (2).to_bytes(4, "big"),
+    )
+    tkhd_v0 = _box(
+        b"tkhd",
+        bytes([0, 0, 0, 7]) + (0).to_bytes(4, "big") * 2
+        + (1).to_bytes(4, "big") + b"\x00" * 4 + (90_000).to_bytes(4, "big")
+        + b"\x00" * 8 + b"\x00" * 8 + matrix
+        + (1920 << 16).to_bytes(4, "big") + (1080 << 16).to_bytes(4, "big"),
+    )
+    moov = _box(b"moov", mvhd_v1 + _box(b"trak", tkhd_v0))
+    free = _box(b"free", b"\x00" * 5)
+    assert _walk_mp4(ftyp + free + moov) == ("mp4", 1920, 1080, 90_000)
+
+    # largesize (size field == 1, 64-bit size follows) on the free box
+    large_free = (
+        (1).to_bytes(4, "big") + b"free" + (21).to_bytes(8, "big")
+        + b"\x00" * 5
+    )
+    assert _walk_mp4(ftyp + large_free + moov) == ("mp4", 1920, 1080, 90_000)
+
+    # truncated moov: codec recognized, fields degrade to None
+    trunc = ftyp + moov[:40]
+    codec, w, h, d = _walk_mp4(trunc)
+    assert codec == "mp4" and d is None
+
+    assert _walk_mp4(b"RIFF1234WAVE")[0] == "unknown"
+    assert _walk_mp4(None)[0] == "unknown"
+    # malformed size < 8 must not loop forever
+    assert _walk_mp4(ftyp + (3).to_bytes(4, "big") + b"junk")[0] == "mp4"
+
+
+def test_video_meta_recovers_planted_boxes(spark):
+    """End-to-end: the planted variable-free-box corpus parses to the
+    doc_id-derived truth (a fixed-offset reader cannot — the moov
+    position shifts with doc_id % 7)."""
+    from timer_pulsar_spark.operators.multimodal import (
+        planted_mp4s, video_meta_walk,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in video_meta_walk(planted_mp4s(spark, "/root/testdata/sf0.001"))
+        .filter(F.col("doc_id") < 30).collect()
+    }
+    for i in range(30):
+        r = rows[i]
+        assert r.codec == "mp4"
+        assert r.width == i % 317 + 16 and r.height == i % 211 + 16
+        ts, dur = 600 + (i % 5) * 300, (i % 997 + 1) * 600
+        assert r.duration_ms == dur * 1000 // ts
+        assert r.n_bytes == 240 + i % 7

@@ -624,6 +624,182 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Video container metadata (MP4 / ISO-BMFF, ISO/IEC 14496-12):
+# completes the multimodal metadata family — PNG/JPEG (image), WAV
+# (audio), MP4 (video). Boxes are [size:uint32 BE][type:4cc][payload];
+# duration lives in moov/mvhd (timescale + duration), display dims in
+# moov/trak/tkhd as 16.16 fixed point. Like JPEG, the format demands
+# a real WALK (skip each box by its declared size) — a fixed-offset
+# read breaks on any file with a leading free/skip box, which the
+# planted corpus includes by construction.
+
+_MVHD_V0_TS, _MVHD_V1_TS = 20, 28          # byte offsets inside the box
+_TKHD_V0_WH, _TKHD_V1_WH = 84, 96
+
+
+def _be(b: bytes, pos: int, n: int) -> int:
+    return int.from_bytes(b[pos : pos + n], "big")
+
+
+def _walk_mp4(b: bytes | None) -> tuple[str, int | None, int | None, int | None]:
+    """(codec, width, height, duration_ms) from an ISO-BMFF stream:
+    top-level box walk to moov, then child walks to mvhd (version 0
+    AND 1 time-field widths handled) and trak/tkhd. Cost is
+    O(#boxes) — header-only, never touches mdat sample data."""
+    if b is None or len(b) < 12 or b[4:8] != b"ftyp":
+        return ("unknown", None, None, None)
+    ts = dur = width = height = None
+
+    def children(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size, typ = _be(b, i, 4), b[i + 4 : i + 8]
+            if size == 1:          # 64-bit largesize
+                if i + 16 > hi:
+                    return
+                size = _be(b, i + 8, 8)
+                yield typ, i, min(i + size, hi)
+            elif size == 0:        # box extends to end of enclosing
+                yield typ, i, hi
+                return
+            else:
+                yield typ, i, min(i + size, hi)
+            if size < 8:
+                return             # malformed: refuse to loop
+            i += size
+
+    for typ, lo, hi in children(0, len(b)):
+        if typ != b"moov":
+            continue
+        for ctyp, clo, chi in children(lo + 8, hi):
+            if ctyp == b"mvhd" and chi - clo >= 32:
+                v = b[clo + 8]
+                off = _MVHD_V1_TS if v == 1 else _MVHD_V0_TS
+                dlen = 8 if v == 1 else 4
+                if chi - clo >= off + 4 + dlen:
+                    ts = _be(b, clo + off, 4)
+                    dur = _be(b, clo + off + 4, dlen)
+            elif ctyp == b"trak":
+                for gtyp, glo, ghi in children(clo + 8, chi):
+                    if gtyp == b"tkhd" and ghi - glo >= 20:
+                        v = b[glo + 8]
+                        off = _TKHD_V1_WH if v == 1 else _TKHD_V0_WH
+                        if ghi - glo >= off + 8:
+                            # 16.16 fixed point -> integer pixels
+                            width = _be(b, glo + off, 4) >> 16
+                            height = _be(b, glo + off + 4, 4) >> 16
+    dur_ms = (dur * 1000) // ts if ts and dur is not None else None
+    return ("mp4", width, height, dur_ms)
+
+
+def video_meta_walk(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """MP4 metadata extraction as an Arrow-batched mapInPandas kernel
+    (the image_dims_walk idiom): only doc_id + payload ship to Python,
+    one batch at a time; the walk reads box headers only, so a 10 GB
+    video costs the same as a 240-byte planted header."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("codec", T.StringType(), True),
+            T.StructField("width", T.LongType(), True),
+            T.StructField("height", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_walk_mp4(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "codec": [c for c, _w, _h, _d in parsed],
+                    "width": pd.array(
+                        [w for _c, w, _h, _d in parsed], dtype="Int64"
+                    ),
+                    "height": pd.array(
+                        [h for _c, _w, h, _d in parsed], dtype="Int64"
+                    ),
+                    "duration_ms": pd.array(
+                        [d for _c, _w, _h, d in parsed], dtype="Int64"
+                    ),
+                    "n_bytes": [
+                        len(p) if p is not None else 0
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(kernel, schema=schema)
+
+
+_UNITY_MATRIX = "000100000000000000000000000000000001000000000000000000000000000040000000"
+
+
+def planted_mp4s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic minimal ISO-BMFF files per document: ftyp, a
+    VARIABLE-length free box (doc_id % 7 pad bytes — defeats any
+    fixed-offset read, the APP0 trick), then moov{mvhd, trak{tkhd}}.
+    timescale/duration/width/height derive from doc_id, which is what
+    lets DuckDB oracle the box walk arithmetically."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    timescale = (F.lit(600) + (F.col("doc_id") % 5) * 300).cast("long")
+    duration = ((F.col("doc_id") % 997 + 1) * 600).cast("long")
+    w = (F.col("doc_id") % 317 + 16).cast("long")
+    h = (F.col("doc_id") % 211 + 16).cast("long")
+    pad = (F.col("doc_id") % 7).cast("int")
+
+    def be4(col: Column) -> Column:
+        return F.lpad(F.hex(col), 8, "0")
+
+    mvhd = F.concat(
+        F.lit("0000006C" + "6D766864"),      # size 108, 'mvhd'
+        F.lit("00000000"),                   # version 0 + flags
+        F.lit("00000000" * 2),               # ctime, mtime
+        be4(timescale), be4(duration),
+        F.lit("00010000"), F.lit("0100"),    # rate 1.0, volume 1.0
+        F.repeat(F.lit("00"), 10),           # reserved
+        F.lit(_UNITY_MATRIX),
+        F.repeat(F.lit("00"), 24),           # pre_defined
+        F.lit("00000002"),                   # next_track_ID
+    )
+    tkhd = F.concat(
+        F.lit("0000005C" + "746B6864"),      # size 92, 'tkhd'
+        F.lit("00000007"),                   # version 0, enabled flags
+        F.lit("00000000" * 2),               # ctime, mtime
+        F.lit("00000001"), F.lit("00000000"),  # track_ID, reserved
+        be4(duration),
+        F.repeat(F.lit("00"), 8),            # reserved
+        F.lit("0000" * 4),                   # layer/altgroup/volume/res
+        F.lit(_UNITY_MATRIX),
+        be4(F.shiftleft(w, 16)),             # width  16.16
+        be4(F.shiftleft(h, 16)),             # height 16.16
+    )
+    mp4_hex = F.concat(
+        F.lit("00000010" + "66747970" + "69736F6D" + "00000000"),  # ftyp
+        be4((pad + 8).cast("long")), F.lit("66726565"),            # free
+        F.repeat(F.lit("00"), pad),
+        F.lit("000000D8" + "6D6F6F76"),      # moov: 8 + 108 + 100
+        mvhd,
+        F.lit("00000064" + "7472616B"),      # trak: 8 + 92
+        tkhd,
+    )
+    return d.select("doc_id", F.unhex(mp4_hex).alias("payload"))
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked video container metadata: plant minimal MP4 box
+    structures (with a variable-length free box before moov so only a
+    real box WALK finds the headers), parse duration/dims back OUT OF
+    THE BYTES with the ISO-BMFF walker, oracle recomputes the planted
+    values from doc_id arithmetic. Completes the multimodal metadata
+    family: q_image_dims (PNG/JPEG) + q_audio_meta (WAV) +
+    q_video_meta (MP4)."""
+    return video_meta_walk(planted_mp4s(spark, sf_dir)).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------
 # Perceptual image dedup (VERDICT r09 #4): dHash over uncompressed
 # bitmaps + banded Hamming candidate generation. Completes the dedup
 # family for binary/media columns, which previously only had byte-md5
@@ -885,6 +1061,16 @@ ORACLES: dict[str, str] = {
         WHERE bit_count(xor(ha.hi, hb.hi))
               + bit_count(xor(ha.lo, hb.lo)) <= {HAMMING_K}
         ORDER BY doc_a, doc_b
+    """,
+    "q_video_meta": """
+        SELECT doc_id,
+               'mp4' AS codec,
+               CAST(doc_id % 317 + 16 AS BIGINT) AS width,
+               CAST(doc_id % 211 + 16 AS BIGINT) AS height,
+               CAST(((doc_id % 997 + 1) * 600) * 1000
+                    // (600 + (doc_id % 5) * 300) AS BIGINT) AS duration_ms,
+               CAST(240 + doc_id % 7 AS BIGINT) AS n_bytes
+        FROM documents ORDER BY doc_id
     """,
     "q_audio_meta": """
         SELECT doc_id,

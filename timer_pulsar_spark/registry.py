@@ -137,10 +137,11 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
-    # r10 late newcomer (the established pattern: SECONDARY head,
+    # r10 late newcomers (the established pattern: SECONDARY head,
     # rotate into the window next round) — census-derived temperature
-    # mixture (sampling family has q_sample_weighted in-window)
-    "q_temperature_mix",
+    # mixture (sampling family has q_sample_weighted in-window) and
+    # MP4 box-walk metadata (multimodal family has four in-window reps)
+    "q_temperature_mix", "q_video_meta",
     # r10 demotions — hash-green in r09, family coverage argued at the
     # PRIORITY r10-rotation comment; first to re-enter on budget+1
     "q_dedup_near_auto_check", "q_stream_ttl_evict",
