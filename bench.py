@@ -943,17 +943,27 @@ def main() -> None:
         the trainer/BPE/ingest/fold sections) keep the rep with the
         lower wall so ambient-load noise stops reading as
         round-over-round regressions, and report both walls."""
-        try:
-            outs = [fn(*args, **kwargs) for _ in range(reps)]
-            out = min(outs, key=_wall_of)
-            if reps > 1:
-                out = {**out, "walls_sec_reps": [round(_wall_of(o), 3) for o in outs]}
-            print(f"# {name}: {out}", file=sys.stderr)
+        # reps run one-by-one so a transient failure in a later rep
+        # (lingering executor state, OOM) does not discard an earlier
+        # successful measurement — the section only reads as an error
+        # when EVERY rep failed
+        outs, err = [], None
+        for _ in range(reps):
+            try:
+                outs.append(fn(*args, **kwargs))
+            except Exception as exc:  # noqa: BLE001
+                err = f"{type(exc).__name__}: {exc}".splitlines()[0][:500]
+        if not outs:
+            out = {"error": err}
+            print(f"# {name}: ERROR {err}", file=sys.stderr)
             return out
-        except Exception as exc:  # noqa: BLE001
-            out = {"error": f"{type(exc).__name__}: {exc}".splitlines()[0][:500]}
-            print(f"# {name}: ERROR {out['error']}", file=sys.stderr)
-            return out
+        out = min(outs, key=_wall_of)
+        if reps > 1:
+            out = {**out, "walls_sec_reps": [round(_wall_of(o), 3) for o in outs]}
+        if err:
+            out = {**out, "rep_error": err}
+        print(f"# {name}: {out}", file=sys.stderr)
+        return out
 
     # both status modes explicitly (VERDICT r04 item 5): merge is the
     # 100 TB-shape partition-scoped leaf swap, append_log the O(batch)

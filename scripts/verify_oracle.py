@@ -35,10 +35,36 @@ SF_DIR = argv[0] if argv else "/root/testdata/sf0.01"
 ONLY = set(argv[1:])
 
 
+def _query_module_importers(mod_files):
+    """Reverse import edges BETWEEN query modules: sampling.py pulls
+    spread/with_shingles from dedup.py, multimodal.py pulls spread —
+    a change to the imported module must also re-sweep the importers'
+    queries, or the gate green-lights a regression it claims to catch.
+    Static scan of `from .X import` / `from ..pkg.X import` lines."""
+    import re as _re
+
+    stems = {path: os.path.splitext(os.path.basename(path))[0]
+             for path in mod_files}
+    importers = {path: set() for path in mod_files}
+    for path in mod_files:
+        try:
+            src = open(os.path.join(REPO, path)).read()
+        except OSError:
+            continue
+        imported = set(_re.findall(
+            r"^\s*from\s+\.+[\w.]*?(\w+)\s+import", src, _re.MULTILINE
+        ))
+        for other, stem in stems.items():
+            if other != path and stem in imported:
+                importers[other].add(path)
+    return importers
+
+
 def changed_query_names(rev, queries):
-    """Queries whose implementing module differs from `rev`. Returns
-    None to request a FULL sweep (a shared/non-query module changed,
-    whose blast radius the module map can't bound)."""
+    """Queries whose implementing module (or a query module importing
+    it) differs from `rev`. Returns None to request a FULL sweep (a
+    shared/non-query module changed, whose blast radius the module
+    map can't bound)."""
     diff = subprocess.run(
         ["git", "diff", "--name-only", rev, "--", "timer_pulsar_spark",
          "__spark_entry__.py"],
@@ -50,10 +76,15 @@ def changed_query_names(rev, queries):
     for name, fn in queries.items():
         rel = fn.__module__.replace(".", "/") + ".py"
         mod_files.setdefault(rel, set()).add(name)
+    importers = _query_module_importers(mod_files)
     selected = set()
     for path in diff:
         if path in mod_files:
             selected |= mod_files[path]
+            for dep in importers.get(path, ()):
+                print(f"--changed-since: {dep} imports from {path} -> "
+                      "its queries re-sweep too")
+                selected |= mod_files[dep]
         else:
             print(f"--changed-since: {path} is not a query module -> "
                   "full sweep (shared-helper blast radius)")

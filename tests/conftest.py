@@ -100,10 +100,14 @@ def replay_batch_ids(prefix: str) -> set[int]:
     )
     if not dirs:
         return set()
-    ckpts = glob.glob(os.path.join(dirs[-1], "ckpt", "offsets", "*"))
+    # commits/, not offsets/: Structured Streaming writes the offsets
+    # file at batch START — a replay stopped mid-batch has an offsets
+    # entry with no matching commit, and counting it would re-open the
+    # vacuous-pass hole this helper exists to close
+    ckpts = glob.glob(os.path.join(dirs[-1], "ckpt", "commits", "*"))
     return {
         int(m.group(1))
         for p in ckpts
-        for m in [re.search(r"/offsets/(\d+)$", p)]
+        for m in [re.search(r"/commits/(\d+)$", p)]
         if m
     }

@@ -458,8 +458,12 @@ def test_dhash64_parses_planted_bytes(spark):
 
 def test_image_dedup_recovers_planted_groups(spark):
     """Every same-group pair (one-pixel variants, Hamming <= 4) must
-    appear in the banded candidate output — the LSH pigeonhole
-    guarantee (<= 8 flipped bits over 4 bands leaves >= 2 intact)."""
+    appear in the banded candidate output on THIS fixed corpus: each
+    variant's <= 2 flipped bits are ADJACENT positions, landing in one
+    band except at the three 16-bit boundaries, so same-group pairs
+    share bands in practice (banded LSH recall is probabilistic in
+    general — guaranteed only for Hamming <= 3 with 4 bands; this
+    test pins the realistic-edit case empirically)."""
     from timer_pulsar_spark.operators.multimodal import q_image_dedup
 
     sf = "/root/testdata/sf0.001"

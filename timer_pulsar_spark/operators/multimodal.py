@@ -809,9 +809,14 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRID_W = 9          # dHash canonical grid: 9 cols x 8 rows of gray
 GRID_H = 8          # pixels; adjacent-column compares give 8x8 = 64 bits
 HAMMING_K = 8       # near-duplicate threshold (of 64 bits)
-BAND_BITS = 16      # 4 bands x 16 bits: Hamming<=8 pairs share >=2
-BAND_DF_CAP = 64    # bands (pigeonhole when flips cluster); buckets
-                    # larger than the cap are skew-dropped (both engines)
+BAND_BITS = 16      # 4 bands x 16 bits. Pigeonhole GUARANTEES a shared
+BAND_DF_CAP = 64    # band only for Hamming <= 3 (4 bands); at the k=8
+                    # threshold candidate recall is probabilistic, the
+                    # standard LSH trade (like the banded-MinHash and
+                    # SimHash arms) — bits from one perceptual edit
+                    # cluster in adjacent positions, i.e. usually one
+                    # band. Buckets larger than the df-cap are
+                    # skew-dropped (identically in both engines).
 
 
 def planted_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -915,7 +920,15 @@ def image_dedup_pairs(
 ) -> DataFrame:
     """Near-duplicate image pairs at Hamming <= k via banded candidate
     generation — the postings/banded discipline from text dedup
-    (dedup.py cooccurring_pairs) applied to 64-bit perceptual hashes:
+    (dedup.py cooccurring_pairs) applied to 64-bit perceptual hashes.
+    The contract is "banded candidates, exactly-verified": a pair must
+    share at least one full 16-bit band to become a candidate —
+    guaranteed for Hamming <= 3, probabilistic above (the standard
+    LSH recall trade; perceptual edits flip ADJACENT dHash bits, which
+    land in one band except at the three 16-bit boundaries, so
+    realistic edits are recovered — the planted-group pytest pins
+    this on the fixed corpus). Both engines replay identical banding,
+    so the output set is deterministic and oracle-exact:
 
     - each doc contributes 4 (band_idx, band_val) keys carrying its
       (hi, lo); ONE hash-partition shuffle groups them into buckets

@@ -93,12 +93,30 @@ _DRE = re.compile(r"d_(\d+)$")
 _PRE = re.compile(r"p_(\d+)$")
 
 
+# mtime-keyed meta cache: _leaf/partition_versions/vacuum resolve the
+# base dir per partition, which would re-open and re-parse _meta.json
+# O(n_parts) times per fold/read (at the module's own sizing law,
+# ~800 opens per micro-batch for 100 GB state — real latency on an
+# object store). Meta changes only via the atomic _write_meta rename,
+# which bumps the file mtime, so (mtime-match -> cached dict) is safe
+# across processes; same-process writers also invalidate explicitly.
+_META_CACHE: dict[str, tuple[float, dict]] = {}
+
+
 def _read_meta(root: str) -> dict | None:
-    meta = os.path.join(root, "_meta.json")
-    if not os.path.exists(meta):
+    path = os.path.join(root, "_meta.json")
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        _META_CACHE.pop(root, None)
         return None
-    with open(meta) as fh:
-        return json.load(fh)
+    hit = _META_CACHE.get(root)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    with open(path) as fh:
+        meta = json.load(fh)
+    _META_CACHE[root] = (mtime, meta)
+    return meta
 
 
 def _write_meta(root: str, meta: dict) -> None:
@@ -110,6 +128,7 @@ def _write_meta(root: str, meta: dict) -> None:
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
     os.rename(tmp, path)
+    _META_CACHE.pop(root, None)
 
 
 def _base_dir(root: str, meta: dict | None = None) -> str:
@@ -643,16 +662,23 @@ def _newest_mtime_under(path: str) -> float:
     replay dir a concurrent session is still streaming into can look
     stale by dir-mtime alone). Replay dirs hold checkpoint/state trees
     of bounded size, so a full walk stays cheap."""
-    newest = os.path.getmtime(path)
-    for dirpath, _dirs, files in os.walk(path):
+    # every stat is individually guarded: a concurrent session's prune
+    # can rmtree any entry between our listdir/walk and the stat, and
+    # one vanished file must neither crash the caller nor hide the
+    # OTHER files' mtimes (under-reporting could prune an active dir)
+    def mt(p: str) -> float:
         try:
-            newest = max(newest, os.path.getmtime(dirpath))
-            for f in files:
-                newest = max(
-                    newest, os.path.getmtime(os.path.join(dirpath, f))
-                )
-        except OSError:  # a concurrent prune/rename; skip the entry
-            continue
+            return os.path.getmtime(p)
+        except OSError:
+            return 0.0
+
+    newest = mt(path)
+    for dirpath, _dirs, files in os.walk(path):
+        newest = max(
+            newest,
+            mt(dirpath),
+            *(mt(os.path.join(dirpath, f)) for f in files),
+        )
     return newest
 
 
