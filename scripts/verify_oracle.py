@@ -40,7 +40,11 @@ def _query_module_importers(mod_files):
     spread/with_shingles from dedup.py, multimodal.py pulls spread —
     a change to the imported module must also re-sweep the importers'
     queries, or the gate green-lights a regression it claims to catch.
-    Static scan of `from .X import` / `from ..pkg.X import` lines."""
+    Static scan of `from .X import` / `from ..pkg.X import` lines,
+    expanded to the TRANSITIVE closure (ADVICE r10): if sampling.py
+    imports dedup.py which imports similarity.py, a similarity change
+    re-sweeps all three — one-level edges under-swept exactly the
+    indirect-regression class this map exists to catch."""
     import re as _re
 
     stems = {path: os.path.splitext(os.path.basename(path))[0]
@@ -57,6 +61,16 @@ def _query_module_importers(mod_files):
         for other, stem in stems.items():
             if other != path and stem in imported:
                 importers[other].add(path)
+    # fixed point: anything importing an importer re-sweeps too
+    changed = True
+    while changed:
+        changed = False
+        for path, deps in importers.items():
+            for dep in list(deps):
+                extra = importers.get(dep, set()) - deps - {path}
+                if extra:
+                    deps |= extra
+                    changed = True
     return importers
 
 

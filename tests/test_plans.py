@@ -29,6 +29,17 @@ def _plan(spark, name, *, executed: bool = False):
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _count_shuffles(tree: str) -> int:
+    """Shuffle-Exchange NODES, anchored at the node name (ADVICE r10):
+    a bare substring count also matches ReusedExchange/BroadcastExchange,
+    so a plan that swapped a shuffle for a reused/broadcast exchange
+    would keep the count and silently un-pin the intended shape. A node
+    line is tree-prefix chars (space, :, +, -) then the operator name."""
+    import re
+
+    return len(re.findall(r"(?m)^[ :+-]*Exchange ", tree))
+
+
 def test_scan_pushdown_and_pruning(spark):
     plan = _plan(spark, "q_scan")
     assert "PushedFilters: [" in plan
@@ -286,7 +297,7 @@ def test_image_dedup_is_one_band_shuffle_no_joins(spark):
     for op in ("Join", "CartesianProduct"):
         assert op not in plan, op
     tree = plan.split("\n\n")[0]  # count nodes once (tree, not detail)
-    assert tree.count("Exchange") == 4, tree
+    assert _count_shuffles(tree) == 4, tree
 
 
 def test_html_extract_and_walk_dims_are_single_pass(spark):
@@ -297,9 +308,9 @@ def test_html_extract_and_walk_dims_are_single_pass(spark):
     plan = _plan(spark, "q_html_extract")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") == 1, tree  # the final orderBy only
+    assert _count_shuffles(tree) == 1, tree  # the final orderBy only
     plan2 = _plan(spark, "q_image_dims_real")
     assert plan2.count("MapInPandas") == 1
     assert "Join" not in plan2
     tree2 = plan2.split("\n\n")[0]
-    assert tree2.count("Exchange") == 1, tree2
+    assert _count_shuffles(tree2) == 1, tree2

@@ -633,8 +633,10 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # read breaks on any file with a leading free/skip box, which the
 # planted corpus includes by construction.
 
-_MVHD_V0_TS, _MVHD_V1_TS = 20, 28          # byte offsets inside the box
-_TKHD_V0_WH, _TKHD_V1_WH = 84, 96
+# byte offsets from the box PAYLOAD start (i.e. past the 8- or 16-byte
+# header — the walker hands the true payload offset, ADVICE r10)
+_MVHD_V0_TS, _MVHD_V1_TS = 12, 20
+_TKHD_V0_WH, _TKHD_V1_WH = 76, 88
 
 
 def _be(b: bytes, pos: int, n: int) -> int:
@@ -651,43 +653,54 @@ def _walk_mp4(b: bytes | None) -> tuple[str, int | None, int | None, int | None]
     ts = dur = width = height = None
 
     def children(lo: int, hi: int):
+        """Yield (type, box_start, payload_start, box_end): the payload
+        start is box_start + the ACTUAL header size — 16 bytes under the
+        64-bit largesize form, 8 otherwise (ADVICE r10: an 8-byte
+        assumption mis-offsets every child of a largesize container)."""
         i = lo
         while i + 8 <= hi:
             size, typ = _be(b, i, 4), b[i + 4 : i + 8]
-            if size == 1:          # 64-bit largesize
+            if size == 1:          # 64-bit largesize: 16-byte header
                 if i + 16 > hi:
                     return
                 size = _be(b, i + 8, 8)
-                yield typ, i, min(i + size, hi)
+                if size < 16:
+                    return         # malformed: refuse to loop
+                yield typ, i, i + 16, min(i + size, hi)
             elif size == 0:        # box extends to end of enclosing
-                yield typ, i, hi
+                yield typ, i, i + 8, hi
                 return
             else:
-                yield typ, i, min(i + size, hi)
+                yield typ, i, i + 8, min(i + size, hi)
             if size < 8:
                 return             # malformed: refuse to loop
             i += size
 
-    for typ, lo, hi in children(0, len(b)):
+    for typ, _lo, pay, hi in children(0, len(b)):
         if typ != b"moov":
             continue
-        for ctyp, clo, chi in children(lo + 8, hi):
+        for ctyp, clo, cpay, chi in children(pay, hi):
             if ctyp == b"mvhd" and chi - clo >= 32:
-                v = b[clo + 8]
+                v = b[cpay]
                 off = _MVHD_V1_TS if v == 1 else _MVHD_V0_TS
                 dlen = 8 if v == 1 else 4
-                if chi - clo >= off + 4 + dlen:
-                    ts = _be(b, clo + off, 4)
-                    dur = _be(b, clo + off + 4, dlen)
+                if chi - cpay >= off + 4 + dlen:
+                    ts = _be(b, cpay + off, 4)
+                    dur = _be(b, cpay + off + 4, dlen)
             elif ctyp == b"trak":
-                for gtyp, glo, ghi in children(clo + 8, chi):
-                    if gtyp == b"tkhd" and ghi - glo >= 20:
-                        v = b[glo + 8]
+                for gtyp, _glo, gpay, ghi in children(cpay, chi):
+                    if gtyp == b"tkhd" and ghi - gpay >= 12:
+                        v = b[gpay]
                         off = _TKHD_V1_WH if v == 1 else _TKHD_V0_WH
-                        if ghi - glo >= off + 8:
-                            # 16.16 fixed point -> integer pixels
-                            width = _be(b, glo + off, 4) >> 16
-                            height = _be(b, glo + off + 4, 4) >> 16
+                        if ghi - gpay >= off + 8:
+                            # 16.16 fixed point -> integer pixels; keep
+                            # the FIRST trak with nonzero dims (ADVICE
+                            # r10: a real file's audio trak carries
+                            # 0x0 and must not clobber the video trak)
+                            w = _be(b, gpay + off, 4) >> 16
+                            h = _be(b, gpay + off + 4, 4) >> 16
+                            if (w or h) and width is None and height is None:
+                                width, height = w, h
     dur_ms = (dur * 1000) // ts if ts and dur is not None else None
     return ("mp4", width, height, dur_ms)
 

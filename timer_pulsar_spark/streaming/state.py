@@ -97,25 +97,30 @@ _PRE = re.compile(r"p_(\d+)$")
 # base dir per partition, which would re-open and re-parse _meta.json
 # O(n_parts) times per fold/read (at the module's own sizing law,
 # ~800 opens per micro-batch for 100 GB state — real latency on an
-# object store). Meta changes only via the atomic _write_meta rename,
-# which bumps the file mtime, so (mtime-match -> cached dict) is safe
-# across processes; same-process writers also invalidate explicitly.
-_META_CACHE: dict[str, tuple[float, dict]] = {}
+# object store). Meta changes only via the atomic _write_meta rename;
+# the cache key is the full (st_mtime_ns, st_size, st_ino) stat triple,
+# not the float mtime (ADVICE r10): two renames landing within
+# float-seconds precision — or a coarse-mtime filesystem — could
+# otherwise serve a stale dict to a concurrent reader process. The
+# rename always swaps in a fresh inode, so st_ino alone breaks ties the
+# timestamp can't; same-process writers also invalidate explicitly.
+_META_CACHE: dict[str, tuple[tuple[int, int, int], dict]] = {}
 
 
 def _read_meta(root: str) -> dict | None:
     path = os.path.join(root, "_meta.json")
     try:
-        mtime = os.path.getmtime(path)
+        st = os.stat(path)
     except OSError:
         _META_CACHE.pop(root, None)
         return None
+    key = (st.st_mtime_ns, st.st_size, st.st_ino)
     hit = _META_CACHE.get(root)
-    if hit is not None and hit[0] == mtime:
+    if hit is not None and hit[0] == key:
         return hit[1]
     with open(path) as fh:
         meta = json.load(fh)
-    _META_CACHE[root] = (mtime, meta)
+    _META_CACHE[root] = (key, meta)
     return meta
 
 
