@@ -714,6 +714,7 @@ def bench_fold_state_delta(spark, n_parts: int = 16,
     from pyspark.sql import functions as F
 
     from timer_pulsar_spark.streaming.state import (
+        observe_drift,
         partitioned_fold,
         read_state,
         reshard_state,
@@ -793,6 +794,52 @@ def bench_fold_state_delta(spark, n_parts: int = 16,
                 n_parts=n_parts, mode="rewrite",
             )
 
+        # reshard-trigger drift probe (VERDICT r10 #7): nothing above
+        # measures WHEN to reshard. A fresh small state grows past the
+        # sizing law (leaf_target scaled to bench bytes — the 128 MiB
+        # law at 1/4096 scale) and observe_drift — stamped into
+        # _meta.json by every fold — must cross from not-due to due,
+        # then clear once the operator resharded (2x headroom: the law
+        # is ceil division, so resharding to exactly the suggestion
+        # sits on the boundary and re-triggers on per-leaf overhead).
+        leaf_target = 32 << 10
+        droot = os.path.join(work, "drift")
+
+        def probe_batch(b: int, n: int):
+            return (
+                spark.range(n)
+                .select(
+                    F.concat(
+                        F.lit("g"), F.lit(b * 1_000_000) + F.col("id")
+                    ).alias("k")
+                )
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+
+        partitioned_fold(
+            spark, droot, probe_batch(0, 2_000), "k", remerge, 0,
+            n_parts=4, mode="delta",
+        )
+        drift_series = [observe_drift(droot, leaf_target=leaf_target)]
+        for b in (1, 2, 3):
+            partitioned_fold(
+                spark, droot, probe_batch(b, 20_000), "k", remerge, b,
+                n_parts=4, mode="delta", compact_every=2,
+            )
+            drift_series.append(observe_drift(droot, leaf_target=leaf_target))
+        drift_crossed = bool(
+            not drift_series[0]["reshard_due"]
+            and drift_series[-1]["reshard_due"]
+        )
+        reshard_state(
+            spark, droot, "k",
+            drift_series[-1]["suggested_n_parts"] * 2, remerge=remerge,
+        )
+        drift_cleared = not observe_drift(droot, leaf_target=leaf_target)[
+            "reshard_due"
+        ]
+
         got_d = {
             r.k: r.cnt
             for r in read_state(
@@ -823,6 +870,9 @@ def bench_fold_state_delta(spark, n_parts: int = 16,
             # steady-state delta appends must be far below rewrite's
             # touched-leaf rewrites even on these modest leaves
             "delta_tracks_batch_ok": bool(amp >= 4.0),
+            "drift_series": drift_series,
+            "drift_crossed_ok": drift_crossed,
+            "drift_cleared_after_reshard_ok": bool(drift_cleared),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -1025,6 +1075,12 @@ def main() -> None:
         ),
         "fold_delta_reshard_ok": bool(
             fold_delta.get("reshard_equal_ok", False)
+        ),
+        # reshard-trigger signal: observe_drift crosses to due as the
+        # state grows and clears after the reshard (VERDICT r10 item 7)
+        "fold_drift_signal_ok": bool(
+            fold_delta.get("drift_crossed_ok", False)
+            and fold_delta.get("drift_cleared_after_reshard_ok", False)
         ),
         "all_queries_ok": not errors,
     }

@@ -659,18 +659,42 @@ def test_walk_mp4_parses_golden_and_edge_boxes():
     )
     moov = _box(b"moov", mvhd_v1 + _box(b"trak", tkhd_v0))
     free = _box(b"free", b"\x00" * 5)
-    assert _walk_mp4(ftyp + free + moov) == ("mp4", 1920, 1080, 90_000)
+    assert _walk_mp4(ftyp + free + moov) == (
+        "mp4", 1920, 1080, 90_000, None, None, 1,
+    )
 
     # largesize (size field == 1, 64-bit size follows) on the free box
     large_free = (
         (1).to_bytes(4, "big") + b"free" + (21).to_bytes(8, "big")
         + b"\x00" * 5
     )
-    assert _walk_mp4(ftyp + large_free + moov) == ("mp4", 1920, 1080, 90_000)
+    assert _walk_mp4(ftyp + large_free + moov) == (
+        "mp4", 1920, 1080, 90_000, None, None, 1,
+    )
+
+    # largesize on the CONTAINER (moov): children start at offset 16,
+    # so an 8-byte-header assumption reads garbage (ADVICE r10)
+    large_moov = (
+        (1).to_bytes(4, "big") + b"moov"
+        + (16 + len(moov) - 8).to_bytes(8, "big") + moov[8:]
+    )
+    assert _walk_mp4(ftyp + large_moov) == (
+        "mp4", 1920, 1080, 90_000, None, None, 1,
+    )
+
+    # a second trak with 0x0 tkhd dims (the audio-trak shape) must not
+    # clobber the video dims whatever the order (ADVICE r10)
+    tkhd_zero = tkhd_v0[:8 + 76] + (0).to_bytes(8, "big")
+    moov_av = _box(
+        b"moov", mvhd_v1 + _box(b"trak", _box(b"tkhd", tkhd_zero[8:]))
+        + _box(b"trak", tkhd_v0),
+    )
+    got = _walk_mp4(ftyp + moov_av)
+    assert (got[1], got[2], got[6]) == (1920, 1080, 2)
 
     # truncated moov: codec recognized, fields degrade to None
     trunc = ftyp + moov[:40]
-    codec, w, h, d = _walk_mp4(trunc)
+    codec, w, h, d, *_rest = _walk_mp4(trunc)
     assert codec == "mp4" and d is None
 
     assert _walk_mp4(b"RIFF1234WAVE")[0] == "unknown"
@@ -698,4 +722,6 @@ def test_video_meta_recovers_planted_boxes(spark):
         assert r.width == i % 317 + 16 and r.height == i % 211 + 16
         ts, dur = 600 + (i % 5) * 300, (i % 997 + 1) * 600
         assert r.duration_ms == dur * 1000 // ts
-        assert r.n_bytes == 240 + i % 7
+        assert r.video_codec == ("avc1" if i % 4 < 2 else "hvc1")
+        assert r.audio_codec == "mp4a" and r.n_tracks == 2
+        assert r.n_bytes == 518 + i % 7 + (8 if i % 3 == 0 else 0)

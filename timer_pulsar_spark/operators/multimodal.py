@@ -571,6 +571,17 @@ def audio_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def _le_hex(col: Column, nbytes: int) -> Column:
+    """Little-endian hex string of a long: byte-reverse the
+    zero-padded big-endian hex."""
+    be = F.lpad(F.hex(col), nbytes * 2, "0")
+    parts = [
+        F.substring(be, (nbytes - 1 - k) * 2 + 1, 2)
+        for k in range(nbytes)
+    ]
+    return F.concat(*parts)
+
+
 def planted_wavs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic canonical 44-byte WAV headers per document:
     channels/sample-rate/bits derive from doc_id (which is what lets
@@ -584,16 +595,7 @@ def planted_wavs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block_align = (channels * bits / 8).cast("long")
     byte_rate = (rate * block_align).cast("long")
     data_bytes = ((F.col("doc_id") % 977 + 1) * 64).cast("long")
-
-    def le_hex(col: Column, nbytes: int) -> Column:
-        """Little-endian hex string of a long: byte-reverse the
-        zero-padded big-endian hex."""
-        be = F.lpad(F.hex(col), nbytes * 2, "0")
-        parts = [
-            F.substring(be, (nbytes - 1 - k) * 2 + 1, 2)
-            for k in range(nbytes)
-        ]
-        return F.concat(*parts)
+    le_hex = _le_hex
 
     wav_hex = F.concat(
         F.lit("52494646"),                  # 'RIFF'
@@ -623,6 +625,169 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_meta(planted_wavs(spark, sf_dir)).orderBy("doc_id")
 
 
+# KSDATAFORMAT_SUBTYPE_PCM GUID bytes (WAVE_FORMAT_EXTENSIBLE SubFormat)
+_PCM_GUID_HEX = "0100000000001000800000AA00389B71"
+
+
+def _walk_wav(
+    b: bytes | None,
+) -> tuple[str, int | None, int | None, int | None, int | None]:
+    """(codec, channels, sample_rate, bits_per_sample, duration_ms)
+    via a real RIFF CHUNK WALK (VERDICT r10 #3): after 'RIFF'/'WAVE',
+    iterate [id:4][size:4 LE][payload, padded to even] chunks to
+    'fmt ' and 'data' — the walk discipline audio_meta's canonical
+    44-byte-offset parse lacks, which silently mis-parses any file
+    with a LIST/INFO chunk before 'data' or an extensible fmt chunk
+    (size 18/40). WAVE_FORMAT_EXTENSIBLE's wValidBitsPerSample
+    overrides the container bits when present and nonzero. Cost is
+    O(#chunks): the declared-size hop skips sample data like the JPEG
+    walker skips entropy segments."""
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return ("unknown", None, None, None, None)
+    channels = rate = byte_rate = bits = data_bytes = None
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        lo = i + 8
+        if cid == b"fmt " and size >= 16 and lo + 16 <= n:
+            channels = int.from_bytes(b[lo + 2 : lo + 4], "little")
+            rate = int.from_bytes(b[lo + 4 : lo + 8], "little")
+            byte_rate = int.from_bytes(b[lo + 8 : lo + 12], "little")
+            bits = int.from_bytes(b[lo + 14 : lo + 16], "little")
+            if size >= 40 and lo + 20 <= n:
+                valid = int.from_bytes(b[lo + 18 : lo + 20], "little")
+                if valid:           # extensible: true sample precision
+                    bits = valid
+        elif cid == b"data":
+            data_bytes = size       # declared size; payload never read
+        i = lo + size + (size & 1)  # RIFF chunks pad to even length
+    dur = (
+        (data_bytes * 1000) // byte_rate
+        if byte_rate and data_bytes is not None
+        else None
+    )
+    return ("wav", channels, rate, bits, dur)
+
+
+def audio_meta_walk(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """audio_meta's production form: the RIFF chunk walk as an
+    Arrow-batched mapInPandas kernel (the image_dims_walk idiom). Same
+    metadata contract; differs on exactly the files the fixed-offset
+    parse gets wrong — decoy LIST chunks before fmt/data, extensible
+    fmt sizes. Only doc_id + payload ship to Python, one batch at a
+    time; the walk is O(#chunks) per file."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("codec", T.StringType(), True),
+            T.StructField("channels", T.LongType(), True),
+            T.StructField("sample_rate", T.LongType(), True),
+            T.StructField("bits_per_sample", T.LongType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [_walk_wav(p) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "codec": [c for c, *_ in parsed],
+                    "channels": pd.array(
+                        [ch for _c, ch, *_ in parsed], dtype="Int64"
+                    ),
+                    "sample_rate": pd.array(
+                        [r for _c, _ch, r, *_ in parsed], dtype="Int64"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [bi for _c, _ch, _r, bi, _d in parsed],
+                        dtype="Int64",
+                    ),
+                    "duration_ms": pd.array(
+                        [d for *_rest, d in parsed], dtype="Int64"
+                    ),
+                    "n_bytes": [
+                        len(p) if p is not None else 0
+                        for p in pdf[payload_col]
+                    ],
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(kernel, schema=schema)
+
+
+def planted_wavs_decoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """planted_wavs' adversarial sibling (the planted_images_decoy
+    recipe): every file opens with a VARIABLE-length LIST/INFO chunk
+    BEFORE fmt/data, so the canonical 44-byte offsets land inside the
+    decoy payload and audio_meta's fixed-offset parse provably returns
+    garbage ('IN'/'FO' bytes as channels, decoy fill as rate). fmt
+    rotates through sizes 16 / 18 (cbSize 0) / 40 (WAVE_FORMAT_
+    EXTENSIBLE: container bits 32, true precision only in
+    wValidBitsPerSample), and odd LIST payloads exercise the RIFF
+    even-padding rule. All fields derive from doc_id, which is what
+    lets DuckDB oracle the chunk walk arithmetically."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    channels = (doc % 2 + 1).cast("long")                      # 1..2
+    rate = (F.lit(8000) + (doc % 5) * 8000).cast("long")
+    bits = ((doc % 4 + 1) * 8).cast("long")                    # 8..32
+    block_align = (channels * bits / 8).cast("long")
+    byte_rate = (rate * block_align).cast("long")
+    data_bytes = ((doc % 977 + 1) * 64).cast("long")
+    list_size = (F.lit(14) + doc % 7).cast("long")             # 14..20
+    pad = (list_size % 2).cast("int")
+    fmt_kind = doc % 3
+    fmt_size = (
+        F.when(fmt_kind == 0, 16).when(fmt_kind == 1, 18).otherwise(40)
+    ).cast("long")
+    riff_size = F.lit(28).cast("long") + list_size + pad + fmt_size
+    decoy_fill = F.lpad(F.hex(doc % 89 + 8), 2, "0")
+    wav_hex = F.concat(
+        F.lit("52494646"), _le_hex(riff_size, 4),       # 'RIFF' size
+        F.lit("57415645"),                              # 'WAVE'
+        F.lit("4C495354"), _le_hex(list_size, 4),       # 'LIST' size
+        F.lit("494E464F"),                              # 'INFO'
+        F.repeat(decoy_fill, (F.lit(10) + doc % 7).cast("int")),
+        F.when(pad == 1, "00").otherwise(""),           # even padding
+        F.lit("666D7420"), _le_hex(fmt_size, 4),        # 'fmt ' size
+        F.when(fmt_kind == 2, "FEFF").otherwise("0100"),  # format code
+        _le_hex(channels, 2), _le_hex(rate, 4),
+        _le_hex(byte_rate, 4), _le_hex(block_align, 2),
+        # extensible files declare CONTAINER bits (32); the walk must
+        # take wValidBitsPerSample from the extension instead
+        F.when(fmt_kind == 2, "2000").otherwise(_le_hex(bits, 2)),
+        F.when(fmt_kind == 1, "0000")                   # cbSize 0
+        .when(
+            fmt_kind == 2,
+            F.concat(
+                F.lit("1600"), _le_hex(bits, 2),        # cbSize 22
+                F.lit("03000000"), F.lit(_PCM_GUID_HEX),
+            ),
+        )
+        .otherwise(""),
+        F.lit("64617461"), _le_hex(data_bytes, 4),      # 'data' size
+    )
+    return d.select("doc_id", F.unhex(wav_hex).alias("payload"))
+
+
+def q_audio_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked RIFF chunk-walk audio metadata (VERDICT r10 #3)
+    over files built to DEFEAT the fixed-offset parse: every WAV opens
+    with a variable-length LIST/INFO decoy chunk, a third use
+    extensible fmt where the canonical bits field holds the container
+    size — so audio_meta's 44-byte-offset form returns provably wrong
+    channels/rate (the companion pytest asserts the disagreement) and
+    only the real chunk walk matches the oracle's doc_id arithmetic.
+    The exact q_image_dims_real recipe applied to audio."""
+    return audio_meta_walk(planted_wavs_decoy(spark, sf_dir)).orderBy(
+        "doc_id"
+    )
+
+
 # --------------------------------------------------------------------
 # Video container metadata (MP4 / ISO-BMFF, ISO/IEC 14496-12):
 # completes the multimodal metadata family — PNG/JPEG (image), WAV
@@ -643,14 +808,25 @@ def _be(b: bytes, pos: int, n: int) -> int:
     return int.from_bytes(b[pos : pos + n], "big")
 
 
-def _walk_mp4(b: bytes | None) -> tuple[str, int | None, int | None, int | None]:
-    """(codec, width, height, duration_ms) from an ISO-BMFF stream:
-    top-level box walk to moov, then child walks to mvhd (version 0
-    AND 1 time-field widths handled) and trak/tkhd. Cost is
+def _walk_mp4(
+    b: bytes | None,
+) -> tuple[
+    str, int | None, int | None, int | None,
+    str | None, str | None, int | None,
+]:
+    """(codec, width, height, duration_ms, video_codec, audio_codec,
+    n_tracks) from an ISO-BMFF stream: top-level box walk to moov,
+    then child walks to mvhd (version 0 AND 1 time-field widths
+    handled) and per-trak into tkhd (display dims), mdia/hdlr (stream
+    kind: vide/soun) and mdia/minf/stbl/stsd (first sample-entry
+    fourcc — avc1/hvc1/mp4a — VERDICT r10 #4: a training pipeline
+    filters on the actual codec, not just the container). Cost is
     O(#boxes) — header-only, never touches mdat sample data."""
     if b is None or len(b) < 12 or b[4:8] != b"ftyp":
-        return ("unknown", None, None, None)
+        return ("unknown", None, None, None, None, None, None)
     ts = dur = width = height = None
+    video_codec = audio_codec = None
+    n_tracks = 0
 
     def children(lo: int, hi: int):
         """Yield (type, box_start, payload_start, box_end): the payload
@@ -688,6 +864,8 @@ def _walk_mp4(b: bytes | None) -> tuple[str, int | None, int | None, int | None]
                     ts = _be(b, cpay + off, 4)
                     dur = _be(b, cpay + off + 4, dlen)
             elif ctyp == b"trak":
+                n_tracks += 1
+                handler = fourcc = None
                 for gtyp, _glo, gpay, ghi in children(cpay, chi):
                     if gtyp == b"tkhd" and ghi - gpay >= 12:
                         v = b[gpay]
@@ -701,8 +879,37 @@ def _walk_mp4(b: bytes | None) -> tuple[str, int | None, int | None, int | None]
                             h = _be(b, gpay + off + 4, 4) >> 16
                             if (w or h) and width is None and height is None:
                                 width, height = w, h
+                    elif gtyp == b"mdia":
+                        for mtyp, _mlo, mpay, mhi in children(gpay, ghi):
+                            if mtyp == b"hdlr" and mhi - mpay >= 12:
+                                # payload: version/flags, pre_defined,
+                                # then the handler_type fourcc
+                                handler = b[mpay + 8 : mpay + 12]
+                            elif mtyp == b"minf":
+                                for styp, _slo, spay, shi in children(
+                                    mpay, mhi
+                                ):
+                                    if styp != b"stbl":
+                                        continue
+                                    for dtyp, _dlo, dpay, dhi in children(
+                                        spay, shi
+                                    ):
+                                        # stsd payload: version/flags,
+                                        # entry_count, then the first
+                                        # sample entry [size][fourcc]
+                                        if (
+                                            dtyp == b"stsd"
+                                            and dhi - dpay >= 16
+                                        ):
+                                            fourcc = b[
+                                                dpay + 12 : dpay + 16
+                                            ]
+                if handler == b"vide" and fourcc and video_codec is None:
+                    video_codec = fourcc.decode("ascii", "replace")
+                elif handler == b"soun" and fourcc and audio_codec is None:
+                    audio_codec = fourcc.decode("ascii", "replace")
     dur_ms = (dur * 1000) // ts if ts and dur is not None else None
-    return ("mp4", width, height, dur_ms)
+    return ("mp4", width, height, dur_ms, video_codec, audio_codec, n_tracks)
 
 
 def video_meta_walk(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -717,6 +924,9 @@ def video_meta_walk(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             T.StructField("width", T.LongType(), True),
             T.StructField("height", T.LongType(), True),
             T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("video_codec", T.StringType(), True),
+            T.StructField("audio_codec", T.StringType(), True),
+            T.StructField("n_tracks", T.LongType(), True),
             T.StructField("n_bytes", T.LongType(), True),
         ]
     )
@@ -727,15 +937,20 @@ def video_meta_walk(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "codec": [c for c, _w, _h, _d in parsed],
+                    "codec": [p[0] for p in parsed],
                     "width": pd.array(
-                        [w for _c, w, _h, _d in parsed], dtype="Int64"
+                        [p[1] for p in parsed], dtype="Int64"
                     ),
                     "height": pd.array(
-                        [h for _c, _w, h, _d in parsed], dtype="Int64"
+                        [p[2] for p in parsed], dtype="Int64"
                     ),
                     "duration_ms": pd.array(
-                        [d for _c, _w, _h, d in parsed], dtype="Int64"
+                        [p[3] for p in parsed], dtype="Int64"
+                    ),
+                    "video_codec": [p[4] for p in parsed],
+                    "audio_codec": [p[5] for p in parsed],
+                    "n_tracks": pd.array(
+                        [p[6] for p in parsed], dtype="Int64"
                     ),
                     "n_bytes": [
                         len(p) if p is not None else 0
@@ -753,15 +968,23 @@ _UNITY_MATRIX = "000100000000000000000000000000000001000000000000000000000000000
 def planted_mp4s(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic minimal ISO-BMFF files per document: ftyp, a
     VARIABLE-length free box (doc_id % 7 pad bytes — defeats any
-    fixed-offset read, the APP0 trick), then moov{mvhd, trak{tkhd}}.
-    timescale/duration/width/height derive from doc_id, which is what
-    lets DuckDB oracle the box walk arithmetically."""
+    fixed-offset read, the APP0 trick), then moov{mvhd, trak, trak}
+    with TWO tracks per file (r11): a video trak — tkhd dims,
+    mdia{hdlr 'vide', minf{stbl{stsd avc1|hvc1}}} — and an audio trak
+    whose tkhd dims are 0x0 (the real-file shape that broke the old
+    last-trak-wins rule, ADVICE r10) with hdlr 'soun' and stsd mp4a.
+    Track ORDER alternates by doc_id so neither a first-trak nor a
+    last-trak shortcut passes; every third file wraps moov in the
+    64-bit LARGESIZE form, so an 8-byte-header assumption mis-offsets
+    all children. timescale/duration/dims/codec derive from doc_id,
+    which is what lets DuckDB oracle the box walk arithmetically."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    timescale = (F.lit(600) + (F.col("doc_id") % 5) * 300).cast("long")
-    duration = ((F.col("doc_id") % 997 + 1) * 600).cast("long")
-    w = (F.col("doc_id") % 317 + 16).cast("long")
-    h = (F.col("doc_id") % 211 + 16).cast("long")
-    pad = (F.col("doc_id") % 7).cast("int")
+    doc = F.col("doc_id")
+    timescale = (F.lit(600) + (doc % 5) * 300).cast("long")
+    duration = ((doc % 997 + 1) * 600).cast("long")
+    w = (doc % 317 + 16).cast("long")
+    h = (doc % 211 + 16).cast("long")
+    pad = (doc % 7).cast("int")
 
     def be4(col: Column) -> Column:
         return F.lpad(F.hex(col), 8, "0")
@@ -775,40 +998,92 @@ def planted_mp4s(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.lit("00"), 10),           # reserved
         F.lit(_UNITY_MATRIX),
         F.repeat(F.lit("00"), 24),           # pre_defined
-        F.lit("00000002"),                   # next_track_ID
+        F.lit("00000003"),                   # next_track_ID
     )
-    tkhd = F.concat(
-        F.lit("0000005C" + "746B6864"),      # size 92, 'tkhd'
-        F.lit("00000007"),                   # version 0, enabled flags
-        F.lit("00000000" * 2),               # ctime, mtime
-        F.lit("00000001"), F.lit("00000000"),  # track_ID, reserved
-        be4(duration),
-        F.repeat(F.lit("00"), 8),            # reserved
-        F.lit("0000" * 4),                   # layer/altgroup/volume/res
-        F.lit(_UNITY_MATRIX),
-        be4(F.shiftleft(w, 16)),             # width  16.16
-        be4(F.shiftleft(h, 16)),             # height 16.16
+
+    def tkhd(track_id: str, w_col: Column, h_col: Column) -> Column:
+        return F.concat(
+            F.lit("0000005C" + "746B6864"),    # size 92, 'tkhd'
+            F.lit("00000007"),                 # version 0, enabled
+            F.lit("00000000" * 2),             # ctime, mtime
+            F.lit(track_id), F.lit("00000000"),  # track_ID, reserved
+            be4(duration),
+            F.repeat(F.lit("00"), 8),          # reserved
+            F.lit("0000" * 4),                 # layer/alt/volume/res
+            F.lit(_UNITY_MATRIX),
+            be4(F.shiftleft(w_col, 16)),       # width  16.16
+            be4(F.shiftleft(h_col, 16)),       # height 16.16
+        )
+
+    def mdia(handler_hex: str, fourcc: Column) -> Column:
+        hdlr = F.concat(
+            F.lit("00000021" + "68646C72"),    # size 33, 'hdlr'
+            F.lit("00000000"),                 # version + flags
+            F.lit("00000000"),                 # pre_defined
+            F.lit(handler_hex),                # 'vide' / 'soun'
+            F.repeat(F.lit("00"), 13),         # reserved + empty name
+        )
+        stsd = F.concat(
+            F.lit("00000020" + "73747364"),    # size 32, 'stsd'
+            F.lit("00000000"), F.lit("00000001"),  # vf, entry_count
+            F.lit("00000010"), fourcc,         # entry size 16, fourcc
+            F.lit("000000000000"), F.lit("0001"),  # reserved, dref idx
+        )
+        return F.concat(
+            F.lit("00000059" + "6D646961"),    # mdia: 8 + 33 + 48
+            hdlr,
+            F.lit("00000030" + "6D696E66"),    # minf: 8 + 40
+            F.lit("00000028" + "7374626C"),    # stbl: 8 + 32
+            stsd,
+        )
+
+    video_fourcc = F.when(doc % 4 < 2, "61766331").otherwise("68766331")
+    trak_v = F.concat(
+        F.lit("000000BD" + "7472616B"),        # trak: 8 + 92 + 89
+        tkhd("00000001", w, h),
+        mdia("76696465", video_fourcc),        # 'vide', avc1|hvc1
     )
+    zero = F.lit(0).cast("long")
+    trak_a = F.concat(
+        F.lit("000000BD" + "7472616B"),
+        tkhd("00000002", zero, zero),          # audio dims are 0x0
+        mdia("736F756E", F.lit("6D703461")),   # 'soun', mp4a
+    )
+    moov_children = F.concat(
+        mvhd,
+        F.when(doc % 2 == 0, F.concat(trak_v, trak_a)).otherwise(
+            F.concat(trak_a, trak_v)
+        ),
+    )
+    # children total 108 + 189 + 189 = 486; compact moov = 494 bytes,
+    # largesize moov = 502 (size field 1 + 64-bit size, 16-byte header)
+    moov = F.when(
+        doc % 3 == 0,
+        F.concat(
+            F.lit("00000001" + "6D6F6F76" + "00000000000001F6"),
+            moov_children,
+        ),
+    ).otherwise(F.concat(F.lit("000001EE" + "6D6F6F76"), moov_children))
     mp4_hex = F.concat(
         F.lit("00000010" + "66747970" + "69736F6D" + "00000000"),  # ftyp
         be4((pad + 8).cast("long")), F.lit("66726565"),            # free
         F.repeat(F.lit("00"), pad),
-        F.lit("000000D8" + "6D6F6F76"),      # moov: 8 + 108 + 100
-        mvhd,
-        F.lit("00000064" + "7472616B"),      # trak: 8 + 92
-        tkhd,
+        moov,
     )
     return d.select("doc_id", F.unhex(mp4_hex).alias("payload"))
 
 
 def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORACLE-checked video container metadata: plant minimal MP4 box
-    structures (with a variable-length free box before moov so only a
-    real box WALK finds the headers), parse duration/dims back OUT OF
-    THE BYTES with the ISO-BMFF walker, oracle recomputes the planted
-    values from doc_id arithmetic. Completes the multimodal metadata
-    family: q_image_dims (PNG/JPEG) + q_audio_meta (WAV) +
-    q_video_meta (MP4)."""
+    structures (a variable-length free box before moov, TWO traks in
+    alternating order with the audio tkhd at 0x0, stsd codec entries,
+    and a largesize moov every third file — so only a real box WALK
+    with true header offsets finds the headers), parse duration/dims/
+    codecs back OUT OF THE BYTES with the ISO-BMFF walker, oracle
+    recomputes the planted values from doc_id arithmetic. r11 depth:
+    video_codec (avc1/hvc1 from stsd), audio_codec (mp4a), n_tracks.
+    Completes the multimodal metadata family: q_image_dims (PNG/JPEG)
+    + q_audio_meta_real (WAV chunk walk) + q_video_meta (MP4)."""
     return video_meta_walk(planted_mp4s(spark, sf_dir)).orderBy("doc_id")
 
 
@@ -1088,6 +1363,8 @@ ORACLES: dict[str, str] = {
               + bit_count(xor(ha.lo, hb.lo)) <= {HAMMING_K}
         ORDER BY doc_a, doc_b
     """,
+    # n_bytes: ftyp 16 + free 8+pad + moov 494 (502 largesize when
+    # doc_id % 3 = 0) = 518 + pad (+8)
     "q_video_meta": """
         SELECT doc_id,
                'mp4' AS codec,
@@ -1095,7 +1372,13 @@ ORACLES: dict[str, str] = {
                CAST(doc_id % 211 + 16 AS BIGINT) AS height,
                CAST(((doc_id % 997 + 1) * 600) * 1000
                     // (600 + (doc_id % 5) * 300) AS BIGINT) AS duration_ms,
-               CAST(240 + doc_id % 7 AS BIGINT) AS n_bytes
+               CASE WHEN doc_id % 4 < 2 THEN 'avc1' ELSE 'hvc1' END
+                   AS video_codec,
+               'mp4a' AS audio_codec,
+               CAST(2 AS BIGINT) AS n_tracks,
+               CAST(518 + doc_id % 7
+                    + CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 0 END
+                    AS BIGINT) AS n_bytes
         FROM documents ORDER BY doc_id
     """,
     "q_audio_meta": """
@@ -1107,6 +1390,23 @@ ORACLES: dict[str, str] = {
                CAST(((doc_id % 977 + 1) * 64) * 1000
                     // ((8000 + (doc_id % 5) * 8000) * (doc_id % 2 + 1) * 2)
                     AS BIGINT) AS duration_ms
+        FROM documents ORDER BY doc_id
+    """,
+    # byte_rate = rate * channels * bits/8; n_bytes = 12 RIFF/WAVE
+    # + 8 + list_size (+ pad) + 8 + fmt_size + 8 (data header only)
+    "q_audio_meta_real": """
+        SELECT doc_id,
+               'wav' AS codec,
+               CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+               CAST(8000 + (doc_id % 5) * 8000 AS BIGINT) AS sample_rate,
+               CAST((doc_id % 4 + 1) * 8 AS BIGINT) AS bits_per_sample,
+               CAST(((doc_id % 977 + 1) * 64) * 1000
+                    // ((8000 + (doc_id % 5) * 8000)
+                        * (doc_id % 2 + 1) * (doc_id % 4 + 1))
+                    AS BIGINT) AS duration_ms,
+               CAST(36 + (14 + doc_id % 7) + (14 + doc_id % 7) % 2
+                    + CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 18
+                      ELSE 40 END AS BIGINT) AS n_bytes
         FROM documents ORDER BY doc_id
     """,
     "q_image_dims": """

@@ -478,6 +478,15 @@ def partitioned_fold(
     _mark_committed(root, batch_id)
     if vacuum:
         vacuum_state(root, batch_id, parts=touched)
+    # stamp the live footprint so observe_drift is a meta read, not a
+    # directory walk, on the hot path an operator polls (VERDICT r10
+    # #7). Walk cost here is O(n_parts) stats — the same order as the
+    # vacuum that just ran; single-writer, so the meta rename is safe.
+    meta = _read_meta(root) or {}
+    _write_meta(
+        root,
+        {**meta, "state_bytes": state_footprint(root), "last_batch": batch_id},
+    )
     return touched
 
 
@@ -543,6 +552,59 @@ def suggest_n_parts(state_bytes: int, leaf_target: int = 128 << 20) -> int:
     drifts far below this (the state outgrew its initial sizing), run
     reshard_state offline."""
     return max(1, -(-state_bytes // leaf_target))
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _d, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(dirpath, fn))
+            except OSError:
+                pass
+    return total
+
+
+def state_footprint(root: str) -> int:
+    """Bytes of the LIVE state only: per partition, the newest base
+    leaf plus the deltas above it. Superseded versions awaiting vacuum
+    are excluded — they are reclaimable space, not state, and counting
+    them would overstate drift right after a compaction. O(n_parts)
+    directory stats, no Spark job."""
+    bases = latest_partition_versions(root)
+    deltas = partition_deltas(root)
+    total = 0
+    for p, w in bases.items():
+        total += _dir_bytes(_leaf(root, p, w, "v"))
+    for p, ds in deltas.items():
+        w = bases.get(p, -1)
+        for d in ds:
+            if d > w:
+                total += _dir_bytes(_leaf(root, p, d, "d"))
+    return total
+
+
+def observe_drift(root: str, leaf_target: int = 128 << 20) -> dict:
+    """Reshard-trigger signal (VERDICT r10 #7): the pinned n_parts vs
+    what the sizing law would pick for the CURRENT footprint. Folds
+    stamp state_bytes into _meta.json each batch, so this is a meta
+    read plus arithmetic; a fresh walk backstops pre-upgrade roots.
+    An operator (or the fold-state bench) watches
+    ``suggested_n_parts > n_parts`` and schedules the offline
+    reshard_state before rewrite/compaction write-amp bites."""
+    meta = _read_meta(root) or {}
+    bytes_now = meta.get("state_bytes")
+    if bytes_now is None:
+        bytes_now = state_footprint(root)
+    suggested = suggest_n_parts(bytes_now, leaf_target)
+    n_parts = meta.get("n_parts", 0)
+    return {
+        "n_parts": n_parts,
+        "state_bytes": int(bytes_now),
+        "leaf_target": int(leaf_target),
+        "suggested_n_parts": int(suggested),
+        "reshard_due": bool(suggested > n_parts),
+    }
 
 
 def reshard_state(
@@ -611,6 +673,10 @@ def reshard_state(
         for entry in os.listdir(root):
             if _PRE.match(entry) or entry.startswith("stage_"):
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    # restamp the footprint under the new layout so observe_drift
+    # reports against the migrated leaves, not the pre-reshard stamp
+    meta = _read_meta(root) or {}
+    _write_meta(root, {**meta, "state_bytes": state_footprint(root)})
     return new_epoch
 
 
