@@ -298,6 +298,14 @@ def test_image_dedup_is_one_band_shuffle_no_joins(spark):
         assert op not in plan, op
     tree = plan.split("\n\n")[0]  # count nodes once (tree, not detail)
     assert _count_shuffles(tree) == 4, tree
+    # r11: the audio fingerprint reuses the same pair machinery and
+    # must keep the identical shape (plus no Python eval anywhere —
+    # signature parsing is pure JVM byte math)
+    plan_a = _plan(spark, "q_audio_dedup")
+    for op in ("Join", "CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan_a, op
+    tree_a = plan_a.split("\n\n")[0]
+    assert _count_shuffles(tree_a) == 4, tree_a
 
 
 def test_html_extract_and_walk_dims_are_single_pass(spark):

@@ -206,6 +206,67 @@ def test_fixed_72_byte_read_fails_on_real_files(spark):
     corpus.unpersist()
 
 
+def test_energy_sig64_golden_pcm(spark):
+    """Handcrafted PCM bytes, signature computed independently in
+    Python: bit w is set iff window energy w < window energy w+1."""
+    from timer_pulsar_spark.operators.multimodal import energy_sig64
+
+    # 65 windows of 4 samples; energies rise then fall then alternate
+    amps = [(7 * w) % 90 for w in range(65)]
+    pcm = bytes(
+        b
+        for a in amps
+        for b in (128 + a, 128 - a, 128 + a, 128 - a)
+    )
+    expect = 0
+    for w in range(64):
+        if 4 * amps[w] < 4 * amps[w + 1]:
+            expect |= 1 << w
+    row = (
+        energy_sig64(
+            spark.createDataFrame(
+                [(1, bytearray(pcm))], "doc_id long, payload binary"
+            )
+        )
+        .collect()[0]
+    )
+    assert (row.hi << 32) | row.lo == expect
+    # all-equal energies: no strict rise anywhere -> signature 0
+    flat = bytes([128 + 5, 128 - 5] * 130)
+    row = (
+        energy_sig64(
+            spark.createDataFrame(
+                [(2, bytearray(flat))], "doc_id long, payload binary"
+            )
+        )
+        .collect()[0]
+    )
+    assert row.hi == 0 and row.lo == 0
+
+
+def test_audio_dedup_recovers_planted_groups(spark):
+    """Every same-group pair (one- or two-window perturbations,
+    Hamming <= 4) must survive the banded candidate generation on the
+    planted corpus — full recall here, probabilistic only beyond the
+    adjacent-bit edit model (the image_dedup recall contract)."""
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.operators.multimodal import (
+        energy_sig64,
+        image_dedup_pairs,
+        planted_pcm,
+    )
+
+    corpus = planted_pcm(spark, SF_DIR).filter(F.col("doc_id") < 200)
+    pairs = image_dedup_pairs(energy_sig64(corpus)).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    for g in range(50):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                assert (4 * g + i, 4 * g + j) in got, (g, i, j)
+    assert all(r.hamming <= 8 for r in pairs)
+
+
 def test_bridge_feeds_image_dedup_pairs_unchanged(spark):
     """image_dedup_pairs over the real-file bridge equals the pairs
     over the raw planted grids — the downstream operator is reused
