@@ -65,6 +65,12 @@ HEADLINERS = [
     "q_image_dedup",
     "q_html_extract",
     "q_image_dims_real",
+    # r11 newcomers: audio content dedup (energy-sign signature through
+    # the shared banded pair machinery), RIFF chunk-walk WAV metadata,
+    # real-file pixel bridge into dHash
+    "q_audio_dedup",
+    "q_audio_meta_real",
+    "q_image_dhash_real",
 ]
 
 

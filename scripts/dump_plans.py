@@ -18,6 +18,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
+PLAN_SHUFFLE_PARTITIONS = 8
 
 # query -> what the plan is supposed to demonstrate
 AUDITED: dict[str, str] = {
@@ -185,7 +186,31 @@ AUDITED: dict[str, str] = {
         "HTML boilerplate extraction (r10): the whole strip/decode/"
         "link-density pipeline is ONE map-side projection (Java-regex "
         "chains inside the scan stage) — zero exchanges before the "
-        "final order, no Python eval."
+        "final order, no Python eval; link_chars is "
+        "length(array_join(...)) so the fold stays in codegen (r11)."
+    ),
+    "q_audio_meta_real": (
+        "RIFF chunk-walk audio metadata (r11): ONE MapInPandas kernel "
+        "over (doc_id, payload) Arrow batches — no joins, no shuffle "
+        "before the final order; the walk hops chunks by declared size, "
+        "O(#chunks) per file."
+    ),
+    "q_image_dhash_real": (
+        "Real-file pixel bridge (r11): plant kernel + decode/downsample "
+        "kernel (two MapInPandas), then the UNCHANGED JVM dhash64 "
+        "projection — no joins, no shuffle before the final order."
+    ),
+    "q_audio_dedup": (
+        "Audio content dedup (r11): energy-sign signature parsed with "
+        "pure JVM byte math (one conv per window — per-byte unrolling "
+        "overflows janino and falls back to interpreted, measured), then "
+        "image_dedup_pairs' shape REUSED: four exchange nodes, ZERO "
+        "joins, no Python eval anywhere."
+    ),
+    "q_video_meta": (
+        "MP4 box-walk metadata (r11 depth): ONE MapInPandas kernel; the "
+        "walk descends moov/trak/mdia/hdlr/stsd by true header offsets "
+        "(16-byte largesize handled), O(#boxes) per file, never mdat."
     ),
 }
 
@@ -194,6 +219,24 @@ def _explain(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def normalize_plan(plan: str) -> str:
+    """Session-independent plan text: strip expression IDs and codegen
+    ids so the SAME logical plan hashes identically across sessions —
+    the basis of the Plan-hash line that lets a pytest assert PLANS.md
+    was regenerated at HEAD (VERDICT r10 #6: the committed audit went
+    stale one commit after generation, silently)."""
+    plan = re.sub(r" \[codegen id : \d+\]", "", plan)
+    plan = re.sub(r"#\d+", "#", plan)
+    plan = re.sub(r"plan_id=\d+", "plan_id=", plan)
+    return plan.rstrip()
+
+
+def plan_hash(plan: str) -> str:
+    import hashlib
+
+    return hashlib.sha256(normalize_plan(plan).encode()).hexdigest()[:12]
 
 
 def _runtime_filter_plan(spark, sf_dir) -> str:
@@ -215,14 +258,15 @@ PLAN_OVERRIDES = {"q_runtime_filter": _runtime_filter_plan}
 
 
 def main() -> None:
-    from pyspark.sql import SparkSession
+    # the ENGINE's session factory (get_spark), not a vanilla builder:
+    # the audit must reflect the conf the engine recommends (broadcast
+    # threshold, AQE, parquet pushdown), and the staleness gate in
+    # tests/test_plans.py regenerates plans under the same factory —
+    # shuffle partitions pinned so hashpartitioning(..., N) text is
+    # session-size-independent
+    from timer_pulsar_spark.session import get_spark
 
-    spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
-        .appName("plans")
-        .getOrCreate()
-    )
+    spark = get_spark("plans", shuffle_partitions=PLAN_SHUFFLE_PARTITIONS)
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entry
@@ -241,6 +285,7 @@ def main() -> None:
             plan = PLAN_OVERRIDES[name](spark, SF_DIR)
         else:
             plan = _explain(qs[name](spark, SF_DIR))
+        h = plan_hash(plan)
         # keep the operator tree + the scan details; drop codegen ids noise
         plan = re.sub(r" \[codegen id : \d+\]", "", plan)
         n_exchange = len(re.findall(r"\bExchange\b", plan))
@@ -251,6 +296,9 @@ def main() -> None:
             f"**Claim:** {claim}",
             "",
             f"Exchanges: {n_exchange} (of which broadcast: {n_bcast})",
+            "",
+            f"Plan-hash: `{h}` (normalized: expression/codegen ids "
+            "stripped; tests/test_plans.py recomputes this at HEAD)",
             "",
             "```",
             plan.rstrip(),

@@ -86,6 +86,15 @@ PROBES = [
     "q_image_dedup",
     "q_html_extract",
     "q_image_dims_real",
+    # r11: the audio fingerprint dedup reuses image_dedup_pairs, so the
+    # curve must track the same banded postings shape (amp patterns
+    # cycle at 6,270 groups = 25,080 doc_ids — replicas beyond that are
+    # genuine hamming-0 cross-copy dups in ~2-doc buckets, the same
+    # replication artifact the image probe documents); the WAV chunk
+    # walk and the pixel bridge are map passes like q_image_dims_real
+    "q_audio_dedup",
+    "q_audio_meta_real",
+    "q_image_dhash_real",
 ]
 
 
@@ -483,6 +492,14 @@ def main() -> None:
         "pair explosion. q_html_extract and q_image_dims_real are pure",
         "map passes (regex pipeline / Arrow-batched segment walk):",
         "per-row cost is flat and the wall follows rows/parallelism.",
+        "",
+        "q_audio_dedup (r11) reuses image_dedup_pairs verbatim on the",
+        "PCM energy-sign signature, so its curve must match the",
+        "q_image_dedup shape (replicas past 25,080 doc_ids reuse amp",
+        "patterns — genuine hamming-0 cross-copy dups in ~2-doc",
+        "buckets, the same replication artifact). q_audio_meta_real",
+        "and q_image_dhash_real are map passes: an O(#chunks) RIFF",
+        "walk and a vectorized decode+downsample per file.",
         "",
         "## SemDeDup k-cap: driver state bounded as the corpus grows",
         "",

@@ -322,3 +322,58 @@ def test_html_extract_and_walk_dims_are_single_pass(spark):
     assert "Join" not in plan2
     tree2 = plan2.split("\n\n")[0]
     assert _count_shuffles(tree2) == 1, tree2
+
+
+def test_plans_md_regenerated_at_head(spark):
+    """PLANS.md staleness gate (VERDICT r10 #6: the committed audit
+    went one commit stale, silently): every audited query's committed
+    Plan-hash must equal the live normalized plan hash, so any
+    plan-shape change forces `python scripts/dump_plans.py` before the
+    suite goes green."""
+    import importlib.util
+    import os
+    import re
+
+    import __spark_entry__ as entrymod
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "dump_plans", os.path.join(root, "scripts", "dump_plans.py")
+    )
+    dp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dp)
+
+    committed = {}
+    section = None
+    for line in open(os.path.join(root, "PLANS.md")):
+        m = re.match(r"^## (\S+)", line)
+        if m:
+            section = m.group(1)
+        m = re.search(r"Plan-hash: `([0-9a-f]+)`", line)
+        if m and section:
+            committed[section] = m.group(1)
+    assert set(committed) == set(dp.AUDITED), (
+        "PLANS.md sections out of sync with dump_plans.AUDITED — rerun "
+        "scripts/dump_plans.py"
+    )
+
+    # same engine conf as dump_plans (get_spark factory), with the
+    # shuffle-partition count pinned to the dump's value so
+    # hashpartitioning(..., N) text matches whatever size THIS test
+    # session runs at
+    plans_spark = spark.newSession()
+    plans_spark.conf.set(
+        "spark.sql.shuffle.partitions", str(dp.PLAN_SHUFFLE_PARTITIONS)
+    )
+    qs = entrymod.queries()
+    stale = []
+    for name in dp.AUDITED:
+        if name in dp.PLAN_OVERRIDES:
+            live = dp.PLAN_OVERRIDES[name](plans_spark, dp.SF_DIR)
+        else:
+            live = dp._explain(qs[name](plans_spark, dp.SF_DIR))
+        if dp.plan_hash(live) != committed[name]:
+            stale.append(name)
+    assert not stale, (
+        f"PLANS.md stale for {stale} — rerun scripts/dump_plans.py"
+    )

@@ -49,10 +49,9 @@ PRIORITY: list[str] = [
     # api.run_migration, q_sessionize keeps its shape via
     # q_session_window, q_dup_clusters via q_pagerank.
     # (r7 rotation rationale in git history; superseded below)
-    "q_dup_profile", "q_bpe_encode_check",
+    "q_bpe_encode_check",
     "q_stream_source_overlap",
-    "q_dedup_incremental_check", "q_quality_clf_sampled_check",
-    "q_stream_dedup_incremental",
+    "q_dedup_incremental_check",
     # r9 rotation (VERDICT r08 item 3): first driver rows for the seven
     # never-windowed r8-tail queries the verdict named —
     # q_stream_dedup_exact, q_stream_heavy_hitters, q_dedup_exact_norm,
@@ -85,8 +84,7 @@ PRIORITY: list[str] = [
     # q_kcenter_check (the sampled check stays and was re-verified
     # after this round's guards).
     "q_stream_dedup_exact", "q_stream_heavy_hitters",
-    "q_redact_pii", "q_pack_concat_sharded",
-    "q_stream_ivfpq_append_check",
+    "q_pack_concat_sharded",
     # r10 rotation (VERDICT r09 item 3): five r10 newcomers get their
     # first driver rows — the segment-walk image parser over the decoy
     # corpus (q_image_dims_real), the perceptual dHash card + banded-
@@ -124,11 +122,52 @@ PRIORITY: list[str] = [
     # q_html_extract), q_image_dims (the STRICTLY STRONGER
     # q_image_dims_real — same parse contract, adversarial decoy
     # corpus, real segment walk — replaces it).
-    "q_image_dims_real", "q_image_dhash", "q_image_dedup",
+    "q_image_dims_real",
     "q_html_extract", "q_stream_ivfpq_drift_check",
-    "q_audio_meta", "q_vocab_coverage", "q_dedup_minhash",
-    "q_stream_dedup_near", "q_corpus_card", "q_asof_tolerance",
-    "q_stats", "q_sample_weighted", "q_hopping_window",
+    "q_corpus_card",
+    # r11 rotation (VERDICT r10 item 1): the two r10 stragglers come in
+    # from the SECONDARY head (q_temperature_mix; q_video_meta — also
+    # r11-MODIFIED: hdlr/stsd track depth, largesize moov corpus), the
+    # four r11 newcomers get first driver rows (q_audio_meta_real —
+    # RIFF chunk walk over LIST-decoy corpus; q_image_dhash_real —
+    # BMP/PGM pixel bridge; q_audio_fingerprint + q_audio_dedup —
+    # PCM energy-sign signature through the shared banded-pair
+    # machinery), and nine never-driver-verified tail queries the r10
+    # verdict spot-verified green rotate in: q_dedup_span, q_bm25,
+    # q_ann_matmul, q_stream_execute, q_retention, q_range_join,
+    # q_chunk_cdc, q_kmeans_check, q_fingerprint. Queries MODIFIED
+    # this round stay in-window per policy: the three fold-state
+    # streams (q_stream_dedup_exact / q_stream_heavy_hitters /
+    # q_stream_source_overlap — state meta cache re-keyed + footprint
+    # stamping) and q_html_extract (codegen link_chars). Slots freed
+    # by demoting rows hash-green in r10 whose family keeps an
+    # in-window rep (see SECONDARY head): q_image_dhash + q_image_dedup
+    # (superseded by the STRICTLY STRONGER q_image_dhash_real — same
+    # hash contract through real container files — and by q_audio_dedup
+    # exercising the identical pair machinery; q_image_dims_real stays),
+    # q_audio_meta (q_audio_meta_real is the same parse contract over
+    # an adversarial corpus — the q_image_dims supersession recipe),
+    # q_dedup_minhash + q_stream_dedup_near + q_stream_dedup_incremental
+    # (near-dup keeps q_dedup_near + the incremental check's banded
+    # arm), q_redact_pii + q_vocab_coverage (textops keep q_html_extract
+    # + q_bpe_encode_check + the entering q_bm25), q_quality_clf_
+    # sampled_check (trainer contracts keep the entering q_kmeans_check;
+    # hash-green r7-r10), q_stream_ivfpq_append_check (ANN keeps the
+    # stricter drift contract + the entering q_ann_matmul),
+    # q_sample_weighted (sampling keeps the entering q_temperature_mix
+    # — the two-pass census mixture subsumes weighted draws),
+    # q_stats (analytics keep q_corpus_card + the entering q_retention),
+    # q_asof_tolerance (interval family keeps the entering
+    # q_range_join), q_hopping_window (stateful family keeps the three
+    # fold streams + the entering q_stream_execute), q_dup_profile
+    # (span family keeps the entering q_dedup_span — the SAME span-
+    # postings pipeline, plus q_fingerprint for winnowing).
+    "q_temperature_mix", "q_video_meta",
+    "q_audio_meta_real", "q_image_dhash_real",
+    "q_audio_fingerprint", "q_audio_dedup",
+    "q_dedup_span", "q_bm25", "q_ann_matmul", "q_stream_execute",
+    "q_retention", "q_range_join", "q_chunk_cdc", "q_kmeans_check",
+    "q_fingerprint",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -137,13 +176,17 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
-    # r10 late newcomers (the established pattern: SECONDARY head,
-    # rotate into the window next round) — census-derived temperature
-    # mixture (sampling family has q_sample_weighted in-window) and
-    # MP4 box-walk metadata (multimodal family has four in-window reps)
-    "q_temperature_mix", "q_video_meta",
+    # r11 demotions — hash-green in r10, family coverage argued at the
+    # PRIORITY r11-rotation comment; first to re-enter on budget+1
+    "q_image_dhash", "q_image_dedup", "q_audio_meta",
+    "q_dedup_minhash", "q_stream_dedup_near",
+    "q_stream_dedup_incremental", "q_redact_pii", "q_vocab_coverage",
+    "q_quality_clf_sampled_check", "q_stream_ivfpq_append_check",
+    "q_sample_weighted", "q_stats", "q_asof_tolerance",
+    "q_hopping_window", "q_dup_profile",
     # r10 demotions — hash-green in r09, family coverage argued at the
-    # PRIORITY r10-rotation comment; first to re-enter on budget+1
+    # PRIORITY r10-rotation comment; first to re-enter after the r11
+    # demotions
     "q_dedup_near_auto_check", "q_stream_ttl_evict",
     "q_dedup_incremental", "q_winnow_pairs",
     "q_embed_classifier_sampled_check", "q_kcenter_sampled_check",
@@ -181,14 +224,14 @@ SECONDARY: list[str] = [
     "q_materialize", "q_sessionize", "q_dup_clusters", "q_scd2",
     "q_json_roundtrip", "q_trunc", "q_cron_next", "q_derived",
     "q_distinct_salted",
-    "q_dup_clusters_star", "q_dedup_span",
-    "q_bm25", "q_heavy_hitters", "q_domain_cap", "q_sample_stratified",
+    "q_dup_clusters_star",
+    "q_heavy_hitters", "q_domain_cap", "q_sample_stratified",
     "q_outliers", "q_zorder", "q_jsonl_roundtrip", "q_csv_roundtrip",
-    "q_chunk_cdc", "q_stream_centroid_assign",
+    "q_stream_centroid_assign",
     "q_table_checksum",
     "q_repetition", "q_entropy", "q_orc_roundtrip",
     "q_unpivot", "q_range_window", "q_heavy_hitters_sketch_check",
-    "q_stream_quality", "q_ann_matmul", "q_stream_session_window",
+    "q_stream_quality", "q_stream_session_window",
     "q_json_variant", "q_record_linkage", "q_langid_eval",
     "q_stream_hopping", "q_dedup_plan", "q_dist_rank",
     "q_dedup_containment",
