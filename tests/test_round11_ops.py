@@ -103,6 +103,103 @@ def test_fixed_offset_wav_parse_provably_fails_on_decoys(spark):
     corpus.unpersist()
 
 
+def test_wav_data_slice_and_pipeline_equivalence(spark):
+    """_wav_data_slice recovers exactly the planted PCM through the
+    decoy chunks (bounded by the declared size), and the full
+    container pipeline signature equals the raw-PCM fingerprint per
+    document — the container layer is transparent to content
+    analysis."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.operators.multimodal import (
+        _wav_data_slice,
+        audio_content_from_wav,
+        energy_sig64,
+        planted_pcm,
+        planted_wavs_decoy,
+    )
+
+    # golden: declared size caps the slice; size lies cannot over-read
+    wav = _wav_bytes(data_bytes=4) + b"\x01\x02\x03\x04"
+    assert _wav_data_slice(wav) == b"\x01\x02\x03\x04"
+    lie = _wav_bytes(data_bytes=1000) + b"\x01\x02"
+    assert _wav_data_slice(lie) == b"\x01\x02"
+    assert _wav_data_slice(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert _wav_data_slice(None) is None
+
+    raw = {
+        r.doc_id: (r.hi, r.lo)
+        for r in energy_sig64(
+            planted_pcm(spark, SF_DIR).filter(F.col("doc_id") < 64)
+        ).collect()
+    }
+    piped = {
+        r.doc_id: (r.hi, r.lo)
+        for r in energy_sig64(
+            audio_content_from_wav(
+                planted_wavs_decoy(
+                    spark, SF_DIR, with_content=True
+                ).filter(F.col("doc_id") < 64)
+            ),
+            payload_col="pcm",
+        ).collect()
+    }
+    assert raw and piped == raw
+
+
+# ------------------------------------------------- fold-state drift
+
+def test_observe_drift_signal_and_footprint(spark, tmp_path):
+    """state_footprint counts LIVE leaves only (newest base + deltas
+    above it), folds stamp it into meta, and observe_drift flags
+    reshard_due exactly when the sizing law outgrows the pinned
+    n_parts — then clears after reshard_state."""
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.streaming.state import (
+        observe_drift,
+        partitioned_fold,
+        read_state,
+        reshard_state,
+        state_footprint,
+    )
+
+    root = str(tmp_path / "state")
+    remerge = lambda df: df.groupBy("k").agg(F.sum("cnt").alias("cnt"))  # noqa: E731
+
+    def batch(b: int, n: int):
+        return (
+            spark.range(n)
+            .select(
+                F.concat(F.lit("k"), F.lit(b * 10_000) + F.col("id")).alias("k")
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    partitioned_fold(spark, root, batch(0, 500), "k", remerge, 0,
+                     n_parts=2, mode="delta")
+    obs0 = observe_drift(root, leaf_target=16 << 10)
+    assert obs0["n_parts"] == 2
+    # the stamped footprint equals a fresh walk
+    assert obs0["state_bytes"] == state_footprint(root)
+    for b in (1, 2):
+        partitioned_fold(spark, root, batch(b, 4_000), "k", remerge, b,
+                         n_parts=2, mode="delta", compact_every=2)
+    obs = observe_drift(root, leaf_target=16 << 10)
+    assert obs["state_bytes"] > obs0["state_bytes"]
+    assert obs["suggested_n_parts"] > 2 and obs["reshard_due"]
+    # the operational loop: reshard with headroom -> signal clears,
+    # data intact
+    reshard_state(spark, root, "k",
+                  obs["suggested_n_parts"] * 2, remerge=remerge)
+    post = observe_drift(root, leaf_target=16 << 10)
+    assert not post["reshard_due"]
+    assert read_state(spark, root, remerge=remerge).count() == 8_500
+
+
 # --------------------------------------------- pixel bridge (BMP/PGM)
 
 def test_decode_gray_golden_bitmaps():

@@ -719,7 +719,9 @@ def audio_meta_walk(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select("doc_id", payload_col).mapInPandas(kernel, schema=schema)
 
 
-def planted_wavs_decoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def planted_wavs_decoy(
+    spark: SparkSession, sf_dir: str, *, with_content: bool = False
+) -> DataFrame:
     """planted_wavs' adversarial sibling (the planted_images_decoy
     recipe): every file opens with a VARIABLE-length LIST/INFO chunk
     BEFORE fmt/data, so the canonical 44-byte offsets land inside the
@@ -729,15 +731,30 @@ def planted_wavs_decoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXTENSIBLE: container bits 32, true precision only in
     wValidBitsPerSample), and odd LIST payloads exercise the RIFF
     even-padding rule. All fields derive from doc_id, which is what
-    lets DuckDB oracle the chunk walk arithmetically."""
+    lets DuckDB oracle the chunk walk arithmetically.
+
+    ``with_content=True`` (r11): the data chunk carries the ACTUAL
+    planted_pcm sample bytes (size 260) instead of a declared-only
+    size — the corpus for the full container->content pipeline
+    (q_audio_pipeline)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    if with_content:
+        d = d.select(
+            "doc_id",
+            (F.col("doc_id") - F.col("doc_id") % 4).alias("base"),
+            (F.col("doc_id") % 4).alias("v"),
+        ).withColumn("amps", F.expr(_AMPS_SQL))
     doc = F.col("doc_id")
     channels = (doc % 2 + 1).cast("long")                      # 1..2
     rate = (F.lit(8000) + (doc % 5) * 8000).cast("long")
     bits = ((doc % 4 + 1) * 8).cast("long")                    # 8..32
     block_align = (channels * bits / 8).cast("long")
     byte_rate = (rate * block_align).cast("long")
-    data_bytes = ((doc % 977 + 1) * 64).cast("long")
+    data_bytes = (
+        F.lit(SIG_WINDOWS * SIG_WIN_SAMPLES).cast("long")
+        if with_content
+        else ((doc % 977 + 1) * 64).cast("long")
+    )
     list_size = (F.lit(14) + doc % 7).cast("long")             # 14..20
     pad = (list_size % 2).cast("int")
     fmt_kind = doc % 3
@@ -770,8 +787,25 @@ def planted_wavs_decoy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(""),
         F.lit("64617461"), _le_hex(data_bytes, 4),      # 'data' size
+        F.expr(_PCM_HEX_SQL) if with_content else F.lit(""),
     )
     return d.select("doc_id", F.unhex(wav_hex).alias("payload"))
+
+
+def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked container->content composition: full WAV files
+    (decoy LIST chunk, rotating fmt sizes, REAL PCM payload in the
+    data chunk) walked to the data slice by the RIFF kernel, then
+    fingerprinted by the UNCHANGED JVM energy_sig64 — the media path a
+    training pipeline actually runs (parse the container, analyze the
+    samples). The oracle is the SAME signature arithmetic as
+    q_audio_fingerprint: the answer only matches if the walk found the
+    data chunk through the decoys AND the content hash ran on exactly
+    the extracted bytes."""
+    wavs = planted_wavs_decoy(spark, sf_dir, with_content=True)
+    return energy_sig64(
+        audio_content_from_wav(wavs), payload_col="pcm"
+    ).orderBy("doc_id")
 
 
 def q_audio_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1514,6 +1548,25 @@ def q_image_dhash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIG_WINDOWS = 65      # adjacent compares give 64 signature bits
 SIG_WIN_SAMPLES = 4   # samples per window: 260-byte planted payloads
 
+# per-window amplitudes / PCM hex as SQL fragments (shared by the raw
+# planted_pcm corpus and the full-container planted_wavs_decoy
+# with_content form): amps needs (base, v) columns in scope, the hex
+# needs the amps column
+_AMPS_SQL = f"""
+    transform(sequence(0, {SIG_WINDOWS - 1}), w -> CASE
+        WHEN v > 0 AND w = (base * 7 + v * 23) % {SIG_WINDOWS}
+        THEN ((base * 31 + w*w*(base % 19 + 5)
+               + w*(base % 11)) % 120 + 60) % 120
+        ELSE (base * 31 + w*w*(base % 19 + 5)
+              + w*(base % 11)) % 120 END)
+"""
+_PCM_HEX_SQL = f"""
+    concat_ws('', transform(sequence(0, {SIG_WINDOWS * SIG_WIN_SAMPLES - 1}),
+        i -> lpad(hex(CASE WHEN i % 2 = 0
+            THEN 128 + amps[i div {SIG_WIN_SAMPLES}]
+            ELSE 128 - amps[i div {SIG_WIN_SAMPLES}] END), 2, '0')))
+"""
+
 
 def planted_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 8-bit unsigned PCM payloads in GROUPS OF FOUR
@@ -1536,26 +1589,50 @@ def planted_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") - F.col("doc_id") % 4).alias("base"),
         (F.col("doc_id") % 4).alias("v"),
     )
-    amps = F.expr(
-        f"""
-        transform(sequence(0, {SIG_WINDOWS - 1}), w -> CASE
-            WHEN v > 0 AND w = (base * 7 + v * 23) % {SIG_WINDOWS}
-            THEN ((base * 31 + w*w*(base % 19 + 5)
-                   + w*(base % 11)) % 120 + 60) % 120
-            ELSE (base * 31 + w*w*(base % 19 + 5)
-                  + w*(base % 11)) % 120 END)
-        """
+    return d.select("doc_id", F.expr(_AMPS_SQL).alias("amps")).select(
+        "doc_id", F.unhex(F.expr(_PCM_HEX_SQL)).alias("payload")
     )
-    payload_hex = F.expr(
-        f"""
-        concat_ws('', transform(sequence(0, {SIG_WINDOWS * SIG_WIN_SAMPLES - 1}),
-            i -> lpad(hex(CASE WHEN i % 2 = 0
-                THEN 128 + amps[i div {SIG_WIN_SAMPLES}]
-                ELSE 128 - amps[i div {SIG_WIN_SAMPLES}] END), 2, '0')))
-        """
-    )
-    return d.select("doc_id", amps.alias("amps")).select(
-        "doc_id", F.unhex(payload_hex).alias("payload")
+
+
+def _wav_data_slice(b: bytes | None) -> bytes | None:
+    """The PCM payload of a WAV's 'data' chunk via the same RIFF walk
+    as _walk_wav — bounded by the DECLARED chunk size, so a truncated
+    file yields what is actually present and a size lie cannot
+    over-read. This is the bridge from container parsing to content
+    analysis: the slice feeds energy_sig64 unchanged."""
+    if b is None or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        lo = i + 8
+        if cid == b"data":
+            return b[lo : min(lo + size, n)]
+        i = lo + size + (size & 1)
+    return None
+
+
+def audio_content_from_wav(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Arrow-batched kernel extracting each WAV's PCM bytes through the
+    chunk walk (decoy chunks skipped by declared size). Output column
+    `pcm` has the exact input contract of energy_sig64, which then
+    runs JVM-side unchanged — the audio analog of the pixel bridge's
+    container -> canonical-input -> JVM-hash shape."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "pcm": [_wav_data_slice(p) for p in pdf[payload_col]],
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kernel, schema="doc_id long, pcm binary"
     )
 
 
@@ -1704,6 +1781,12 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, hi, lo FROM hashes ORDER BY doc_id
     """,
     "q_audio_fingerprint": _SIG_ORACLE_CTE
+    + """
+        SELECT doc_id, hi, lo FROM hashes ORDER BY doc_id
+    """,
+    # identical expected signature: the container pipeline must recover
+    # the same PCM bytes through the decoy chunks
+    "q_audio_pipeline": _SIG_ORACLE_CTE
     + """
         SELECT doc_id, hi, lo FROM hashes ORDER BY doc_id
     """,

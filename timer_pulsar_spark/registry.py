@@ -162,9 +162,13 @@ PRIORITY: list[str] = [
     # fold streams + the entering q_stream_execute), q_dup_profile
     # (span family keeps the entering q_dedup_span — the SAME span-
     # postings pipeline, plus q_fingerprint for winnowing).
+    # q_audio_pipeline supersedes q_audio_fingerprint in-window (same
+    # signature oracle, but the PCM is recovered THROUGH the decoy
+    # container by the RIFF walk — strictly stronger; the fingerprint
+    # card sits at the SECONDARY head)
     "q_temperature_mix", "q_video_meta",
     "q_audio_meta_real", "q_image_dhash_real",
-    "q_audio_fingerprint", "q_audio_dedup",
+    "q_audio_pipeline", "q_audio_dedup",
     "q_dedup_span", "q_bm25", "q_ann_matmul", "q_stream_execute",
     "q_retention", "q_range_join", "q_chunk_cdc", "q_kmeans_check",
     "q_fingerprint",
@@ -176,8 +180,11 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
-    # r11 demotions — hash-green in r10, family coverage argued at the
-    # PRIORITY r11-rotation comment; first to re-enter on budget+1
+    # r11 demotions — hash-green in r10 (q_audio_fingerprint: superseded
+    # in-window by q_audio_pipeline, same oracle through the container
+    # walk), family coverage argued at the PRIORITY r11-rotation
+    # comment; first to re-enter on budget+1
+    "q_audio_fingerprint",
     "q_image_dhash", "q_image_dedup", "q_audio_meta",
     "q_dedup_minhash", "q_stream_dedup_near",
     "q_stream_dedup_incremental", "q_redact_pii", "q_vocab_coverage",
