@@ -189,6 +189,9 @@ def test_observe_drift_signal_and_footprint(spark, tmp_path):
         partitioned_fold(spark, root, batch(b, 4_000), "k", remerge, b,
                          n_parts=2, mode="delta", compact_every=2)
     obs = observe_drift(root, leaf_target=16 << 10)
+    # the O(touched) per-partition bookkeeping must agree with a full
+    # walk even across compaction + vacuum
+    assert obs["state_bytes"] == state_footprint(root)
     assert obs["state_bytes"] > obs0["state_bytes"]
     assert obs["suggested_n_parts"] > 2 and obs["reshard_due"]
     # the operational loop: reshard with headroom -> signal clears,

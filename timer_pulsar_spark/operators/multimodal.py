@@ -595,22 +595,21 @@ def planted_wavs(spark: SparkSession, sf_dir: str) -> DataFrame:
     block_align = (channels * bits / 8).cast("long")
     byte_rate = (rate * block_align).cast("long")
     data_bytes = ((F.col("doc_id") % 977 + 1) * 64).cast("long")
-    le_hex = _le_hex
 
     wav_hex = F.concat(
         F.lit("52494646"),                  # 'RIFF'
-        le_hex(data_bytes + 36, 4),         # riff chunk size
+        _le_hex(data_bytes + 36, 4),         # riff chunk size
         F.lit("57415645"),                  # 'WAVE'
         F.lit("666D7420"),                  # 'fmt '
         F.lit("10000000"),                  # fmt size 16 (LE)
         F.lit("0100"),                      # PCM
-        le_hex(channels, 2),
-        le_hex(rate, 4),
-        le_hex(byte_rate, 4),
-        le_hex(block_align, 2),
-        le_hex(bits, 2),
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(byte_rate, 4),
+        _le_hex(block_align, 2),
+        _le_hex(bits, 2),
         F.lit("64617461"),                  # 'data'
-        le_hex(data_bytes, 4),
+        _le_hex(data_bytes, 4),
     )
     return d.select("doc_id", F.unhex(wav_hex).alias("payload"))
 
@@ -761,7 +760,14 @@ def planted_wavs_decoy(
     fmt_size = (
         F.when(fmt_kind == 0, 16).when(fmt_kind == 1, 18).otherwise(40)
     ).cast("long")
-    riff_size = F.lit(28).cast("long") + list_size + pad + fmt_size
+    # the RIFF container size spans everything after the 8-byte RIFF
+    # header — INCLUDING the data payload when one is planted (a size
+    # ending at the data header would declare the samples outside the
+    # container, and a strict reader would see a fully truncated chunk)
+    riff_size = (
+        F.lit(28).cast("long") + list_size + pad + fmt_size
+        + (data_bytes if with_content else F.lit(0).cast("long"))
+    )
     decoy_fill = F.lpad(F.hex(doc % 89 + 8), 2, "0")
     wav_hex = F.concat(
         F.lit("52494646"), _le_hex(riff_size, 4),       # 'RIFF' size

@@ -480,12 +480,28 @@ def partitioned_fold(
         vacuum_state(root, batch_id, parts=touched)
     # stamp the live footprint so observe_drift is a meta read, not a
     # directory walk, on the hot path an operator polls (VERDICT r10
-    # #7). Walk cost here is O(n_parts) stats — the same order as the
-    # vacuum that just ran; single-writer, so the meta rename is safe.
+    # #7). Bookkeeping is PER-PARTITION and scoped to the partitions
+    # this batch touched (the same O(touched) discipline as the fold
+    # and vacuum themselves — a full-state walk per micro-batch would
+    # negate delta mode's O(batch) claim at the 100 GB sizing law);
+    # pre-upgrade roots pay one full walk to initialize. Single-writer,
+    # so the meta rename is safe.
     meta = _read_meta(root) or {}
+    part_bytes: dict[str, int] = dict(
+        meta.get("part_bytes")
+        or {str(p): b for p, b in _live_part_bytes(root).items()}
+    )
+    part_bytes.update(
+        {str(p): b for p, b in _live_part_bytes(root, parts=touched).items()}
+    )
     _write_meta(
         root,
-        {**meta, "state_bytes": state_footprint(root), "last_batch": batch_id},
+        {
+            **meta,
+            "part_bytes": part_bytes,
+            "state_bytes": sum(part_bytes.values()),
+            "last_batch": batch_id,
+        },
     )
     return touched
 
@@ -565,23 +581,33 @@ def _dir_bytes(path: str) -> int:
     return total
 
 
-def state_footprint(root: str) -> int:
-    """Bytes of the LIVE state only: per partition, the newest base
+def _live_part_bytes(
+    root: str, parts: set[int] | None = None
+) -> dict[int, int]:
+    """Per-partition bytes of the LIVE state only: the newest base
     leaf plus the deltas above it. Superseded versions awaiting vacuum
     are excluded — they are reclaimable space, not state, and counting
-    them would overstate drift right after a compaction. O(n_parts)
-    directory stats, no Spark job."""
-    bases = latest_partition_versions(root)
-    deltas = partition_deltas(root)
-    total = 0
-    for p, w in bases.items():
-        total += _dir_bytes(_leaf(root, p, w, "v"))
-    for p, ds in deltas.items():
+    them would overstate drift right after a compaction. Scoped by
+    ``parts`` so the per-fold stamp costs O(touched), not O(n_parts)."""
+    bases = latest_partition_versions(root, parts=parts)
+    deltas = partition_deltas(root, parts=parts)
+    out: dict[int, int] = {}
+    for p in set(bases) | set(deltas):
         w = bases.get(p, -1)
-        for d in ds:
+        total = _dir_bytes(_leaf(root, p, w, "v")) if w >= 0 else 0
+        for d in deltas.get(p, []):
             if d > w:
                 total += _dir_bytes(_leaf(root, p, d, "d"))
-    return total
+        out[p] = total
+    return out
+
+
+def state_footprint(root: str) -> int:
+    """Total live-state bytes — the full walk (all partitions). Used
+    offline (reshard restamp, observe_drift fallback on pre-upgrade
+    roots); the per-fold stamp instead updates only the partitions the
+    batch touched."""
+    return sum(_live_part_bytes(root).values())
 
 
 def observe_drift(root: str, leaf_target: int = 128 << 20) -> dict:
@@ -592,7 +618,18 @@ def observe_drift(root: str, leaf_target: int = 128 << 20) -> dict:
     An operator (or the fold-state bench) watches
     ``suggested_n_parts > n_parts`` and schedules the offline
     reshard_state before rewrite/compaction write-amp bites."""
-    meta = _read_meta(root) or {}
+    meta = _read_meta(root)
+    if meta is None:
+        # no state exists (pre-first-batch poll or a mistyped root):
+        # there is nothing to reshard — never report due for a state
+        # that reshard_state would refuse to touch
+        return {
+            "n_parts": 0,
+            "state_bytes": 0,
+            "leaf_target": int(leaf_target),
+            "suggested_n_parts": 0,
+            "reshard_due": False,
+        }
     bytes_now = meta.get("state_bytes")
     if bytes_now is None:
         bytes_now = state_footprint(root)
@@ -674,9 +711,20 @@ def reshard_state(
             if _PRE.match(entry) or entry.startswith("stage_"):
                 shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
     # restamp the footprint under the new layout so observe_drift
-    # reports against the migrated leaves, not the pre-reshard stamp
+    # reports against the migrated leaves — and REBUILD the
+    # per-partition byte map: the old one is keyed by the previous
+    # epoch's partition numbering and would corrupt the incremental
+    # sums the next fold maintains
     meta = _read_meta(root) or {}
-    _write_meta(root, {**meta, "state_bytes": state_footprint(root)})
+    part_bytes = {str(p): b for p, b in _live_part_bytes(root).items()}
+    _write_meta(
+        root,
+        {
+            **meta,
+            "part_bytes": part_bytes,
+            "state_bytes": sum(part_bytes.values()),
+        },
+    )
     return new_epoch
 
 
