@@ -71,6 +71,10 @@ HEADLINERS = [
     "q_audio_dedup",
     "q_audio_meta_real",
     "q_image_dhash_real",
+    # r11 late additions: benchmark decontamination (broadcast eval
+    # probe) and hybrid-retrieval RRF (TakeOrdered pools + fusion)
+    "q_decontaminate",
+    "q_rrf_fusion",
 ]
 
 

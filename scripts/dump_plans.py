@@ -212,6 +212,21 @@ AUDITED: dict[str, str] = {
         "walk descends moov/trak/mdia/hdlr/stsd by true header offsets "
         "(16-byte largesize handled), O(#boxes) per file, never mdat."
     ),
+    "q_decontaminate": (
+        "Benchmark decontamination (r11): the tiny eval-set n-gram "
+        "postings BROADCAST and the corpus probes them map-side (one "
+        "BroadcastHashJoin, no SortMergeJoin — corpus n-grams never "
+        "shuffle); the only wide exchanges are the eval distinct, ONE "
+        "per-doc collect_set aggregate over HIT rows (no Expand), and "
+        "the final sort."
+    ),
+    "q_rrf_fusion": (
+        "Hybrid-retrieval RRF (r11): each ranker pool lowers to "
+        "TakeOrderedAndProject (per-partition heaps, no global sort of "
+        "the corpus); rank assignment windows over <=RRF_POOL rows; the "
+        "one shuffle is BM25's single-row corpus-stats aggregate; the "
+        "fusion full-outer join sorts only the two 50-row pools."
+    ),
 }
 
 
@@ -230,6 +245,21 @@ def normalize_plan(plan: str) -> str:
     plan = re.sub(r" \[codegen id : \d+\]", "", plan)
     plan = re.sub(r"#\d+", "#", plan)
     plan = re.sub(r"plan_id=\d+", "plan_id=", plan)
+    # higher-order-function lambda variables bake a GLOBAL JVM counter
+    # into the variable NAME itself (NamedLambdaVariable renders as
+    # `lambda x_16#` where 16 is an exprId minted at plan time), so two
+    # sessions that planned different queries first disagree on every
+    # HOF plan's text — strip the counter exactly like exprIds
+    plan = re.sub(r"\blambda (\w+?)_\d+#", r"lambda \1_#", plan)
+    # localCheckpoint scans print the RDD id — a global per-context
+    # counter, so it too depends on what was planned earlier — and the
+    # creation CALLSITE, which the JVM renders as NativeMethodAccessor
+    # or <unknown> depending on who drove the py4j call (pytest vs a
+    # plain script)
+    plan = re.sub(r"RDD\[\d+\]", "RDD[]", plan)
+    plan = re.sub(
+        r"(RDD\[\] at \w+ at )[^,]+", r"\1<callsite>", plan
+    )
     return plan.rstrip()
 
 

@@ -95,6 +95,15 @@ PROBES = [
     "q_audio_dedup",
     "q_audio_meta_real",
     "q_image_dhash_real",
+    # r11 late additions: decontamination's probe side is map-shaped
+    # (the broadcast eval set grows WITH the replicas here — in
+    # production it is a fixed MB-scale benchmark table, so the probe
+    # overstates the broadcast cost); cross-copy hits stay linear
+    # because an n-gram only matches eval derivatives of its own base
+    # doc. RRF is two TakeOrdered corpus scans + a 50-row fusion, so
+    # its curve should track the pure map passes.
+    "q_decontaminate",
+    "q_rrf_fusion",
 ]
 
 

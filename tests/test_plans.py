@@ -324,6 +324,39 @@ def test_html_extract_and_walk_dims_are_single_pass(spark):
     assert _count_shuffles(tree2) == 1, tree2
 
 
+def test_decontaminate_broadcasts_eval_side(spark):
+    """r11 decontamination plan gate: the eval-set n-gram postings must
+    BROADCAST (the corpus side probes map-side — no corpus n-gram
+    shuffle), so no SortMergeJoin may appear; the only wide exchanges
+    are the tiny eval-distinct, ONE per-doc aggregate over HIT rows
+    (collect_set, not a dual-countDistinct Expand), and the final
+    sort."""
+    plan = _plan(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    tree = plan.split("\n\n")[0]
+    assert _count_shuffles(tree) == 3, tree
+
+
+def test_rrf_pools_are_take_ordered(spark):
+    """r11 hybrid-retrieval plan gate: each ranker's candidate pool
+    must lower to TakeOrderedAndProject (per-partition heaps — never a
+    global Sort+Exchange of the corpus), and the only Sort nodes
+    allowed are the SortMergeJoin's inputs over the two ≤RRF_POOL-row
+    pools. No Python eval: both scorers are pure JVM expressions."""
+    plan = _plan(spark, "q_rrf_fusion")
+    tree = plan.split("\n\n")[0]
+    assert tree.count("TakeOrderedAndProject") >= 3, tree  # 2 pools + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the single shuffle is BM25's one-row corpus-stats aggregate; the
+    # fusion's full-outer join sorts only the two ≤RRF_POOL-row pools
+    assert _count_shuffles(tree) == 1, tree
+
+
 def test_plans_md_regenerated_at_head(spark):
     """PLANS.md staleness gate (VERDICT r10 #6: the committed audit
     went one commit stale, silently): every audited query's committed
@@ -365,6 +398,15 @@ def test_plans_md_regenerated_at_head(spark):
     plans_spark.conf.set(
         "spark.sql.shuffle.partitions", str(dp.PLAN_SHUFFLE_PARTITIONS)
     )
+    # the CacheManager is SHARED across newSession(): frames persisted
+    # by earlier tests (e.g. the near-dup postings) would substitute
+    # InMemoryTableScan into matching subtrees here and shift hashes vs
+    # dump_plans' fresh session — clear it so the gate hashes the same
+    # cold plans the committed audit did (isolation-order independent)
+    from timer_pulsar_spark.operators.dedup import release_persisted
+
+    release_persisted()
+    plans_spark.catalog.clearCache()
     qs = entrymod.queries()
     stale = []
     for name in dp.AUDITED:
@@ -374,6 +416,10 @@ def test_plans_md_regenerated_at_head(spark):
             live = dp._explain(qs[name](plans_spark, dp.SF_DIR))
         if dp.plan_hash(live) != committed[name]:
             stale.append(name)
+            # leave the live normalized plan on disk so a hash
+            # mismatch is diffable against PLANS.md, not just named
+            with open(f"/tmp/stale_plan_{name}.txt", "w") as fh:
+                fh.write(dp.normalize_plan(live))
     assert not stale, (
         f"PLANS.md stale for {stale} — rerun scripts/dump_plans.py"
     )

@@ -398,3 +398,78 @@ def test_bridge_feeds_image_dedup_pairs_unchanged(spark):
         )
     )
     assert expect and got == expect
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    """Planted-leakage law: a train doc sharing an exact DECON_N-gram
+    with an eval (mod-DECON_MOD) doc is flagged with the right hit
+    count, eval attribution, and contaminated fraction; a disjoint
+    train doc is NOT flagged; eval docs never appear in the report."""
+    from timer_pulsar_spark.operators.dedup import (
+        DECON_MOD,
+        decontaminate_report,
+    )
+
+    bench_id = DECON_MOD  # % DECON_MOD == 0 -> eval side
+    rows = [
+        (bench_id, "alpha beta gamma delta epsilon"),
+        # shares the 4-gram 'beta gamma delta epsilon' (1 of its 3)
+        (1, "x beta gamma delta epsilon y"),
+        # disjoint vocabulary -> clean
+        (2, "one two three four five six"),
+        # shares NOTHING despite common words (no full 4-gram)
+        (3, "alpha beta zzz gamma delta"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in decontaminate_report(d).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    assert r["n_hits"] == 1
+    assert r["n_bench_docs"] == 1
+    assert r["first_bench"] == bench_id
+    assert abs(r["contamination"] - round(1 / 3, 6)) < 1e-9
+
+
+def test_decontaminate_matches_oracle(spark, duck):
+    import __spark_entry__ as entrymod
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        entrymod.queries()["q_decontaminate"](spark, SF_DIR),
+        duck,
+        entrymod.oracle_sql()["q_decontaminate"],
+    )
+
+
+def test_rrf_fusion_laws_and_oracle(spark, duck):
+    """RRF laws: ranks are dense and unique inside each pool; every
+    fused score equals sum(1/(K+r)) over the ranks present (rank 0 =
+    absent contributes nothing); output is the top-RRF_TOP by fused
+    score — plus the full driver-style oracle compare."""
+    import __spark_entry__ as entrymod
+    from timer_pulsar_spark.operators.similarity import (
+        RRF_K,
+        RRF_POOL,
+        RRF_TOP,
+    )
+    from .conftest import assert_matches_oracle
+
+    df = entrymod.queries()["q_rrf_fusion"](spark, SF_DIR)
+    rows = df.collect()
+    assert 0 < len(rows) <= RRF_TOP
+    for r in rows:
+        assert 0 <= r["r_sparse"] <= RRF_POOL
+        assert 0 <= r["r_dense"] <= RRF_POOL
+        assert r["r_sparse"] > 0 or r["r_dense"] > 0
+        want = sum(
+            1.0 / (RRF_K + rank)
+            for rank in (r["r_sparse"], r["r_dense"])
+            if rank > 0
+        )
+        assert abs(r["rrf"] - round(want, 6)) < 1e-9
+    # fused ordering is (rrf desc, doc_id)
+    keys = [(-r["rrf"], r["doc_id"]) for r in rows]
+    assert keys == sorted(keys)
+    assert_matches_oracle(
+        df, duck, entrymod.oracle_sql()["q_rrf_fusion"]
+    )

@@ -1297,6 +1297,79 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DECON_N = 4  # word n-gram size for train/eval overlap
+DECON_MOD = 31  # doc_id % DECON_MOD == 0 stands in for the eval set
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least one word n-gram with a held-out evaluation set (the GPT-3
+    appendix-C / Llama n-gram-overlap recipe). Distinct from the
+    doc-vs-doc dedup family above: the comparison is corpus-vs-eval-set,
+    the eval side is tiny, and the verdict is per TRAINING doc — the
+    pass every pretraining pipeline runs before a data release so eval
+    questions don't leak into the training mix.
+
+    The eval set is the deterministic `doc_id % DECON_MOD == 0` slice
+    of `documents` (a stand-in for a real benchmark table; at 100 TB it
+    would be a separate MB-scale table, which only strengthens the
+    shape below). Per contaminated doc: how many distinct n-grams leak
+    (`n_hits`), into how many eval docs (`n_bench_docs`), the first
+    such eval doc, and the contaminated fraction of the doc's n-grams.
+
+    Scale shape: eval sets are MBs while the corpus is TBs, so the eval
+    n-gram postings BROADCAST and the corpus side never shuffles its
+    n-grams — train shingles are generated map-side (the same zip-slice
+    expression as the dedup family, array_distinct per doc) and probe
+    the broadcast hash table in the same stage; the only wide exchange
+    is the final per-doc aggregate over HIT rows (a tiny fraction of
+    the corpus). Contrast with q_dedup_near's postings self-join: there
+    both sides are corpus-sized so a shuffle is unavoidable; here the
+    asymmetry makes the whole probe map-side. Plan-gated (one
+    BroadcastHashJoin, no SortMergeJoin) in tests/test_plans.py."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate_report(d)
+
+
+def decontaminate_report(d: DataFrame) -> DataFrame:
+    """Core of q_decontaminate over any (doc_id, text) frame — split out
+    so tests can plant known leakage (an exact n-gram shared between a
+    mod-DECON_MOD eval doc and a train doc) and assert the verdict."""
+    sh = with_shingles(d, n=DECON_N).select(
+        "doc_id",
+        F.size("shingles").alias("n_ngrams"),
+        F.explode("shingles").alias("ng"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % DECON_MOD == 0)
+        .select("ng", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+    train = sh.filter(F.col("doc_id") % DECON_MOD != 0)
+    # size(collect_set(..)) instead of a dual countDistinct: two
+    # DISTINCT aggregates plan through an Expand whose distinct-group
+    # order follows attribute exprIds (session-dependent plan text, and
+    # 2x the hit rows through two exchanges); the sets are per-doc
+    # bounded (≤ n_ngrams elements) so one deterministic hash aggregate
+    # does the same work in one pass
+    return (
+        train.join(F.broadcast(bench), "ng")
+        .groupBy("doc_id", "n_ngrams")
+        .agg(
+            F.size(F.collect_set("ng")).alias("n_hits"),
+            F.size(F.collect_set("bench_id")).alias("n_bench_docs"),
+            F.min("bench_id").alias("first_bench"),
+        )
+        .withColumn(
+            "contamination", F.round(F.col("n_hits") / F.col("n_ngrams"), 6)
+        )
+        .select(
+            "doc_id", "n_hits", "n_bench_docs", "first_bench", "contamination"
+        )
+        .orderBy("doc_id")
+    )
+
+
 LINKAGE_MAX_EDITS = 2
 
 
@@ -2082,6 +2155,34 @@ ORACLES["q_dedup_containment"] = f"""
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE round(shared * 1.0 / least(sa.n_sh, sb.n_sh), 6)
           >= {CONTAINMENT_THRESHOLD}
+"""
+
+ORACLES["q_decontaminate"] = f"""
+    WITH shingled AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, len(string_split(text, ' ')) - {DECON_N - 2}),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2] || ' ' ||
+                        string_split(text, ' ')[i+3])) AS shingles
+        FROM documents
+    ), g AS (
+        SELECT doc_id, len(shingles) AS n_ngrams, unnest(shingles) AS ng
+        FROM shingled
+    ), bench AS (
+        SELECT DISTINCT ng, doc_id AS bench_id FROM g
+        WHERE doc_id % {DECON_MOD} = 0
+    )
+    SELECT g.doc_id,
+           count(DISTINCT g.ng) AS n_hits,
+           count(DISTINCT bench_id) AS n_bench_docs,
+           min(bench_id) AS first_bench,
+           round(count(DISTINCT g.ng)::DOUBLE / n_ngrams, 6) AS contamination
+    FROM g JOIN bench USING (ng)
+    WHERE g.doc_id % {DECON_MOD} <> 0
+    GROUP BY g.doc_id, n_ngrams
+    ORDER BY g.doc_id
 """
 
 ORACLES["q_record_linkage"] = """

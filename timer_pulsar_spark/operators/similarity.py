@@ -2644,6 +2644,148 @@ ORACLES["q_stream_ivfpq_drift_check"] = """
 """
 
 
+# --- hybrid retrieval: reciprocal rank fusion -------------------------------
+
+RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_POOL = 50  # per-ranker candidate pool fed into the fusion
+RRF_TOP = 20  # fused results returned
+RRF_QUERY_VEC = 0  # vec_id of the dense query vector
+
+
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal rank fusion (Cormack, Clarke &
+    Buettcher 2009) of a SPARSE ranker (the Okapi BM25 scorer from
+    textops, fixed query-term set) and a DENSE ranker (exact cosine
+    against the query embedding, vec_id = RRF_QUERY_VEC) —
+    rrf(d) = Σ_r 1/(RRF_K + rank_r(d)) over the rankers that retrieved
+    d in their top-RRF_POOL. This is the standard production shape for
+    RAG / retrieval curation: two incomparable score scales fused on
+    RANKS, so neither needs calibration.
+
+    Scale shape: each ranker reduces to its top-RRF_POOL via
+    orderBy().limit() — Spark plans that as TakeOrderedAndProject
+    (per-partition heaps + driver merge, one corpus scan each, no
+    global sort shuffle). Only then does row_number assign ranks, over
+    RRF_POOL rows on a single partition (the unpartitioned window is
+    deliberate and bounded — never corpus-sized). The fusion join and
+    final top-RRF_TOP run on ≤ 2·RRF_POOL rows. Ranks and fused scores
+    order on ROUNDED values with doc_id tiebreaks, so the ranking is
+    engine-stable; docs missed by one ranker carry rank 0 (absent) and
+    contribute only the other ranker's term."""
+    from .textops import q_bm25
+
+    sparse_pool = q_bm25(spark, sf_dir).orderBy(
+        F.col("bm25").desc(), "doc_id"
+    ).limit(RRF_POOL)
+    sparse = sparse_pool.withColumn(
+        "r_sparse",
+        F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id")),
+    ).select("doc_id", "r_sparse")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("q_emb"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+    )
+    dense_pool = (
+        e.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot_product(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_norm") * l2_norm(F.col("embedding"))),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(RRF_POOL)
+    )
+    dense = dense_pool.withColumn(
+        "r_dense",
+        F.row_number().over(Window.orderBy(F.col("cosine").desc(), "doc_id")),
+    ).select("doc_id", "r_dense")
+
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("r_sparse")), F.lit(0.0)
+                )
+                + F.coalesce(
+                    F.lit(1.0) / (F.lit(RRF_K) + F.col("r_dense")), F.lit(0.0)
+                ),
+                6,
+            ),
+        )
+        .select(
+            "doc_id",
+            F.coalesce("r_sparse", F.lit(0)).alias("r_sparse"),
+            F.coalesce("r_dense", F.lit(0)).alias("r_dense"),
+            "rrf",
+        )
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_TOP)
+
+
+def _rrf_oracle_sql() -> str:
+    from .textops import BM25_B, BM25_K1, BM25_TERMS
+
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, dl, term, count(*) AS tf
+            FROM toks WHERE term IN ({terms})
+            GROUP BY 1, 2, 3
+        ), dfreq AS (
+            SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), nd AS (
+            SELECT count(*) AS n_docs,
+                   avg(len(string_split(text, ' '))) AS avgdl
+            FROM documents
+        ), bm AS (
+            SELECT doc_id,
+                   round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                              * tf * ({BM25_K1} + 1)
+                              / (tf + {BM25_K1} * (1 - {BM25_B}
+                                                   + {BM25_B} * dl / avgdl)) ),
+                         6) AS bm25
+            FROM tf JOIN dfreq USING (term), nd
+            GROUP BY doc_id
+        ), sp AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
+            FROM bm ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL}
+        ), co AS (
+            SELECT c.vec_id AS doc_id, {_COS} AS cosine
+            FROM embeddings c, embeddings q
+            WHERE q.vec_id = {RRF_QUERY_VEC}
+              AND c.vec_id <> {RRF_QUERY_VEC}
+        ), de AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cosine DESC, doc_id) AS r_dense
+            FROM co ORDER BY cosine DESC, doc_id LIMIT {RRF_POOL}
+        )
+        SELECT doc_id,
+               coalesce(r_sparse, 0) AS r_sparse,
+               coalesce(r_dense, 0) AS r_dense,
+               round(coalesce(1.0::DOUBLE / ({RRF_K} + r_sparse), 0)
+                     + coalesce(1.0::DOUBLE / ({RRF_K} + r_dense), 0),
+                     6) AS rrf
+        FROM sp FULL JOIN de USING (doc_id)
+        ORDER BY rrf DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+ORACLES["q_rrf_fusion"] = _rrf_oracle_sql()
+
+
 QUERIES = {
     name: fn
     for name, fn in list(globals().items())

@@ -123,8 +123,7 @@ PRIORITY: list[str] = [
     # q_image_dims_real — same parse contract, adversarial decoy
     # corpus, real segment walk — replaces it).
     "q_image_dims_real",
-    "q_html_extract", "q_stream_ivfpq_drift_check",
-    "q_corpus_card",
+    "q_html_extract",
     # r11 rotation (VERDICT r10 item 1): the two r10 stragglers come in
     # from the SECONDARY head (q_temperature_mix; q_video_meta — also
     # r11-MODIFIED: hdlr/stsd track depth, largesize moov corpus), the
@@ -172,6 +171,17 @@ PRIORITY: list[str] = [
     "q_dedup_span", "q_bm25", "q_ann_matmul", "q_stream_execute",
     "q_retention", "q_range_join", "q_chunk_cdc", "q_kmeans_check",
     "q_fingerprint",
+    # r11 late additions (this session): first driver rows for the two
+    # new pipeline operators — benchmark decontamination (corpus-vs-eval
+    # n-gram overlap, broadcast-probe shape) and reciprocal-rank-fusion
+    # hybrid retrieval (BM25 + dense cosine pools via TakeOrdered).
+    # Slots freed by demoting rows hash-green in r10 whose family keeps
+    # an in-window rep (see SECONDARY head): q_stream_ivfpq_drift_check
+    # (ANN keeps the entering q_ann_matmul + q_rrf_fusion's dense arm;
+    # the drift contract was hash-green r10 and sits first to re-enter)
+    # and q_corpus_card (analytics keep the entering q_retention;
+    # hash-green r10).
+    "q_decontaminate", "q_rrf_fusion",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -184,6 +194,7 @@ SECONDARY: list[str] = [
     # in-window by q_audio_pipeline, same oracle through the container
     # walk), family coverage argued at the PRIORITY r11-rotation
     # comment; first to re-enter on budget+1
+    "q_stream_ivfpq_drift_check", "q_corpus_card",
     "q_audio_fingerprint",
     "q_image_dhash", "q_image_dedup", "q_audio_meta",
     "q_dedup_minhash", "q_stream_dedup_near",
