@@ -473,3 +473,69 @@ def test_rrf_fusion_laws_and_oracle(spark, duck):
     assert_matches_oracle(
         df, duck, entrymod.oracle_sql()["q_rrf_fusion"]
     )
+
+
+def test_padded_plain_fmt_does_not_trigger_extensible_override():
+    """Review fix: the wValidBitsPerSample override applies ONLY to
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, cbSize >= 22). A plain-PCM fmt
+    chunk merely padded to 40+ bytes must keep its real bits field, not
+    pick up vendor filler at the extension offset."""
+    from timer_pulsar_spark.operators.multimodal import _walk_wav
+
+    def wav(fmt: bytes) -> bytes:
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + struct.pack("<I", 88_200)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    # tag 1 (plain PCM), fmt padded to 40 with nonzero junk exactly
+    # where the extension's wValidBitsPerSample would sit
+    plain = struct.pack("<HHIIHH", 1, 2, 44_100, 176_400, 4, 16)
+    plain += b"\x16\x00" + b"\x09\x00" + bytes(20)
+    assert _walk_wav(wav(plain)) == ("wav", 2, 44_100, 16, 500)
+    # tag 0xFFFE but a malformed SHORT extension (cbSize 20 < 22):
+    # the declared extension cannot hold wValidBitsPerSample — keep
+    # the container bits instead of reading junk
+    short_ext = struct.pack("<HHIIHH", 0xFFFE, 2, 44_100, 176_400, 4, 16)
+    short_ext += struct.pack("<HH", 20, 9) + bytes(20)
+    assert _walk_wav(wav(short_ext))[3] == 16
+    # the real extensible form still overrides (regression guard)
+    ext = struct.pack("<HHIIHH", 0xFFFE, 2, 44_100, 176_400, 4, 32)
+    ext += struct.pack("<HHI", 22, 24, 3)
+    ext += bytes.fromhex("0100000000001000800000AA00389B71")
+    assert _walk_wav(wav(ext))[3] == 24
+
+
+def test_energy_sig64_null_and_short_payloads_have_no_signature(spark):
+    """Review fix: undecodable audio (null or truncated PCM) must carry
+    a NULL signature, not (0,0) — otherwise every corrupt file becomes
+    a mutual hamming-0 duplicate; and image_dedup_pairs must emit no
+    pairs for null signatures (they bucket on null bands, but the null
+    Hamming predicate drops every such pair — no pre-filter, which
+    would push the whole signature expression into the scan filter)."""
+    from timer_pulsar_spark.operators.multimodal import (
+        SIG_WIN_SAMPLES,
+        SIG_WINDOWS,
+        energy_sig64,
+        image_dedup_pairs,
+    )
+
+    need = SIG_WINDOWS * SIG_WIN_SAMPLES
+    good = bytes(i % 251 for i in range(need))
+    rows = [
+        (0, None),
+        (1, None),
+        (2, b"\x00" * (need // 2)),  # truncated
+        (3, good),
+        (4, good),  # genuine exact duplicate of 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    sigs = {r["doc_id"]: (r["hi"], r["lo"]) for r in energy_sig64(df).collect()}
+    assert sigs[0] == (None, None)
+    assert sigs[1] == (None, None)
+    assert sigs[2] == (None, None)
+    assert sigs[3] == sigs[4] and sigs[3][0] is not None
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in image_dedup_pairs(energy_sig64(df)).collect()
+    }
+    assert pairs == {(3, 4)}

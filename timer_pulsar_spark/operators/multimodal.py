@@ -650,11 +650,21 @@ def _walk_wav(
         size = int.from_bytes(b[i + 4 : i + 8], "little")
         lo = i + 8
         if cid == b"fmt " and size >= 16 and lo + 16 <= n:
+            tag = int.from_bytes(b[lo : lo + 2], "little")
             channels = int.from_bytes(b[lo + 2 : lo + 4], "little")
             rate = int.from_bytes(b[lo + 4 : lo + 8], "little")
             byte_rate = int.from_bytes(b[lo + 8 : lo + 12], "little")
             bits = int.from_bytes(b[lo + 14 : lo + 16], "little")
-            if size >= 40 and lo + 20 <= n:
+            # the wValidBitsPerSample override belongs ONLY to
+            # WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) with a full cbSize-22
+            # extension — a plain-PCM fmt chunk merely padded to 40+
+            # bytes must NOT have its bits replaced by vendor filler
+            if (
+                tag == 0xFFFE
+                and size >= 40
+                and lo + 20 <= n
+                and int.from_bytes(b[lo + 16 : lo + 18], "little") >= 22
+            ):
                 valid = int.from_bytes(b[lo + 18 : lo + 20], "little")
                 if valid:           # extensible: true sample precision
                     bits = valid
@@ -1276,6 +1286,16 @@ def image_dedup_pairs(
     At 100 TB the exchange carries 4 slim rows/image (~28 bytes); the
     payload bytes never enter the exchange, and the hash projection is
     computed exactly once per image inside the scan stage."""
+    # null signatures (undecodable payloads) have no neighbors by
+    # definition, and the pipeline guarantees they emit none WITHOUT an
+    # explicit pre-filter: null bands do bucket together, but every
+    # in-bucket pair's Hamming is null (xor/bit_count propagate null)
+    # and a null `hamming <= k` predicate never keeps a pair — pinned
+    # by tests/test_round11_ops.py. An isNotNull filter here would be
+    # cleaner on paper but projection collapse pushes it THROUGH the
+    # hash projection, duplicating the full per-byte signature
+    # expression into the scan filter (measured: janino 64 KB fallback
+    # + driver OOM planning the planted-corpus form).
     halves = {0: F.col("lo"), 1: F.col("lo"), 2: F.col("hi"), 3: F.col("hi")}
     band_arr = F.array(
         *[
@@ -1671,6 +1691,13 @@ def energy_sig64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         return total
 
     earr = F.array(*[window_energy(w) for w in range(SIG_WINDOWS)])
+    # a null or truncated payload has NO signature: without this gate
+    # the bit chain folds null comparisons to 0 and every undecodable
+    # clip becomes signature (0,0) — a mutual hamming-0 "duplicate" of
+    # every other corrupt file in the banded dedup downstream
+    sig_ok = p.isNotNull() & (
+        F.length(p) >= SIG_WINDOWS * SIG_WIN_SAMPLES
+    )
 
     def half(lo_pos: int) -> Column:
         total = F.lit(0).cast("long")
@@ -1682,8 +1709,12 @@ def energy_sig64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
             )
         return total
 
-    return df.select("doc_id", earr.alias("earr")).select(
-        "doc_id", half(32).alias("hi"), half(0).alias("lo")
+    return df.select(
+        "doc_id", earr.alias("earr"), sig_ok.alias("sig_ok")
+    ).select(
+        "doc_id",
+        F.when(F.col("sig_ok"), half(32)).alias("hi"),
+        F.when(F.col("sig_ok"), half(0)).alias("lo"),
     )
 
 

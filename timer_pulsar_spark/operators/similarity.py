@@ -2731,34 +2731,13 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _rrf_oracle_sql() -> str:
-    from .textops import BM25_B, BM25_K1, BM25_TERMS
+    # the sparse arm reuses textops' BM25_ORACLE_CTES verbatim — one
+    # copy of the BM25 recipe, so a future tokenization/idf fix there
+    # cannot silently diverge from this fusion's oracle
+    from .textops import BM25_ORACLE_CTES
 
-    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
     return f"""
-        WITH toks AS (
-            SELECT doc_id, len(string_split(text, ' ')) AS dl,
-                   unnest(string_split(text, ' ')) AS term
-            FROM documents
-        ), tf AS (
-            SELECT doc_id, dl, term, count(*) AS tf
-            FROM toks WHERE term IN ({terms})
-            GROUP BY 1, 2, 3
-        ), dfreq AS (
-            SELECT term, count(*) AS df FROM tf GROUP BY term
-        ), nd AS (
-            SELECT count(*) AS n_docs,
-                   avg(len(string_split(text, ' '))) AS avgdl
-            FROM documents
-        ), bm AS (
-            SELECT doc_id,
-                   round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-                              * tf * ({BM25_K1} + 1)
-                              / (tf + {BM25_K1} * (1 - {BM25_B}
-                                                   + {BM25_B} * dl / avgdl)) ),
-                         6) AS bm25
-            FROM tf JOIN dfreq USING (term), nd
-            GROUP BY doc_id
-        ), sp AS (
+        WITH {BM25_ORACLE_CTES}, sp AS (
             SELECT doc_id,
                    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
             FROM bm ORDER BY bm25 DESC, doc_id LIMIT {RRF_POOL}

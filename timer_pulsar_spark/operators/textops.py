@@ -543,9 +543,12 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES: dict[str, str] = {
-    "q_bm25": f"""
-        WITH toks AS (
+# ONE copy of the BM25 oracle recipe, shared by ORACLES["q_bm25"] and
+# similarity._rrf_oracle_sql (the RRF fusion's sparse arm) so the two
+# oracles cannot silently diverge if the tokenization or idf formula
+# ever changes. `bm` is (doc_id, bm25) over docs hitting >=1 query term.
+BM25_ORACLE_CTES = f"""
+        toks AS (
             SELECT doc_id, len(string_split(text, ' ')) AS dl,
                    unnest(string_split(text, ' ')) AS term
             FROM documents
@@ -560,15 +563,21 @@ ORACLES: dict[str, str] = {
             SELECT count(*) AS n_docs,
                    avg(len(string_split(text, ' '))) AS avgdl
             FROM documents
-        )
-        SELECT doc_id,
-               round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-                          * tf * ({BM25_K1} + 1)
-                          / (tf + {BM25_K1} * (1 - {BM25_B}
-                                               + {BM25_B} * dl / avgdl)) ),
-                     6) AS bm25
-        FROM tf JOIN dfreq USING (term), nd
-        GROUP BY doc_id ORDER BY doc_id
+        ), bm AS (
+            SELECT doc_id,
+                   round(sum( ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                              * tf * ({BM25_K1} + 1)
+                              / (tf + {BM25_K1} * (1 - {BM25_B}
+                                                   + {BM25_B} * dl / avgdl)) ),
+                         6) AS bm25
+            FROM tf JOIN dfreq USING (term), nd
+            GROUP BY doc_id
+        )"""
+
+ORACLES: dict[str, str] = {
+    "q_bm25": f"""
+        WITH {BM25_ORACLE_CTES}
+        SELECT doc_id, bm25 FROM bm ORDER BY doc_id
     """,
     "q_heavy_hitters": f"""
         SELECT term, count(*) AS cnt
