@@ -1691,16 +1691,22 @@ def energy_sig64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         return total
 
     earr = F.array(*[window_energy(w) for w in range(SIG_WINDOWS)])
-    # a null or truncated payload has NO signature: without this gate
-    # the bit chain folds null comparisons to 0 and every undecodable
-    # clip becomes signature (0,0) — a mutual hamming-0 "duplicate" of
-    # every other corrupt file in the banded dedup downstream
-    sig_ok = p.isNotNull() & (
-        F.length(p) >= SIG_WINDOWS * SIG_WIN_SAMPLES
-    )
+    # a null or truncated payload has NO signature: without a gate the
+    # bit chain folds null comparisons to 0 and every undecodable clip
+    # becomes signature (0,0) — a mutual hamming-0 "duplicate" of every
+    # other corrupt file downstream. The gate is an ADDITIVE guard
+    # (null + total = null) rather than a CASE wrapped around each
+    # 32-term half: the wrapper form pushed the fused projection past
+    # janino's 64 KB method limit and dropped all three audio queries
+    # to interpreted mode (measured: 3 CodeGenerator failures at the
+    # sweep, 0 with this form).
+    sig_guard = F.when(
+        p.isNotNull() & (F.length(p) >= SIG_WINDOWS * SIG_WIN_SAMPLES),
+        F.lit(0),
+    ).cast("long")
 
     def half(lo_pos: int) -> Column:
-        total = F.lit(0).cast("long")
+        total = F.col("sig_guard")
         for k in range(32):
             pos = lo_pos + k
             bit = F.col("earr")[pos] < F.col("earr")[pos + 1]
@@ -1710,11 +1716,9 @@ def energy_sig64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
         return total
 
     return df.select(
-        "doc_id", earr.alias("earr"), sig_ok.alias("sig_ok")
+        "doc_id", earr.alias("earr"), sig_guard.alias("sig_guard")
     ).select(
-        "doc_id",
-        F.when(F.col("sig_ok"), half(32)).alias("hi"),
-        F.when(F.col("sig_ok"), half(0)).alias("lo"),
+        "doc_id", half(32).alias("hi"), half(0).alias("lo")
     )
 
 
