@@ -510,6 +510,16 @@ def main() -> None:
         "and q_image_dhash_real are map passes: an O(#chunks) RIFF",
         "walk and a vectorized decode+downsample per file.",
         "",
+        "q_decontaminate (r11) probes a BROADCAST eval-set n-gram table",
+        "map-side; in this probe the eval slice replicates WITH the",
+        "corpus (both sides grow 16x), which overstates the broadcast",
+        "cost — in production the benchmark table is fixed MB-scale, so",
+        "only the linear corpus probe scales. Cross-copy hits stay",
+        "linear because an n-gram only matches eval derivatives of its",
+        "own base doc. q_rrf_fusion (r11) is two TakeOrdered corpus",
+        "scans plus a 50-row fusion join: pure scan-shaped, no pair or",
+        "state growth anywhere.",
+        "",
         "## SemDeDup k-cap: driver state bounded as the corpus grows",
         "",
         "k = min(SEMDEDUP_K_CAP, ceil(n/32)); the codebook (k rows) is",
