@@ -539,3 +539,37 @@ def test_energy_sig64_null_and_short_payloads_have_no_signature(spark):
         for r in image_dedup_pairs(energy_sig64(df)).collect()
     }
     assert pairs == {(3, 4)}
+
+
+def test_stream_decontaminate_recovers_and_matches_batch(spark):
+    """The streaming decontamination twin: crash after the first
+    committed batch, restart with the SAME checkpoint, and the final
+    report must equal the one-shot q_decontaminate exactly (no
+    duplicate or missing verdicts) — the foreachBatch idempotent-sink
+    contract plus batch-split independence against the static eval
+    postings."""
+    import tempfile
+
+    from timer_pulsar_spark.operators.dedup import (
+        q_decontaminate,
+        stream_decontaminate_run,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_decon_restart_")
+    partial = stream_decontaminate_run(
+        spark, SF_DIR, work, stop_after_batches=1
+    )
+    n_partial = partial.count()
+    batch = q_decontaminate(spark, SF_DIR).toPandas().sort_values("doc_id")
+    assert n_partial < len(batch), "crash must land mid-stream"
+
+    resumed = (
+        stream_decontaminate_run(spark, SF_DIR, work)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    batch = batch.reset_index(drop=True)
+    assert list(resumed["doc_id"]) == list(batch["doc_id"])
+    for col in ("n_hits", "n_bench_docs", "first_bench", "contamination"):
+        assert (resumed[col] == batch[col]).all(), col

@@ -1335,23 +1335,38 @@ def decontaminate_report(d: DataFrame) -> DataFrame:
     """Core of q_decontaminate over any (doc_id, text) frame — split out
     so tests can plant known leakage (an exact n-gram shared between a
     mod-DECON_MOD eval doc and a train doc) and assert the verdict."""
-    sh = with_shingles(d, n=DECON_N).select(
-        "doc_id",
-        F.size("shingles").alias("n_ngrams"),
-        F.explode("shingles").alias("ng"),
-    )
+    sh = _decon_shingles(d)
     bench = (
         sh.filter(F.col("doc_id") % DECON_MOD == 0)
         .select("ng", F.col("doc_id").alias("bench_id"))
         .distinct()
     )
     train = sh.filter(F.col("doc_id") % DECON_MOD != 0)
-    # size(collect_set(..)) instead of a dual countDistinct: two
-    # DISTINCT aggregates plan through an Expand whose distinct-group
-    # order follows attribute exprIds (session-dependent plan text, and
-    # 2x the hit rows through two exchanges); the sets are per-doc
-    # bounded (≤ n_ngrams elements) so one deterministic hash aggregate
-    # does the same work in one pass
+    return decontaminate_probe(train, bench).orderBy("doc_id")
+
+
+def _decon_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, n_ngrams, ng): the map-side n-gram explode both sides
+    of the decontamination probe are built from."""
+    return with_shingles(d, n=DECON_N).select(
+        "doc_id",
+        F.size("shingles").alias("n_ngrams"),
+        F.explode("shingles").alias("ng"),
+    )
+
+
+def decontaminate_probe(train: DataFrame, bench: DataFrame) -> DataFrame:
+    """Probe train-side n-gram rows (doc_id, n_ngrams, ng) against a
+    bench postings frame (ng, bench_id) and report per contaminated
+    doc. Split from decontaminate_report so the STREAMING twin can
+    probe each arriving micro-batch against the same static postings.
+
+    size(collect_set(..)) instead of a dual countDistinct: two
+    DISTINCT aggregates plan through an Expand whose distinct-group
+    order follows attribute exprIds (session-dependent plan text, and
+    2x the hit rows through two exchanges); the sets are per-doc
+    bounded (≤ n_ngrams elements) so one deterministic hash aggregate
+    does the same work in one pass."""
     return (
         train.join(F.broadcast(bench), "ng")
         .groupBy("doc_id", "n_ngrams")
@@ -1366,8 +1381,99 @@ def decontaminate_report(d: DataFrame) -> DataFrame:
         .select(
             "doc_id", "n_hits", "n_bench_docs", "first_bench", "contamination"
         )
-        .orderBy("doc_id")
     )
+
+
+def q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_decontaminate, ORACLE-checked (the shared
+    oracle): replay the documents table as a multi-batch file stream
+    and probe each arriving micro-batch against the STATIC eval-set
+    n-gram postings (in production the benchmark table is external and
+    fixed — exactly this shape). A doc's verdict depends only on its
+    own n-grams and the static postings, so the result is
+    batch-split-independent and the union of per-batch reports must
+    equal the one-shot batch pass — the ingest gate that keeps eval
+    leakage out of a live lake at O(shard) per arriving shard."""
+    return stream_decontaminate_run(
+        spark, sf_dir, replay_workdir("stream_decon")
+    )
+
+
+def stream_decontaminate_run(
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    *,
+    stop_after_batches: int | None = None,
+) -> DataFrame:
+    """Replayable core of q_stream_decontaminate (the stream_quality_run
+    recipe): same work dir resumes from the checkpoint, and the
+    batch-id-keyed overwrite sink makes retried batches idempotent.
+    The eval postings are built once and persisted (released via the
+    module's release registry) so every micro-batch probes the same
+    in-memory table instead of re-deriving it."""
+    import os
+    import time
+
+    in_dir = os.path.join(work, "docs")
+    out = os.path.join(work, "report")
+    ckpt = os.path.join(work, "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    if not os.path.exists(in_dir):
+        docs.repartition(8).write.mode("overwrite").parquet(in_dir)
+    bench = _track_persist(
+        _decon_shingles(docs.filter(F.col("doc_id") % DECON_MOD == 0))
+        .select("ng", F.col("doc_id").alias("bench_id"))
+        .distinct()
+    )
+
+    def probe(batch_df: DataFrame, batch_id: int) -> None:
+        train = _decon_shingles(
+            batch_df.filter(F.col("doc_id") % DECON_MOD != 0)
+        )
+        decontaminate_probe(train, bench).write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+
+    from ..streaming import replay_state_partitions
+
+    with replay_state_partitions(spark):
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")  # 8 files -> 4 real batches
+            .parquet(in_dir)
+            .writeStream.foreachBatch(probe)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if stop_after_batches is not None:
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    commits = os.path.join(ckpt, "commits")
+                    done = (
+                        len([f for f in os.listdir(commits) if f.isdigit()])
+                        if os.path.isdir(commits)
+                        else 0
+                    )
+                    if done >= stop_after_batches:
+                        break
+                    time.sleep(0.1)
+                q.stop()
+            else:
+                q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+    if not os.path.exists(out):
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_hits int, n_bench_docs int,"
+            " first_bench long, contamination double",
+        )
+    return spark.read.parquet(out).drop("batch").orderBy("doc_id")
 
 
 LINKAGE_MAX_EDITS = 2
@@ -2184,6 +2290,11 @@ ORACLES["q_decontaminate"] = f"""
     GROUP BY g.doc_id, n_ngrams
     ORDER BY g.doc_id
 """
+
+# a doc's verdict depends only on its own n-grams and the STATIC eval
+# postings, so the micro-batched replay is batch-split-independent and
+# shares the batch twin's oracle verbatim
+ORACLES["q_stream_decontaminate"] = ORACLES["q_decontaminate"]
 
 ORACLES["q_record_linkage"] = """
     SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
