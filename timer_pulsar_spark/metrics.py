@@ -133,6 +133,34 @@ class MetricsRegistry:
                 xtimerApp=app,
             )
 
+    def record_state_drift(self, root: str, drift: dict) -> None:
+        """Expose a fold-state root's reshard-drift signal
+        (streaming.state.observe_drift) as gauges (VERDICT r11 #8): the
+        signal was bench-measured but invisible during a real run — an
+        operator had to run the bench harness to see whether the
+        sizing law had outgrown the pinned n_parts. Labeled by the
+        root's basename so several fold states coexist in one
+        exposition."""
+        import os
+
+        label = os.path.basename(root.rstrip("/")) or root
+        self.set_gauge(
+            "fold_state_bytes", float(drift["state_bytes"]), state=label
+        )
+        self.set_gauge(
+            "fold_state_n_parts", float(drift["n_parts"]), state=label
+        )
+        self.set_gauge(
+            "fold_state_suggested_n_parts",
+            float(drift["suggested_n_parts"]),
+            state=label,
+        )
+        self.set_gauge(
+            "fold_state_reshard_due",
+            1.0 if drift["reshard_due"] else 0.0,
+            state=label,
+        )
+
     def render(self) -> str:
         """Prometheus text exposition format 0.0.4."""
         lines: list[str] = []

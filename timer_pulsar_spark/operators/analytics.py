@@ -683,7 +683,7 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         scd2_fold_batch(spark, dim, batch_df, batch_id)
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -698,7 +698,7 @@ def q_stream_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            await_or_raise(q, 120)
         finally:
             if q.isActive:
                 q.stop()
@@ -1113,7 +1113,7 @@ def q_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         kmv_fold_batch(spark, work, batch_df, batch_id)
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -1126,7 +1126,7 @@ def q_stream_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(180)
+            await_or_raise(q, 180)
         finally:
             if q.isActive:
                 q.stop()

@@ -1411,9 +1411,16 @@ def stream_decontaminate_run(
     batch-id-keyed overwrite sink makes retried batches idempotent.
     The eval postings are built once and persisted (released via the
     module's release registry) so every micro-batch probes the same
-    in-memory table instead of re-deriving it."""
+    in-memory table instead of re-deriving it.
+
+    ``stop_after_batches`` plants a DETERMINISTIC crash (ADVICE r11):
+    the old form polled the checkpoint's commits dir and q.stop()'d,
+    so on fast data extra micro-batches could commit before the stop
+    landed and the recovery test's "crash must land mid-stream"
+    assertion raced the scheduler. Now the gate is INSIDE foreachBatch
+    — batch N raises before writing anything, so exactly N batches
+    commit, every run."""
     import os
-    import time
 
     in_dir = os.path.join(work, "docs")
     out = os.path.join(work, "report")
@@ -1428,7 +1435,11 @@ def stream_decontaminate_run(
         .distinct()
     )
 
+    _PLANTED = "planted decontamination crash"
+
     def probe(batch_df: DataFrame, batch_id: int) -> None:
+        if stop_after_batches is not None and batch_id >= stop_after_batches:
+            raise RuntimeError(f"{_PLANTED} before batch {batch_id}")
         train = _decon_shingles(
             batch_df.filter(F.col("doc_id") % DECON_MOD != 0)
         )
@@ -1436,7 +1447,7 @@ def stream_decontaminate_run(
             os.path.join(out, f"batch={batch_id}")
         )
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -1449,21 +1460,23 @@ def stream_decontaminate_run(
             .start()
         )
         try:
-            if stop_after_batches is not None:
-                deadline = time.time() + 120
-                while time.time() < deadline:
-                    commits = os.path.join(ckpt, "commits")
-                    done = (
-                        len([f for f in os.listdir(commits) if f.isdigit()])
-                        if os.path.isdir(commits)
-                        else 0
-                    )
-                    if done >= stop_after_batches:
-                        break
-                    time.sleep(0.1)
-                q.stop()
+            try:
+                await_or_raise(q, 120)
+            except Exception as exc:
+                # the planted crash is the EXPECTED terminal state of a
+                # stop_after_batches run; anything else (including a
+                # run that FINISHED without hitting the gate — the gate
+                # never fired, so the partial-read semantics are void)
+                # propagates
+                if stop_after_batches is None or _PLANTED not in str(exc):
+                    raise
             else:
-                q.awaitTermination(120)
+                if stop_after_batches is not None:
+                    raise RuntimeError(
+                        "stop_after_batches was set but the stream "
+                        "finished all batches without hitting the "
+                        "planted gate"
+                    )
         finally:
             if q.isActive:
                 q.stop()
@@ -1947,6 +1960,24 @@ def q_dedup_incremental_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref.unpersist()
 
 
+def _duck_shingles_sql(n: int) -> str:
+    """DuckDB expression for the distinct word-``n``-gram set of
+    ``text`` — generated from ``n`` so an oracle parameterized on a
+    width constant (DECON_N) can never desynchronize from the Spark
+    side's ``with_shingles(n=...)`` (ADVICE r11: the decontamination
+    oracle used to interpolate DECON_N into the range bound but
+    hard-code exactly four ``[i+k]`` concatenations)."""
+    cat = " || ' ' || ".join(
+        f"string_split(text, ' ')[i+{k}]" if k else "string_split(text, ' ')[i]"
+        for k in range(n)
+    )
+    return (
+        "list_distinct(list_transform("
+        f"range(1, len(string_split(text, ' ')) - {n - 2}), "
+        f"i -> {cat}))"
+    )
+
+
 ORACLES: dict[str, str] = {
     "q_dedup_exact": """
         SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc_id,
@@ -2125,7 +2156,7 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         dedup_exact_fold_batch(spark, state_root, batch_df, batch_id)
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -2138,7 +2169,7 @@ def q_stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            await_or_raise(q, 120)
         finally:
             if q.isActive:
                 q.stop()
@@ -2265,13 +2296,7 @@ ORACLES["q_dedup_containment"] = f"""
 
 ORACLES["q_decontaminate"] = f"""
     WITH shingled AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(1, len(string_split(text, ' ')) - {DECON_N - 2}),
-                   i -> string_split(text, ' ')[i] || ' ' ||
-                        string_split(text, ' ')[i+1] || ' ' ||
-                        string_split(text, ' ')[i+2] || ' ' ||
-                        string_split(text, ' ')[i+3])) AS shingles
+        SELECT doc_id, {_duck_shingles_sql(DECON_N)} AS shingles
         FROM documents
     ), g AS (
         SELECT doc_id, len(shingles) AS n_ngrams, unnest(shingles) AS ng
@@ -2573,7 +2598,7 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(out_dir, f"batch={batch_id}")
         )
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -2586,7 +2611,7 @@ def q_stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(180)
+            await_or_raise(q, 180)
         finally:
             if q.isActive:
                 q.stop()
@@ -2750,7 +2775,7 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         near_dup_fold_batch(batch_df.sparkSession, index, out, batch_df, batch_id)
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -2763,7 +2788,7 @@ def q_stream_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(180)
+            await_or_raise(q, 180)
         finally:
             if q.isActive:
                 q.stop()

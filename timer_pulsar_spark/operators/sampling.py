@@ -1000,7 +1000,7 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     def score(batch_df: DataFrame, batch_id: int) -> None:
         _dsir_score(batch_df, ratio).write.mode("append").parquet(out)
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -1013,7 +1013,7 @@ def q_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(180)
+            await_or_raise(q, 180)
         finally:
             if q.isActive:
                 q.stop()

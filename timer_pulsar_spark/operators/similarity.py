@@ -653,7 +653,7 @@ def q_stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out)
         )
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -666,7 +666,7 @@ def q_stream_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            await_or_raise(q, 120)
         finally:
             if q.isActive:
                 q.stop()
@@ -2483,7 +2483,7 @@ def _ivfpq_streamed_index(
             os.path.join(idx, f"batch={batch_id}")
         )
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -2496,7 +2496,7 @@ def _ivfpq_streamed_index(
             .start()
         )
         try:
-            q.awaitTermination(180)
+            await_or_raise(q, 180)
         finally:
             if q.isActive:
                 q.stop()

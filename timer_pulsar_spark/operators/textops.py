@@ -886,7 +886,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         hh_fold_batch(spark, state_root, batch_df, batch_id)
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -899,7 +899,7 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            await_or_raise(q, 120)
         finally:
             if q.isActive:
                 q.stop()
@@ -961,7 +961,7 @@ def stream_quality_run(
             os.path.join(out, f"batch={batch_id}")
         )
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -991,7 +991,7 @@ def stream_quality_run(
                     time.sleep(0.1)
                 q.stop()
             else:
-                q.awaitTermination(120)
+                await_or_raise(q, 120)
         finally:
             if q.isActive:
                 q.stop()
@@ -1974,7 +1974,7 @@ def stream_quality_clf_run(
             "overwrite"
         ).parquet(os.path.join(out, f"batch={batch_id}"))
 
-    from ..streaming import replay_state_partitions
+    from ..streaming import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         q = (
@@ -1987,7 +1987,7 @@ def stream_quality_clf_run(
             .start()
         )
         try:
-            q.awaitTermination(120)
+            await_or_raise(q, 120)
         finally:
             if q.isActive:
                 q.stop()

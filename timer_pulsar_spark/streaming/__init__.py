@@ -29,6 +29,25 @@ def replay_state_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def await_or_raise(q, timeout_sec: int) -> None:
+    """``q.awaitTermination(timeout)`` with the failure modes surfaced
+    (ADVICE r11): the bare call returns ``False`` on timeout and the
+    replay code used to fall through and read a PARTIAL output dir as
+    if the run had finished — a quietly-wrong result instead of an
+    error on a slow machine. Raises ``TimeoutError`` on timeout and
+    re-raises the query's own exception on failure, so every
+    foreachBatch replay in the repo either completes or errors."""
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming replay did not finish within {timeout_sec}s "
+            f"(query {q.id}); refusing to read a partial output"
+        )
+    exc = q.exception()
+    if exc is not None:
+        raise exc
+
+
 def latest_state_version(work: str, before: int | None = None) -> str | None:
     """Highest-numbered ``state_<id>`` dir under ``work``; with
     ``before``, only versions strictly below it — the predecessor a

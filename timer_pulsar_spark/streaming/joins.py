@@ -125,7 +125,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: replay the first week of clicks and purchases
     as two file streams through the watermarked interval join; the
     parquet sink then holds exactly the batch self-join's rows."""
-    from . import replay_state_partitions
+    from . import await_or_raise, replay_state_partitions
 
     work = replay_workdir("stream_join")
     out_dir = os.path.join(work, "out")
@@ -145,7 +145,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            await_or_raise(q, 120)
         finally:
             if q.isActive:
                 q.stop()
@@ -163,7 +163,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic — which makes even the OUTER join fully
     ORACLE-checked against the ANSI LEFT JOIN."""
     from ..functions.timeutil import epoch_micros
-    from . import replay_state_partitions
+    from . import await_or_raise, replay_state_partitions
 
     work = replay_workdir("stream_joino")
     out_dir = os.path.join(work, "out")
@@ -207,7 +207,7 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(180)
+            await_or_raise(q, 180)
         finally:
             if q.isActive:
                 q.stop()

@@ -72,7 +72,7 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(in_dir)
 
-    from . import replay_state_partitions
+    from . import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         stream = (
@@ -90,7 +90,7 @@ def q_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            await_or_raise(q, 120)
         finally:
             if q.isActive:
                 q.stop()
@@ -167,7 +167,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq.write_table(sent, fp)
     os.utime(fp, (1_700_000_100, 1_700_000_100))
 
-    from . import replay_state_partitions
+    from . import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         stream = (
@@ -205,7 +205,7 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(180)
+            await_or_raise(q, 180)
         finally:
             if q.isActive:
                 q.stop()
@@ -251,7 +251,7 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(in_dir)
 
-    from . import replay_state_partitions
+    from . import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         stream = (
@@ -280,7 +280,7 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            await_or_raise(q, 120)
         finally:
             if q.isActive:
                 q.stop()

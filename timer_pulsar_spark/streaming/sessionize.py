@@ -128,7 +128,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(in_dir)
 
-    from . import replay_state_partitions
+    from . import await_or_raise, replay_state_partitions
 
     with replay_state_partitions(spark):
         stream = (
@@ -146,7 +146,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(120)
+            await_or_raise(q, 120)
         finally:
             if q.isActive:
                 q.stop()

@@ -413,6 +413,8 @@ def partitioned_fold(
     vacuum: bool = True,
     mode: str = "rewrite",
     compact_every: int = 8,
+    metrics_registry=None,
+    leaf_target: int = 128 << 20,
 ) -> set[int]:
     """One leaf-scoped fold step. ``batch_agg`` is the batch already
     reduced to one row per ``key_col``; ``remerge`` re-aggregates a
@@ -503,6 +505,14 @@ def partitioned_fold(
             "last_batch": batch_id,
         },
     )
+    # live drift exposition (VERDICT r11 #8): with a registry wired,
+    # every fold stamps the reshard signal into /metrics — a meta read
+    # (the stamp above), not a directory walk, so the hot path stays
+    # O(touched)
+    if metrics_registry is not None:
+        metrics_registry.record_state_drift(
+            root, observe_drift(root, leaf_target)
+        )
     return touched
 
 

@@ -327,7 +327,7 @@ def q_stream_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import load_table
     from ..functions.timeutil import as_utc_instant
-    from . import replay_state_partitions, stage_range_split
+    from . import await_or_raise, replay_state_partitions, stage_range_split
 
     work = replay_workdir("stream_tot")
     in_dir = os.path.join(work, "events")
@@ -362,7 +362,7 @@ def q_stream_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(180)
+            await_or_raise(q, 180)
         finally:
             if q.isActive:
                 q.stop()
@@ -387,7 +387,7 @@ def q_stream_ttl_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent under ts ties."""
     from ..catalog import load_table
     from ..functions.timeutil import as_utc_instant, utc_wallclock_ntz
-    from . import replay_state_partitions, stage_range_split
+    from . import await_or_raise, replay_state_partitions, stage_range_split
 
     work = replay_workdir("stream_ttl")
     in_dir = os.path.join(work, "events")
@@ -448,7 +448,7 @@ def q_stream_ttl_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         try:
-            q.awaitTermination(180)
+            await_or_raise(q, 180)
         finally:
             if q.isActive:
                 q.stop()
