@@ -306,6 +306,16 @@ def test_image_dedup_is_one_band_shuffle_no_joins(spark):
         assert op not in plan_a, op
     tree_a = plan_a.split("\n\n")[0]
     assert _count_shuffles(tree_a) == 4, tree_a
+    # r12: the video temporal signature is the third modality on the
+    # same machinery — one Arrow kernel (the sample-table walk + frame
+    # energies; frame bytes never leave it), zero joins, the identical
+    # band-shuffle shape
+    plan_v = _plan(spark, "q_video_dedup")
+    for op in ("Join", "CartesianProduct", "BatchEvalPython"):
+        assert op not in plan_v, op
+    assert plan_v.count("MapInPandas") == 1
+    tree_v = plan_v.split("\n\n")[0]
+    assert _count_shuffles(tree_v) == 4, tree_v
 
 
 def test_html_extract_and_walk_dims_are_single_pass(spark):

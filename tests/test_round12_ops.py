@@ -10,6 +10,110 @@ import pytest
 from .conftest import SF_DIR
 
 
+# ------------------------------------- video content fingerprint
+
+def test_mp4_sample_tables_golden_and_malformed():
+    """Hand-built stsz/stsc/stco cases, independent of the plant
+    generator: uniform-size stsz (table omitted), multi-chunk stsc
+    run-length mapping, and malformed tables refused."""
+    from timer_pulsar_spark.operators.multimodal import (
+        _expand_sample_offsets,
+        _parse_stco,
+        _parse_stsc,
+        _parse_stsz,
+    )
+
+    # uniform stsz: sample_size nonzero, no table
+    b = bytes.fromhex("00000000" + "00000010" + "00000005")
+    assert _parse_stsz(b, 0, len(b)) == [16] * 5
+    # per-entry table
+    b = bytes.fromhex(
+        "00000000" + "00000000" + "00000003"
+        + "0000000A" + "0000000B" + "0000000C"
+    )
+    assert _parse_stsz(b, 0, len(b)) == [10, 11, 12]
+    # truncated table refused
+    assert _parse_stsz(b[:-2], 0, len(b) - 2) is None
+
+    # two stsc runs: chunks 1-2 carry 2 samples each, chunk 3+ carries 1
+    stsc = [(1, 2, 1), (3, 1, 1)]
+    stco = [100, 300, 500]
+    sizes = [10, 20, 30, 40, 50]
+    assert _expand_sample_offsets(sizes, stsc, stco) == [
+        (100, 10), (110, 20),   # chunk 1
+        (300, 30), (330, 40),   # chunk 2
+        (500, 50),              # chunk 3
+    ]
+    # not enough chunks for the declared samples: malformed
+    assert _expand_sample_offsets(sizes + [60], stsc, stco[:2]) is None
+    # stsc parse round-trip
+    raw = bytes.fromhex(
+        "00000000" + "00000002"
+        + "00000001" + "00000002" + "00000001"
+        + "00000003" + "00000001" + "00000001"
+    )
+    assert _parse_stsc(raw, 0, len(raw)) == stsc
+    raw = bytes.fromhex("00000000" + "00000002" + "00000064" + "0000012C")
+    assert _parse_stco(raw, 0, len(raw)) == [100, 300]
+
+
+def test_video_frames_walk_defeats_mdat_payload_shortcut(spark):
+    """The planted corpus leaves 1..5 junk bytes between the mdat
+    header and the first sample (real muxers leave interleaving
+    slack), so 'skip to the mdat payload' reads shifted garbage on
+    EVERY file — only the stco-addressed walk recovers the planted
+    frame energies; and the planted groups of four pair at temporal
+    Hamming <= 4 through image_dedup_pairs unchanged."""
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.operators.multimodal import (
+        GRID_H,
+        GRID_W,
+        VID_FRAMES,
+        _mp4_frame_slices,
+        image_dedup_pairs,
+        planted_mp4s_frames,
+        video_frame_energies,
+        video_sig64,
+    )
+
+    corpus = planted_mp4s_frames(spark, SF_DIR).filter(
+        F.col("doc_id") < 128
+    )
+    rows = {r.doc_id: bytes(r.payload) for r in corpus.collect()}
+    fb = GRID_W * GRID_H
+    for doc_id, b in rows.items():
+        walked = _mp4_frame_slices(b)
+        assert walked is not None and len(walked) == VID_FRAMES
+        # the naive read: find mdat, take frames from its payload start
+        i = b.index(b"mdat") + 4
+        naive = [
+            sum(b[i + f * fb : i + (f + 1) * fb]) for f in range(VID_FRAMES)
+        ]
+        true = [
+            sum(b[off : off + sz]) for off, sz in walked
+        ]
+        assert naive != true, f"doc {doc_id}: junk decoy not effective"
+        # frame 0 of the truth is the planted gradient: amps[0] + i
+        first = b[walked[0][0] : walked[0][0] + fb]
+        assert all(
+            first[i + 1] - first[i] == 1 for i in range(fb - 1)
+        ), "frame 0 must be the planted +1 gradient"
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_dedup_pairs(
+            video_sig64(video_frame_energies(corpus))
+        ).collect()
+    }
+    groups = {base: [base + v for v in range(4)] for base in range(0, 128, 4)}
+    for base, members in groups.items():
+        for i, a in enumerate(members):
+            for bdoc in members[i + 1 :]:
+                assert (a, bdoc) in pairs, f"lost same-group pair {(a, bdoc)}"
+                assert pairs[(a, bdoc)] <= 8
+
+
 # ---------------------------------------- fold-state drift exposition
 
 def test_fold_drift_gauges_in_metrics_exposition(spark, tmp_path):
