@@ -114,6 +114,100 @@ def test_video_frames_walk_defeats_mdat_payload_shortcut(spark):
                 assert pairs[(a, bdoc)] <= 8
 
 
+# -------------------------------------------- ExactSubstr dedup
+
+def test_exactsubstr_cut_contract(spark):
+    """Planted-corpus contract for the byte-level ExactSubstr pass
+    (Lee et al. 2022 semantics at threshold L): a shared substring of
+    exactly L chars is reported as one L-length region in BOTH docs at
+    the right offsets; a shared substring of L-1 chars is NOT reported
+    (the threshold boundary); an INTRA-document repeat counts (the
+    paper's law is total occurrences, not distinct docs); two nearby
+    regions merge iff their covered windows overlap or touch."""
+    from timer_pulsar_spark.operators.dedup import (
+        EXSUB_L,
+        exactsubstr_regions,
+    )
+
+    L = EXSUB_L
+    shared = "X" + "abcdefghij"[: 0] + "".join(
+        chr(ord("a") + (i * 7) % 26) for i in range(L - 1)
+    )                                # exactly L chars, aperiodic
+    assert len(shared) == L
+    short = shared[: L - 1]          # L-1 chars: below threshold
+    # unique fillers guarantee no accidental cross-doc windows
+    fill = lambda tag, n: "".join(  # noqa: E731
+        chr(ord("A") + (i * 11 + tag * 7) % 26) + str(tag)
+        for i in range(n)
+    )
+    rows = [
+        # docs 0/1 share `shared` at different offsets
+        (0, fill(1, 20) + shared + fill(2, 20)),
+        (1, fill(3, 5) + shared + fill(4, 35)),
+        # docs 2/3 share only the L-1 prefix: below threshold
+        (2, fill(5, 20) + short + fill(6, 20)),
+        (3, fill(7, 20) + short + fill(8, 20)),
+        # doc 4: intra-document repeat of `shared` (two occurrences)
+        (4, shared + fill(9, 10) + shared),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    regions = {
+        (r.doc_id, r.start): (r.region_len, r.max_occ)
+        for r in exactsubstr_regions(d).collect()
+    }
+    # docs 0/1: exactly one region each, exactly the shared substring
+    doc0_start = rows[0][1].index(shared) + 1
+    doc1_start = rows[1][1].index(shared) + 1
+    assert regions[(0, doc0_start)] == (L, 4)   # 2 inter + 2 intra-doc-4
+    assert regions[(1, doc1_start)] == (L, 4)
+    # threshold boundary: no region touches docs 2/3
+    assert not any(doc in (2, 3) for doc, _ in regions)
+    # intra-doc repeat: two L-length regions in doc 4
+    doc4_starts = sorted(s for doc, s in regions if doc == 4)
+    assert doc4_starts == [1, L + 20 + 1]
+    for s in doc4_starts:
+        assert regions[(4, s)][0] == L
+
+
+# ------------------------------------- decontamination threshold
+
+def test_decontaminate_ngram_boundary(spark):
+    """VERDICT r11 #7: pin the decontamination threshold semantics —
+    a train doc overlapping an eval doc on exactly DECON_N
+    consecutive words is flagged with exactly that one n-gram hit,
+    while an overlap of DECON_N - 1 words is CLEAN (no verdict row).
+    Words are unique per doc elsewhere, so the planted window is the
+    only candidate."""
+    from timer_pulsar_spark.operators.dedup import (
+        DECON_MOD,
+        DECON_N,
+        decontaminate_report,
+    )
+
+    leak = " ".join(f"leak{i}" for i in range(DECON_N))        # n words
+    near = " ".join(f"edge{i}" for i in range(DECON_N - 1))    # n-1 words
+    pad = lambda tag, n: " ".join(f"w{tag}x{i}" for i in range(n))  # noqa: E731
+    rows = [
+        # the eval doc (id % DECON_MOD == 0) carries both windows
+        (0, f"{pad(0, 6)} {leak} {pad(1, 6)} {near} {pad(2, 6)}"),
+        # train doc sharing exactly the n-word window: contaminated
+        (DECON_MOD + 1, f"{pad(3, 5)} {leak} {pad(4, 5)}"),
+        # train doc sharing only the (n-1)-word window: clean
+        (DECON_MOD + 2, f"{pad(5, 5)} {near} {pad(6, 5)}"),
+        # clean control
+        (DECON_MOD + 3, pad(7, 20)),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in decontaminate_report(d).collect()}
+    assert set(got) == {DECON_MOD + 1}, got
+    hit = got[DECON_MOD + 1]
+    assert hit.n_hits == 1 and hit.n_bench_docs == 1
+    assert hit.first_bench == 0
+    # contamination = 1 hit / (16 - n + 1 = 13) n-grams in the doc
+    n_tokens = len(rows[1][1].split(" "))
+    assert hit.contamination == round(1 / (n_tokens - DECON_N + 1), 6)
+
+
 # ---------------------------------------- fold-state drift exposition
 
 def test_fold_drift_gauges_in_metrics_exposition(spark, tmp_path):

@@ -1145,6 +1145,100 @@ def q_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aff.unionByName(unaff)
 
 
+EXSUB_L = 24        # minimum repeated-substring length, characters
+EXSUB_MIN_OCC = 2   # total occurrences (intra-doc repeats count, per the paper)
+
+
+def exactsubstr_regions(d: DataFrame) -> DataFrame:
+    """Byte-level ExactSubstr dedup over any (doc_id, text) frame —
+    the production form of Lee et al. 2022's suffix-array pass
+    (arXiv:2107.06499, "ExactSubstr"), VERDICT r11 #5. q_dedup_span is
+    the token-level fixed-window analog; this is the CHARACTER-level
+    law at window resolution 1, which makes the per-byte semantics
+    EXACT for threshold L: a character belongs to a reported region
+    iff it lies inside some length-EXSUB_L window occurring >=
+    EXSUB_MIN_OCC times in the corpus (intra-document repeats count,
+    as in the paper) — equivalently iff it lies inside a maximal
+    repeated substring of length >= EXSUB_L. Output: one row per
+    maximal repeated region (doc_id, start 1-based, region_len,
+    n_windows, max_occ).
+
+    Scale shape: stride-1 windows mean the postings volume is
+    O(corpus characters) — exactly the input size of the suffix array
+    the reference pass builds, so this is not a hidden blowup; the
+    windows are generated map-side (one transform over a positions
+    sequence), the hot set is ONE hash aggregation on the window text,
+    the join back is AQE-broadcast when true repeats are rare, and
+    the island merge (adjacent covered windows -> maximal regions)
+    runs under a doc_id-partitioned window — per-doc work, never a
+    global sort. The raw L-char window is the grouping key (no hash
+    round-trip; same wire bytes as an md5 hex digest at L = 24,
+    collision-free by construction)."""
+    wins = (
+        d.filter(F.length("text") >= EXSUB_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {EXSUB_L - 1}),"
+                    f" p -> substring(text, p, {EXSUB_L}))"
+                )
+            ).alias("i", "win"),
+        )
+        .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "win")
+    )
+    hot = (
+        wins.groupBy("win")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occ") >= EXSUB_MIN_OCC)
+        .select("win", "n_occ")
+    )
+    cov = wins.join(hot, "win").select("doc_id", "pos", "n_occ")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # islands-and-gaps: two covered windows overlap or touch iff their
+    # starts differ by <= L, so a gap > L starts a new maximal region
+    flagged = cov.withColumn(
+        "new_region",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > EXSUB_L),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "region",
+        F.sum("new_region").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "region")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + EXSUB_L - F.min("pos")).alias("region_len"),
+            F.count(F.lit(1)).alias("n_windows"),
+            F.max("n_occ").alias("max_occ"),
+        )
+        .select("doc_id", "start", "region_len", "n_windows", "max_occ")
+        .orderBy("doc_id", "start")
+    )
+
+
+def q_dedup_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked ExactSubstr pass over the documents table: every
+    maximal repeated character region >= EXSUB_L — the byte-range a
+    Lee-et-al.-style removal pass would cut. DuckDB replays the
+    identical window + hot-set + island arithmetic, so the report only
+    matches if both the stride-1 window law and the region merge ran
+    exactly."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
+    )
+    return exactsubstr_regions(d)
+
+
 def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -2320,6 +2414,41 @@ ORACLES["q_decontaminate"] = f"""
 # postings, so the micro-batched replay is batch-split-independent and
 # shares the batch twin's oracle verbatim
 ORACLES["q_stream_decontaminate"] = ORACLES["q_decontaminate"]
+
+ORACLES["q_dedup_exactsubstr"] = f"""
+    WITH w AS (
+        SELECT doc_id, u.p AS pos, u.win AS win
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, length(text) - {EXSUB_L - 2}),
+                       p -> struct_pack(
+                           p := p, win := substr(text, p, {EXSUB_L})))) AS u
+            FROM documents WHERE length(text) >= {EXSUB_L})
+    ), hot AS (
+        SELECT win, count(*) AS n_occ FROM w
+        GROUP BY win HAVING count(*) >= {EXSUB_MIN_OCC}
+    ), cov AS (
+        SELECT w.doc_id, w.pos, hot.n_occ FROM w JOIN hot USING (win)
+    ), lagged AS (
+        SELECT doc_id, pos, n_occ,
+               CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                        IS NULL
+                      OR pos - lag(pos)
+                        OVER (PARTITION BY doc_id ORDER BY pos) > {EXSUB_L}
+                    THEN 1 ELSE 0 END AS new_region
+        FROM cov
+    ), isl AS (
+        SELECT doc_id, pos, n_occ,
+               sum(new_region) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS region
+        FROM lagged
+    )
+    SELECT doc_id, min(pos) AS start,
+           max(pos) + {EXSUB_L} - min(pos) AS region_len,
+           count(*) AS n_windows, max(n_occ) AS max_occ
+    FROM isl GROUP BY doc_id, region ORDER BY doc_id, start
+"""
 
 ORACLES["q_record_linkage"] = """
     SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
