@@ -75,6 +75,12 @@ HEADLINERS = [
     # probe) and hybrid-retrieval RRF (TakeOrdered pools + fusion)
     "q_decontaminate",
     "q_rrf_fusion",
+    # r12 newcomers: width-aware audio container->content pipeline,
+    # video temporal fingerprint dedup (sample-table walk to planted
+    # mdat frames), byte-level ExactSubstr regions
+    "q_audio_pipeline",
+    "q_video_dedup",
+    "q_dedup_exactsubstr",
 ]
 
 

@@ -227,6 +227,29 @@ AUDITED: dict[str, str] = {
         "one shuffle is BM25's single-row corpus-stats aggregate; the "
         "fusion full-outer join sorts only the two 50-row pools."
     ),
+    "q_audio_pipeline": (
+        "Width-aware audio container->content pipeline (r12): ONE "
+        "MapInPandas kernel (RIFF walk to the data slice + declared "
+        "bits, canonical 16-bit normalization), then the pure-JVM "
+        "energy_sig64_s16 projection — 130 convs stays inside "
+        "whole-stage codegen; no joins, no shuffle before the final "
+        "order."
+    ),
+    "q_video_dedup": (
+        "Video temporal-signature dedup (r12): ONE MapInPandas kernel "
+        "walks stsz/stsc/stco to the planted frames and emits only 65 "
+        "energy longs per video (frame bytes never leave the kernel); "
+        "the JVM _pack_sig projection and image_dedup_pairs' shape "
+        "REUSED: four exchange nodes, ZERO joins."
+    ),
+    "q_dedup_exactsubstr": (
+        "Byte-level ExactSubstr regions (r12): stride-1 windows are "
+        "generated map-side (one transform + posexplode inside the "
+        "scan stage), ONE hash aggregation keys the hot set, the join "
+        "back is AQE-broadcast, and the islands merge runs under a "
+        "doc_id-partitioned window — postings volume is corpus "
+        "characters (the suffix array's own input size), never pairs."
+    ),
 }
 
 

@@ -104,6 +104,18 @@ PROBES = [
     # its curve should track the pure map passes.
     "q_decontaminate",
     "q_rrf_fusion",
+    # r12: the video dedup reuses image_dedup_pairs over a one-kernel
+    # sample-table walk (map pass + the banded postings shape — frame
+    # bytes never leave the kernel); the width-aware audio pipeline is
+    # walk + canonical widen + JVM signature, a pure map pass; the
+    # ExactSubstr pass is the one genuinely corpus-bytes-heavy probe
+    # (stride-1 windows = every character shuffles once into the
+    # hot-window agg — the suffix array's own input volume; watch for
+    # anything WORSE than linear-in-bytes, which would mean pair or
+    # island expansion, not postings)
+    "q_video_dedup",
+    "q_audio_pipeline",
+    "q_dedup_exactsubstr",
 ]
 
 
@@ -519,6 +531,18 @@ def main() -> None:
         "own base doc. q_rrf_fusion (r11) is two TakeOrdered corpus",
         "scans plus a 50-row fusion join: pure scan-shaped, no pair or",
         "state growth anywhere.",
+        "",
+        "q_video_dedup (r12) is the third modality on image_dedup_pairs:",
+        "one Arrow kernel walks the sample tables and reduces each",
+        "frame to its energy (frame bytes never leave the kernel), then",
+        "the banded postings shape takes over — the curve must track",
+        "q_audio_dedup's. q_audio_pipeline (r12) is walk + canonical",
+        "width normalization + JVM signature: a pure map pass.",
+        "q_dedup_exactsubstr (r12) is the honest corpus-bytes probe:",
+        "stride-1 windows mean every character crosses the hot-window",
+        "aggregation once (the suffix array's own input volume), so",
+        "linear-in-bytes IS the target curve; anything superlinear",
+        "would flag island or pair expansion on top of the postings.",
         "",
         "## SemDeDup k-cap: driver state bounded as the corpus grows",
         "",

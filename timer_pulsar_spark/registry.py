@@ -35,7 +35,6 @@ PRIORITY: list[str] = [
     # LLM-pipeline family representatives (one per family, oracle-
     # backed; the r9 rotation moved several family slots to this
     # round's newer, stronger reps — see the r9 comment below)
-    "q_dedup_near",
     # r4 rotation (VERDICT r03 item 8): first driver rows for families
     # that sat past the budget — each replaced slot was double-covered
     # (q_json keeps P9, q_distinct keeps A3, q_groupby_minute keeps T5,
@@ -49,8 +48,6 @@ PRIORITY: list[str] = [
     # api.run_migration, q_sessionize keeps its shape via
     # q_session_window, q_dup_clusters via q_pagerank.
     # (r7 rotation rationale in git history; superseded below)
-    "q_bpe_encode_check",
-    "q_stream_source_overlap",
     "q_dedup_incremental_check",
     # r9 rotation (VERDICT r08 item 3): first driver rows for the seven
     # never-windowed r8-tail queries the verdict named —
@@ -83,8 +80,7 @@ PRIORITY: list[str] = [
     # q_quality_clf_check (their SAMPLED production twins stay),
     # q_kcenter_check (the sampled check stays and was re-verified
     # after this round's guards).
-    "q_stream_dedup_exact", "q_stream_heavy_hitters",
-    "q_pack_concat_sharded",
+    "q_stream_dedup_exact",
     # r10 rotation (VERDICT r09 item 3): five r10 newcomers get their
     # first driver rows — the segment-walk image parser over the decoy
     # corpus (q_image_dims_real), the perceptual dHash card + banded-
@@ -122,7 +118,6 @@ PRIORITY: list[str] = [
     # q_html_extract), q_image_dims (the STRICTLY STRONGER
     # q_image_dims_real — same parse contract, adversarial decoy
     # corpus, real segment walk — replaces it).
-    "q_image_dims_real",
     "q_html_extract",
     # r11 rotation (VERDICT r10 item 1): the two r10 stragglers come in
     # from the SECONDARY head (q_temperature_mix; q_video_meta — also
@@ -165,12 +160,10 @@ PRIORITY: list[str] = [
     # signature oracle, but the PCM is recovered THROUGH the decoy
     # container by the RIFF walk — strictly stronger; the fingerprint
     # card sits at the SECONDARY head)
-    "q_temperature_mix", "q_video_meta",
     "q_audio_meta_real", "q_image_dhash_real",
-    "q_audio_pipeline", "q_audio_dedup",
-    "q_dedup_span", "q_bm25", "q_ann_matmul", "q_stream_execute",
-    "q_retention", "q_range_join", "q_chunk_cdc", "q_kmeans_check",
-    "q_fingerprint",
+    "q_audio_pipeline",
+    "q_stream_execute",
+    "q_range_join", "q_chunk_cdc", "q_kmeans_check",
     # r11 late additions (this session): first driver rows for the two
     # new pipeline operators — benchmark decontamination (corpus-vs-eval
     # n-gram overlap, broadcast-probe shape) and reciprocal-rank-fusion
@@ -182,6 +175,50 @@ PRIORITY: list[str] = [
     # and q_corpus_card (analytics keep the entering q_retention;
     # hash-green r10).
     "q_decontaminate", "q_rrf_fusion",
+    # r12 rotation (VERDICT r11 item 1): the three r12 newcomers get
+    # first driver rows — the video CONTENT fingerprint + dedup pair
+    # (stsz/stsc/stco sample-table walk to planted mdat frames,
+    # temporal signature through the shared pair machinery) and the
+    # byte-level ExactSubstr pass (stride-1 character windows, islands
+    # merge, the Lee et al. 2022 law) — plus q_stream_decontaminate
+    # (MODIFIED this round: deterministic in-foreachBatch crash gate +
+    # await_or_raise; shares the batch oracle verbatim) and ten
+    # never-driver-verified tail queries the r11 verdict spot-verified
+    # green: q_dup_clusters_star, q_tfidf, q_sample_stratified,
+    # q_outliers, q_zorder, q_langid, q_setops, q_record_linkage,
+    # q_gapfill_locf, q_pmi_collocations. Queries MODIFIED this round
+    # stay in-window per policy: q_audio_pipeline (now sample-width
+    # aware: canonical 16-bit normalization fed by the walked
+    # bits_per_sample), q_decontaminate (oracle n-gram concatenation
+    # generated from DECON_N), q_audio_meta_real (first-data-wins
+    # walk). Slots freed by demoting rows hash-green in r11 whose
+    # family keeps an in-window rep (see SECONDARY head):
+    # q_dedup_near (near-dup keeps q_dedup_incremental_check's banded
+    # arm + the entering q_dedup_exactsubstr), q_bpe_encode_check +
+    # q_bm25 (textops keep q_html_extract + the entering q_tfidf /
+    # q_langid / q_pmi_collocations; RRF keeps the BM25 arm),
+    # q_stream_source_overlap + q_stream_heavy_hitters (fold streams
+    # keep q_stream_dedup_exact + the entering q_stream_decontaminate),
+    # q_pack_concat_sharded + q_temperature_mix (sampling keeps the
+    # entering q_sample_stratified; pack law pytest-pinned),
+    # q_image_dims_real + q_video_meta (metadata keeps
+    # q_audio_meta_real; the entering q_video_fingerprint walks the
+    # same boxes DEEPER — through the sample tables to content),
+    # q_audio_dedup (the pair machinery is exercised verbatim by the
+    # entering q_video_dedup; the signature stays via q_audio_pipeline),
+    # q_dedup_span (superseded by the entering q_dedup_exactsubstr —
+    # the character-level law with exact per-byte semantics; the span
+    # pipeline keeps q_dup_profile at the SECONDARY head),
+    # q_ann_matmul (ANN keeps q_rrf_fusion's dense arm + the
+    # SECONDARY-head drift contract), q_retention (analytics keep the
+    # entering q_outliers + q_dup_clusters_star's graph resolution),
+    # q_fingerprint (winnowing kept by the span family's exactsubstr +
+    # SECONDARY q_winnow_pairs).
+    "q_video_fingerprint", "q_video_dedup", "q_dedup_exactsubstr",
+    "q_stream_decontaminate",
+    "q_dup_clusters_star", "q_tfidf", "q_sample_stratified",
+    "q_outliers", "q_zorder", "q_langid", "q_setops",
+    "q_record_linkage", "q_gapfill_locf", "q_pmi_collocations",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -190,10 +227,17 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
+    # r12 demotions — hash-green in r11, family coverage argued at the
+    # PRIORITY r12-rotation comment; first to re-enter on budget+1
+    "q_dedup_near", "q_bpe_encode_check", "q_bm25",
+    "q_stream_source_overlap", "q_stream_heavy_hitters",
+    "q_pack_concat_sharded", "q_temperature_mix",
+    "q_image_dims_real", "q_video_meta", "q_audio_dedup",
+    "q_dedup_span", "q_ann_matmul", "q_retention", "q_fingerprint",
     # r11 demotions — hash-green in r10 (q_audio_fingerprint: superseded
     # in-window by q_audio_pipeline, same oracle through the container
     # walk), family coverage argued at the PRIORITY r11-rotation
-    # comment; first to re-enter on budget+1
+    # comment; first to re-enter after the r12 demotions
     "q_stream_ivfpq_drift_check", "q_corpus_card",
     "q_audio_fingerprint",
     "q_image_dhash", "q_image_dedup", "q_audio_meta",
@@ -242,18 +286,15 @@ SECONDARY: list[str] = [
     "q_materialize", "q_sessionize", "q_dup_clusters", "q_scd2",
     "q_json_roundtrip", "q_trunc", "q_cron_next", "q_derived",
     "q_distinct_salted",
-    "q_dup_clusters_star",
-    "q_heavy_hitters", "q_domain_cap", "q_sample_stratified",
-    "q_outliers", "q_zorder", "q_jsonl_roundtrip", "q_csv_roundtrip",
+    "q_heavy_hitters", "q_domain_cap", "q_jsonl_roundtrip", "q_csv_roundtrip",
     "q_stream_centroid_assign",
     "q_table_checksum",
     "q_repetition", "q_entropy", "q_orc_roundtrip",
     "q_unpivot", "q_range_window", "q_heavy_hitters_sketch_check",
     "q_stream_quality", "q_stream_session_window",
-    "q_json_variant", "q_record_linkage", "q_langid_eval",
+    "q_json_variant", "q_langid_eval",
     "q_stream_hopping", "q_dedup_plan", "q_dist_rank",
     "q_dedup_containment",
-    "q_pmi_collocations",
 ]
 
 
