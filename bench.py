@@ -81,6 +81,7 @@ HEADLINERS = [
     "q_audio_pipeline",
     "q_video_dedup",
     "q_dedup_exactsubstr",
+    "q_exactsubstr_scrub",
 ]
 
 

@@ -55,6 +55,15 @@ def test_mp4_sample_tables_golden_and_malformed():
     assert _parse_stsc(raw, 0, len(raw)) == stsc
     raw = bytes.fromhex("00000000" + "00000002" + "00000064" + "0000012C")
     assert _parse_stco(raw, 0, len(raw)) == [100, 300]
+    # co64: 64-bit offsets, including one above the u32 ceiling
+    from timer_pulsar_spark.operators.multimodal import _parse_co64
+
+    raw = bytes.fromhex(
+        "00000000" + "00000002"
+        + "0000000000000064" + "0000000120000000"
+    )
+    assert _parse_co64(raw, 0, len(raw)) == [100, 0x120000000]
+    assert _parse_co64(raw[:-4], 0, len(raw) - 4) is None
 
 
 def test_video_frames_walk_defeats_mdat_payload_shortcut(spark):
@@ -167,6 +176,39 @@ def test_exactsubstr_cut_contract(spark):
     assert doc4_starts == [1, L + 20 + 1]
     for s in doc4_starts:
         assert regions[(4, s)][0] == L
+
+
+def test_exactsubstr_scrub_cut_contract(spark):
+    """The removal half: the canonical (globally first by (doc_id,
+    pos)) occurrence is KEPT, every other occurrence's characters are
+    cut exactly, shorter-than-threshold overlaps survive, and
+    untouched docs pass through byte-identical."""
+    from timer_pulsar_spark.operators.dedup import (
+        EXSUB_L,
+        exactsubstr_scrub,
+    )
+
+    L = EXSUB_L
+    shared = "X" + "".join(
+        chr(ord("a") + (i * 7) % 26) for i in range(L - 1)
+    )
+    fill = lambda tag, n: "".join(  # noqa: E731
+        chr(ord("A") + (i * 11 + tag * 7) % 26) + str(tag)
+        for i in range(n)
+    )
+    rows = [
+        (0, fill(1, 10) + shared + fill(2, 10)),   # canonical keeper
+        (1, fill(3, 5) + shared + fill(4, 5)),     # cut here
+        (2, fill(5, 12)),                          # untouched
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in exactsubstr_scrub(d).collect()}
+    assert got[0].clean_text == rows[0][1] and got[0].n_removed == 0
+    assert got[2].clean_text == rows[2][1] and got[2].n_removed == 0
+    # doc 1 loses exactly the shared window's L characters
+    assert got[1].n_removed == L
+    assert got[1].clean_text == fill(3, 5) + fill(4, 5)
+    assert got[1].n_chars == len(rows[1][1])
 
 
 # ------------------------------------- decontamination threshold

@@ -1239,6 +1239,124 @@ def q_dedup_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exactsubstr_regions(d)
 
 
+def exactsubstr_scrub(d: DataFrame) -> DataFrame:
+    """The REMOVAL half of the ExactSubstr pass (the q_span_scrub
+    analog at character level): every length-EXSUB_L window occurring
+    >= EXSUB_MIN_OCC times keeps exactly one canonical occurrence (the
+    global minimum by (doc_id, pos)) and every character covered by
+    any OTHER occurrence is cut; overlapping cuts union. Output one
+    row per document: (doc_id, clean_text, n_chars, n_removed).
+
+    Scale shape: windows/hot-set cost equals exactsubstr_regions' (one
+    corpus-characters postings aggregation — the suffix array's own
+    input volume); everything past it is proportional to the CUT
+    region. Canonical choice is one row_number over the (small) hot
+    occurrence frame; covered positions merge into islands under a
+    doc-partitioned window; and the rebuild NEVER explodes characters
+    — each affected doc concatenates its kept substring segments with
+    one JVM `aggregate` fold over its sorted island list (islands per
+    doc are bounded by cut regions, not text length). Unaffected docs
+    pass through as whole rows."""
+    wins = (
+        d.filter(F.length("text") >= EXSUB_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {EXSUB_L - 1}),"
+                    f" p -> substring(text, p, {EXSUB_L}))"
+                )
+            ).alias("i", "win"),
+        )
+        .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "win")
+    )
+    hot = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= EXSUB_MIN_OCC)
+        .select("win")
+    )
+    occ = wins.join(hot, "win")
+    wc = Window.partitionBy("win").orderBy("doc_id", "pos")
+    # non-canonical occurrences only; their [pos, pos+L) coverage
+    # merges into per-doc islands. localCheckpoint: the island frame
+    # feeds three branches (affected ids, the rebuild, the removal
+    # counts) — without it each branch re-runs the corpus window scan
+    # (the q_span_scrub lesson).
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    cut = (
+        occ.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+        .withColumn(
+            "new_region",
+            F.when(
+                F.lag("pos").over(wdoc).isNull()
+                | (F.col("pos") - F.lag("pos").over(wdoc) > EXSUB_L),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "region",
+            F.sum("new_region").over(
+                wdoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "region")
+        .agg(
+            F.min("pos").alias("start"),
+            (F.max("pos") + EXSUB_L - F.min("pos")).alias("cut_len"),
+        )
+        .localCheckpoint()
+    )
+    islands = cut.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("start", "cut_len"))).alias(
+            "cuts"
+        ),
+        F.sum("cut_len").alias("n_removed"),
+    )
+    # one fold over the sorted islands builds the kept text: carry
+    # (next_uncut_position, accumulated_text), emit acc + the tail
+    rebuild = F.expr(
+        """
+        aggregate(
+            cuts,
+            struct(1 AS nxt, CAST('' AS STRING) AS acc),
+            (s, c) -> struct(
+                CAST(c.start + c.cut_len AS INT) AS nxt,
+                concat(s.acc,
+                       substring(text, s.nxt,
+                                 CAST(c.start AS INT) - s.nxt)) AS acc),
+            s -> concat(s.acc, substring(text, s.nxt, length(text))))
+        """
+    )
+    affected = d.join(islands, "doc_id").select(
+        "doc_id",
+        rebuild.alias("clean_text"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+    unaffected = d.join(islands.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id",
+        F.col("text").alias("clean_text"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    return affected.unionByName(unaffected).orderBy("doc_id")
+
+
+def q_exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-checked ExactSubstr REMOVAL over the documents table:
+    the canonical-occurrence-keeps / every-other-occurrence-cut law,
+    replayed per character in DuckDB (canonical row_number + per-char
+    anti-join + ordered string_agg), so the rebuilt text matches only
+    if the segment-fold rebuild cut exactly the planted law's bytes."""
+    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
+    )
+    return exactsubstr_scrub(d)
+
+
 def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
     """Connected components via alternating large-star/small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -2448,6 +2566,59 @@ ORACLES["q_dedup_exactsubstr"] = f"""
            max(pos) + {EXSUB_L} - min(pos) AS region_len,
            count(*) AS n_windows, max(n_occ) AS max_occ
     FROM isl GROUP BY doc_id, region ORDER BY doc_id, start
+"""
+
+# the scrub law replayed PER CHARACTER (canonical row_number -> cut
+# position set -> anti-join + ordered string_agg) — deliberately a
+# different construction from Spark's segment-fold rebuild, so the two
+# engines agree only if the rebuild cut exactly the law's bytes
+ORACLES["q_exactsubstr_scrub"] = f"""
+    WITH w AS (
+        SELECT doc_id, u.p AS pos, u.win AS win
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, length(text) - {EXSUB_L - 2}),
+                       p -> struct_pack(
+                           p := p, win := substr(text, p, {EXSUB_L})))) AS u
+            FROM documents WHERE length(text) >= {EXSUB_L})
+    ), hot AS (
+        SELECT win FROM w GROUP BY win HAVING count(*) >= {EXSUB_MIN_OCC}
+    ), occ AS (
+        SELECT w.doc_id, w.pos,
+               row_number() OVER (PARTITION BY w.win
+                                  ORDER BY w.doc_id, w.pos) AS rn
+        FROM w JOIN hot USING (win)
+    ), cutpos AS (
+        SELECT DISTINCT doc_id, cp.c AS c
+        FROM occ, unnest(range(occ.pos, occ.pos + {EXSUB_L})) cp(c)
+        WHERE rn > 1
+    ), chars AS (
+        SELECT doc_id, u.p AS p, u.ch AS ch
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(text) + 1),
+                       p -> struct_pack(
+                           p := p, ch := substr(text, p, 1)))) AS u
+            FROM documents)
+    )
+    SELECT d.doc_id,
+           coalesce(k.clean_text, '') AS clean_text,
+           length(d.text) AS n_chars,
+           coalesce(r.n_removed, 0) AS n_removed
+    FROM documents d
+    LEFT JOIN (
+        SELECT chars.doc_id,
+               string_agg(ch, '' ORDER BY p) AS clean_text
+        FROM chars
+        LEFT JOIN cutpos
+          ON cutpos.doc_id = chars.doc_id AND cutpos.c = chars.p
+        WHERE cutpos.c IS NULL
+        GROUP BY chars.doc_id) k ON k.doc_id = d.doc_id
+    LEFT JOIN (
+        SELECT doc_id, count(*) AS n_removed FROM cutpos
+        GROUP BY doc_id) r ON r.doc_id = d.doc_id
+    ORDER BY d.doc_id
 """
 
 ORACLES["q_record_linkage"] = """

@@ -2010,6 +2010,18 @@ def _parse_stco(b: bytes, lo: int, hi: int) -> list[int] | None:
     return [_be(b, lo + 8 + 4 * i, 4) for i in range(count)]
 
 
+def _parse_co64(b: bytes, lo: int, hi: int) -> list[int] | None:
+    """co64 payload: stco's 64-bit form — vf(4), entry_count(4), then
+    u64 chunk offsets. Any real >4 GiB file uses this, so a frames
+    walker that only reads stco silently loses every large video."""
+    if hi - lo < 8:
+        return None
+    count = _be(b, lo + 4, 4)
+    if hi - lo < 8 + 8 * count:
+        return None
+    return [_be(b, lo + 8 + 8 * i, 8) for i in range(count)]
+
+
 def _expand_sample_offsets(
     sizes: list[int], stsc: list[tuple], stco: list[int]
 ) -> list[tuple[int, int]] | None:
@@ -2070,12 +2082,16 @@ def _mp4_frame_slices(b: bytes | None) -> list[tuple[int, int]] | None:
                                 b, spay, shi
                             ):
                                 tables[dtyp] = (dpay, dhi)
-            if handler == b"vide" and {b"stsz", b"stsc", b"stco"} <= set(
-                tables
+            if handler == b"vide" and {b"stsz", b"stsc"} <= set(tables) and (
+                b"stco" in tables or b"co64" in tables
             ):
                 sizes = _parse_stsz(b, *tables[b"stsz"])
                 stsc = _parse_stsc(b, *tables[b"stsc"])
-                stco = _parse_stco(b, *tables[b"stco"])
+                stco = (
+                    _parse_stco(b, *tables[b"stco"])
+                    if b"stco" in tables
+                    else _parse_co64(b, *tables[b"co64"])
+                )
                 if sizes is None or stsc is None or stco is None:
                     return None
                 return _expand_sample_offsets(sizes, stsc, stco)
@@ -2156,7 +2172,12 @@ def planted_mp4s_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     - trak order alternates (the audio trak carries no sample tables);
     - 1..5 junk bytes sit between the mdat header and the first
       sample, so "skip to mdat payload" reads garbage on EVERY file
-      and only the stco offset lands on frame 0.
+      and only the chunk-offset table lands on frame 0;
+    - ALL FOUR table forms rotate (r12): uniform stsz (sample_size
+      set, table omitted) vs per-entry table, and stco vs co64
+      (64-bit offsets) — the box sizes differ per form, so every
+      enclosing size field is data-dependent and a reader handling
+      only one form fails a deterministic slice of the corpus.
     Frame amplitudes reuse the audio corpus's _AMPS_SQL groups-of-four
     law, so the temporal signature's oracle is the SAME doc_id
     arithmetic (_SIG_ORACLE_CTE)."""
@@ -2179,38 +2200,69 @@ def planted_mp4s_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     pad = (doc % 7).cast("int")
     junk = (doc % 5 + 1).cast("int")
     largesize = doc % 3 == 0
+    # rotate ALL FOUR sample-table forms (r12): uniform stsz (table
+    # omitted — the constant-frame-size wire form) vs per-entry table,
+    # and stco vs co64 (the 64-bit offsets every >4 GiB file needs) —
+    # each changes the box sizes, so every downstream size field is a
+    # COLUMN and any hard-coded-offset reader breaks four ways
+    uniform = doc % 2 == 0
+    use_co64 = doc % 3 == 1
     video_fourcc = F.when(doc % 4 < 2, "61766331").otherwise("68766331")
 
     n_bytes_frames = VID_FRAMES * GRID_W * GRID_H          # 4680
-    # box sizes: stsd 32 + stsz (20 + 65*4 = 280) + stsc 28 + stco 20
-    # -> stbl 368, minf 376, mdia 417, trak_v 517; moov children
-    # 108 + 517 + 189 = 814 -> compact moov 822, largesize 830
+    frame_hex = format(GRID_W * GRID_H, "08X")
+    stsz_size = F.when(uniform, 20).otherwise(20 + 4 * VID_FRAMES)
     stsz = F.concat(
-        F.lit("00000118" + "7374737A" + "00000000" + "00000000"),
-        _be4(F.lit(VID_FRAMES).cast("long")),
-        F.repeat(F.lit(format(GRID_W * GRID_H, "08X")), VID_FRAMES),
+        _be4(stsz_size.cast("long")), F.lit("7374737A" + "00000000"),
+        F.when(
+            uniform,
+            # nonzero sample_size, table omitted
+            F.concat(F.lit(frame_hex), _be4(F.lit(VID_FRAMES).cast("long"))),
+        ).otherwise(
+            F.concat(
+                F.lit("00000000"),
+                _be4(F.lit(VID_FRAMES).cast("long")),
+                F.repeat(F.lit(frame_hex), VID_FRAMES),
+            )
+        ),
     )
     stsc = F.lit(
         "0000001C" + "73747363" + "00000000" + "00000001"
         + "00000001" + format(VID_FRAMES, "08X") + "00000001"
     )
+    chunk_size = F.when(use_co64, 24).otherwise(20)
+    stbl_size = 8 + 32 + stsz_size + 28 + chunk_size
+    minf_size = stbl_size + 8
+    mdia_size = minf_size + 8 + 33
+    trak_v_size = mdia_size + 8 + 92
+    moov_children_size = 108 + trak_v_size + 189
+    moov_size = moov_children_size + F.when(largesize, 16).otherwise(8)
     first_off = (
-        F.lit(854) + pad + junk + F.when(largesize, 8).otherwise(0)
+        F.lit(16 + 8 + 8) + pad + junk + moov_size
     ).cast("long")
-    stco = F.concat(
-        F.lit("00000014" + "7374636F" + "00000000" + "00000001"),
-        _be4(first_off),
+    chunk_box = F.when(
+        use_co64,
+        F.concat(
+            F.lit("00000018" + "636F3634" + "00000000" + "00000001"),
+            F.lpad(F.hex(first_off), 16, "0"),     # u64 offset
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("00000014" + "7374636F" + "00000000" + "00000001"),
+            _be4(first_off),
+        )
     )
     stbl = F.concat(
-        F.lit("00000170" + "7374626C"), _stsd_hex(video_fourcc),
-        stsz, stsc, stco,
+        _be4(stbl_size.cast("long")), F.lit("7374626C"),
+        _stsd_hex(video_fourcc), stsz, stsc, chunk_box,
     )
     mdia_v = F.concat(
-        F.lit("000001A1" + "6D646961"), _hdlr_hex("76696465"),
-        F.lit("00000178" + "6D696E66"), stbl,
+        _be4(mdia_size.cast("long")), F.lit("6D646961"),
+        _hdlr_hex("76696465"),
+        _be4(minf_size.cast("long")), F.lit("6D696E66"), stbl,
     )
     trak_v = F.concat(
-        F.lit("00000205" + "7472616B"),
+        _be4(trak_v_size.cast("long")), F.lit("7472616B"),
         _tkhd_hex("00000001", w, h, duration),
         mdia_v,
     )
@@ -2229,10 +2281,13 @@ def planted_mp4s_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     moov = F.when(
         largesize,
         F.concat(
-            F.lit("00000001" + "6D6F6F76" + "000000000000033E"),
+            F.lit("00000001" + "6D6F6F76"),
+            F.lpad(F.hex(moov_size.cast("long")), 16, "0"),
             moov_children,
         ),
-    ).otherwise(F.concat(F.lit("00000336" + "6D6F6F76"), moov_children))
+    ).otherwise(
+        F.concat(_be4(moov_size.cast("long")), F.lit("6D6F6F76"), moov_children)
+    )
     mdat = F.concat(
         _be4((F.lit(8 + n_bytes_frames) + junk).cast("long")),
         F.lit("6D646174"),
