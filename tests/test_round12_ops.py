@@ -319,3 +319,79 @@ def test_fold_drift_gauges_in_metrics_exposition(spark, tmp_path):
     cleared = reg.render()
     assert gauge(cleared, "fold_state_reshard_due") == 0
     assert gauge(cleared, "fold_state_n_parts") == int(suggested) * 2
+
+
+# ---------------------------------------- curation funnel composition
+
+def test_curate_funnel_every_stage_binds(spark):
+    """Planted corpus where EVERY funnel stage visibly cuts (the
+    synthetic documents table has no exact duplicates and few
+    non-English docs, so only the planted frame exercises all five
+    laws): a marker-free doc stops at raw, a short doc at langid, the
+    higher-id byte-exact duplicate at quality, the eval-slice doc and
+    an n-gram-contaminated doc at dedup_exact, and the clean control
+    survives to decontaminated."""
+    from timer_pulsar_spark.operators.dedup import DECON_MOD, DECON_N
+    from timer_pulsar_spark.operators.textops import curate_per_doc
+
+    def words(tag, n, marker=True):
+        body = " ".join(f"{tag}x{i}" for i in range(n - (1 if marker else 0)))
+        return f"the {body}" if marker else body
+
+    leak = " ".join(f"leak{i}" for i in range(DECON_N))
+    dup_text = words("dup", 60)
+    rows = [
+        # stage 0: no EN marker at all (55 unique tokens, quality-ok)
+        (1, "xx", words("nomark", 55, marker=False)),
+        # stage 1: marker but only 10 tokens -> fails the n>=50 gate
+        (2, "en", words("short", 10)),
+        # stage 2: byte-exact duplicate pair; min doc_id 3 is canonical,
+        # doc 4 drops at the dedup stage
+        (3, "en", dup_text),
+        (4, "en", dup_text),
+        # stage 3a: the eval-slice doc itself (id % DECON_MOD == 0)
+        (2 * DECON_MOD, "en", f"{words('eval', 55)} {leak}"),
+        # stage 3b: train doc sharing the planted DECON_N-gram window
+        (5, "en", f"{words('cont', 55)} {leak}"),
+        # stage 4: clean survivor
+        (6, "en", words("clean", 60)),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    per = {r.doc_id: r.last_stage for r in curate_per_doc(d).collect()}
+    assert per == {
+        1: 0, 2: 1, 3: 4, 4: 2, 2 * DECON_MOD: 3, 5: 3, 6: 4,
+    }, per
+
+
+def test_curate_funnel_counts_match_last_stage(spark, duck):
+    """The registered funnel aggregate IS the cumulative count of
+    last_stage verdicts (stage k counts docs with last_stage >= k),
+    and both registered queries hash-match their DuckDB oracles at the
+    test SF end-to-end."""
+    from timer_pulsar_spark.operators.textops import (
+        q_curate_funnel,
+        q_curate_pipeline,
+        _curate_per_doc,
+    )
+    from timer_pulsar_spark.operators.textops import ORACLES
+
+    per = _curate_per_doc(spark, SF_DIR).collect()
+    funnel = {r.stage: r for r in q_curate_funnel(spark, SF_DIR).collect()}
+    assert set(funnel) == {0, 1, 2, 3, 4}
+    for k in range(5):
+        expect = [r for r in per if r.last_stage >= k]
+        assert funnel[k].n_docs == len(expect), k
+        assert funnel[k].n_tokens == sum(r.n_tokens for r in expect), k
+    # survivors twin = the stage-4 docs exactly
+    surv = q_curate_pipeline(spark, SF_DIR).collect()
+    assert {r.doc_id for r in surv} == {
+        r.doc_id for r in per if r.last_stage == 4
+    }
+    from .conftest import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_curate_funnel(spark, SF_DIR), duck, ORACLES["q_curate_funnel"]
+    )
+    assert_matches_oracle(
+        q_curate_pipeline(spark, SF_DIR), duck, ORACLES["q_curate_pipeline"]
+    )

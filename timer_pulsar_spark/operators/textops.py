@@ -220,6 +220,143 @@ def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CURATE_STAGES = ("raw", "langid", "quality", "dedup_exact", "decontaminated")
+
+
+def _curate_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate_per_doc(
+        load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    )
+
+
+def curate_per_doc(d: DataFrame) -> DataFrame:
+    """Per-document funnel verdict for the full pretraining curation
+    chain over any (doc_id, lang, text) frame — split from the loader
+    so tests can plant a corpus where EVERY stage visibly binds (the
+    synthetic documents table has no exact duplicates, so the dedup
+    stage is inert there; the planted pytest is where it cuts).
+    `last_stage` is the deepest stage the doc survives, with
+    CURATE_STAGES numbering (0 = raw only, 4 = fully curated). The
+    stage laws are the REGISTERED operators' own, composed in
+    production order: q_langid's marker gate -> q_quality's keep gate
+    -> q_dedup_exact's min-doc_id canonical law (computed over the
+    lang+quality survivors, as a real pipeline dedupes what it kept)
+    -> q_decontaminate's n-gram probe (the eval slice itself AND any
+    doc sharing an n-gram with it drop; bench postings come from the
+    RAW corpus slice — benchmarks are external and never pre-filtered).
+
+    Scale shape: stage flags are map-side projections fused into the
+    scan; the dedup law costs the one md5 groupBy every exact pass
+    pays, re-joined by doc_id (AQE picks broadcast when survivors'
+    distinct hashes are bounded); the decon probe BROADCASTS the
+    MB-scale eval postings so the corpus side never shuffles its
+    n-grams (q_decontaminate's asymmetric shape, unchanged); the
+    marker joins are id-only frames. One corpus scan feeds the flags,
+    one feeds the eval slice — no per-stage rescans of the corpus."""
+    from .dedup import DECON_MOD, DECON_N, with_shingles
+
+    toks = _toks()
+    n = F.size(toks)
+    marker_list = ", ".join(f"'{w}'" for w in EN_MARKERS)
+    en_hits = F.expr(f"size(filter(split(text, ' '), x -> x in ({marker_list})))")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        n.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        (en_hits >= 1).alias("s_lang"),
+        ((n >= 50) & (F.size(F.array_distinct(toks)) / n >= 0.2)).alias("s_qual"),
+    )
+    s2 = base.filter(F.col("s_lang") & F.col("s_qual"))
+    canon_ids = (
+        s2.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s3 = s2.join(canon_ids, "doc_id", "left_semi")
+    bench = (
+        with_shingles(d.filter(F.col("doc_id") % DECON_MOD == 0), n=DECON_N)
+        .select(F.explode("shingles").alias("ng"))
+        .distinct()
+    )
+    cont_ids = (
+        with_shingles(s3.select("doc_id", "text"), n=DECON_N)
+        .select("doc_id", F.explode("shingles").alias("ng"))
+        .join(F.broadcast(bench), "ng")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        base.join(canon_ids.withColumn("is_canon", F.lit(1)), "doc_id", "left")
+        .join(cont_ids.withColumn("is_cont", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "n_chars_calc",
+            F.when(~F.col("s_lang"), F.lit(0))
+            .when(~F.col("s_qual"), F.lit(1))
+            .when(F.col("is_canon").isNull(), F.lit(2))
+            .when(
+                (F.col("doc_id") % DECON_MOD == 0)
+                | F.col("is_cont").isNotNull(),
+                F.lit(3),
+            )
+            .otherwise(F.lit(4))
+            .cast("long")
+            .alias("last_stage"),
+        )
+    )
+
+
+def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-stage retention funnel a production pretraining data
+    team monitors: one row per curation stage (raw -> langid ->
+    quality -> exact dedup -> decontaminated) with surviving doc and
+    token counts. Computed from ONE per-doc `last_stage` verdict
+    (each doc explodes into the stages it reached — at most 5 rows
+    per doc) so the five stage aggregates cost one corpus pass, not
+    five; the only wide operations are the dedup groupBy and the
+    final 5-group aggregate. Oracle-exact: DuckDB replays every stage
+    law and the same explode-and-count."""
+    per = _curate_per_doc(spark, sf_dir)
+    stage_names = F.array(*[F.lit(s) for s in CURATE_STAGES])
+    return (
+        per.select(
+            F.explode(F.expr("sequence(0L, last_stage)")).alias("stage"),
+            "n_tokens",
+        )
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "stage",
+            stage_names[F.col("stage").cast("int")].alias("stage_name"),
+            "n_docs",
+            "n_tokens",
+        )
+        .orderBy("stage")
+    )
+
+
+def q_curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-curated corpus itself — q_curate_funnel's per-doc
+    twin: every document surviving all five stages, with the token
+    and char counts the downstream mixer (q_temperature_mix /
+    q_token_budget_sample) consumes. Same single-plan composition as
+    q_corpus_curate plus the langid gate and the decontamination
+    probe; the final sort is presentation-only."""
+    per = _curate_per_doc(spark, sf_dir)
+    return (
+        per.filter(F.col("last_stage") == 4)
+        .select("doc_id", "lang", "n_tokens", "n_chars_calc")
+        .orderBy("doc_id")
+    )
+
+
 TFIDF_TOPK = 3
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
@@ -726,6 +863,72 @@ ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+
+def _curate_per_sql() -> str:
+    """Shared WITH-body for the curation funnel oracles: every stage
+    law replayed in DuckDB, each generated from the SAME constant the
+    Spark side uses (EN_MARKERS, DECON_N, DECON_MOD — the ADVICE-r11
+    desync lesson), so a threshold change cannot split the engines."""
+    from .dedup import DECON_MOD, DECON_N, _duck_shingles_sql
+
+    lang_pred = " OR ".join(f"x = '{w}'" for w in EN_MARKERS)
+    sh = _duck_shingles_sql(DECON_N)
+    return f"""
+    base AS (
+        SELECT doc_id, lang, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars_calc,
+               len(list_filter(string_split(text, ' '),
+                               x -> {lang_pred})) >= 1 AS s_lang,
+               (len(string_split(text, ' ')) >= 50
+                AND len(list_distinct(string_split(text, ' '))) * 1.0
+                    / len(string_split(text, ' ')) >= 0.2) AS s_qual
+        FROM documents
+    ), s2 AS (
+        SELECT * FROM base WHERE s_lang AND s_qual
+    ), canon AS (
+        SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)
+    ), s3 AS (
+        SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM canon)
+    ), bench AS (
+        SELECT DISTINCT unnest({sh}) AS ng
+        FROM documents WHERE doc_id % {DECON_MOD} = 0
+    ), cont AS (
+        SELECT DISTINCT doc_id
+        FROM (SELECT doc_id, unnest({sh}) AS ng FROM s3) probe
+        JOIN bench USING (ng)
+    ), per AS (
+        SELECT doc_id, lang, n_tokens, n_chars_calc,
+               CASE WHEN NOT s_lang THEN 0
+                    WHEN NOT s_qual THEN 1
+                    WHEN doc_id NOT IN (SELECT doc_id FROM canon) THEN 2
+                    WHEN doc_id % {DECON_MOD} = 0
+                         OR doc_id IN (SELECT doc_id FROM cont) THEN 3
+                    ELSE 4 END AS last_stage
+        FROM base
+    )"""
+
+
+ORACLES["q_curate_funnel"] = f"""
+    WITH {_curate_per_sql()}
+    SELECT stage,
+           list_extract(['raw', 'langid', 'quality', 'dedup_exact',
+                         'decontaminated'], CAST(stage AS INT) + 1)
+               AS stage_name,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM (SELECT unnest(range(0, last_stage + 1)) AS stage, n_tokens FROM per)
+    GROUP BY stage ORDER BY stage
+"""
+
+ORACLES["q_curate_pipeline"] = f"""
+    WITH {_curate_per_sql()}
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars_calc AS BIGINT) AS n_chars_calc
+    FROM per WHERE last_stage = 4 ORDER BY doc_id
+"""
 
 CDC_MODULUS = 8  # ~1/8 of token types start a chunk → avg chunk ≈ 8-16 tokens
 

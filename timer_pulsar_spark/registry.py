@@ -80,7 +80,6 @@ PRIORITY: list[str] = [
     # q_quality_clf_check (their SAMPLED production twins stay),
     # q_kcenter_check (the sampled check stays and was re-verified
     # after this round's guards).
-    "q_stream_dedup_exact",
     # r10 rotation (VERDICT r09 item 3): five r10 newcomers get their
     # first driver rows — the segment-walk image parser over the decoy
     # corpus (q_image_dims_real), the perceptual dHash card + banded-
@@ -118,7 +117,6 @@ PRIORITY: list[str] = [
     # q_html_extract), q_image_dims (the STRICTLY STRONGER
     # q_image_dims_real — same parse contract, adversarial decoy
     # corpus, real segment walk — replaces it).
-    "q_html_extract",
     # r11 rotation (VERDICT r10 item 1): the two r10 stragglers come in
     # from the SECONDARY head (q_temperature_mix; q_video_meta — also
     # r11-MODIFIED: hdlr/stsd track depth, largesize moov corpus), the
@@ -219,6 +217,19 @@ PRIORITY: list[str] = [
     "q_dup_clusters_star", "q_tfidf", "q_sample_stratified",
     "q_outliers", "q_zorder", "q_langid", "q_setops",
     "q_record_linkage", "q_gapfill_locf", "q_pmi_collocations",
+    # r12 late additions (this session): first driver rows for the
+    # curation-funnel composition — the per-stage retention report
+    # (raw -> langid -> quality -> exact dedup -> decontaminate) and
+    # its fully-curated-survivors twin, each stage replaying a
+    # REGISTERED operator's own law in production order. Slots freed
+    # by demoting rows hash-green in r11 whose law stays in-window:
+    # q_stream_dedup_exact (green r9/r10/r11; the exact-dedup
+    # canonical law is embedded VERBATIM in both entering queries'
+    # oracles, and the fold-stream family keeps the entering
+    # q_stream_decontaminate) and q_html_extract (green r10/r11;
+    # textops keep the entering q_tfidf / q_langid /
+    # q_pmi_collocations).
+    "q_curate_funnel", "q_curate_pipeline",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -227,6 +238,9 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
+    # r12 late-addition demotions — hash-green in r11, law coverage
+    # argued at the PRIORITY late-additions comment; first to re-enter
+    "q_stream_dedup_exact", "q_html_extract",
     # r12 demotions — hash-green in r11, family coverage argued at the
     # PRIORITY r12-rotation comment; first to re-enter on budget+1
     "q_dedup_near", "q_bpe_encode_check", "q_bm25",
