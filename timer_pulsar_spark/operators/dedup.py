@@ -1189,10 +1189,7 @@ def exactsubstr_regions(d: DataFrame) -> DataFrame:
     )
     hot = (
         wins.groupBy("win")
-        .agg(
-            F.count(F.lit(1)).alias("n_occ"),
-            F.countDistinct("doc_id").alias("n_docs"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_occ"))
         .filter(F.col("n_occ") >= EXSUB_MIN_OCC)
         .select("win", "n_occ")
     )
