@@ -82,6 +82,10 @@ HEADLINERS = [
     "q_video_dedup",
     "q_dedup_exactsubstr",
     "q_exactsubstr_scrub",
+    # r12 late addition: the five-stage curation funnel composition
+    # (langid -> quality -> exact dedup -> decontaminate, one corpus
+    # pass + the dedup groupBy + the broadcast eval probe)
+    "q_curate_funnel",
 ]
 
 

@@ -250,6 +250,14 @@ AUDITED: dict[str, str] = {
         "doc_id-partitioned window — postings volume is corpus "
         "characters (the suffix array's own input size), never pairs."
     ),
+    "q_curate_funnel": (
+        "Curation funnel (r12): four stage laws in ONE plan — stage "
+        "flags fused into the scan, the exact-dedup groupBy is the "
+        "only corpus-keyed exchange, the decon eval postings and both "
+        "id-marker frames join as BroadcastHashJoins (no SortMergeJoin "
+        "anywhere), and the funnel aggregate runs over the ≤5-rows-"
+        "per-doc stage explode — never five per-stage corpus rescans."
+    ),
 }
 
 

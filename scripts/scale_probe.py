@@ -116,6 +116,12 @@ PROBES = [
     "q_video_dedup",
     "q_audio_pipeline",
     "q_dedup_exactsubstr",
+    # r12 late addition: the curation funnel composes four stage laws
+    # in one plan — expect the curve to track its dominant stages (the
+    # map-side flags + the dedup groupBy + the broadcast decon probe);
+    # superlinear growth would mean the composition broke a stage's
+    # own shape (each is probed individually above)
+    "q_curate_funnel",
 ]
 
 
