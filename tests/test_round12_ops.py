@@ -395,3 +395,114 @@ def test_curate_funnel_counts_match_last_stage(spark, duck):
     assert_matches_oracle(
         q_curate_pipeline(spark, SF_DIR), duck, ORACLES["q_curate_pipeline"]
     )
+
+
+# ------------------------------- duplicate-box MP4 walks (first-wins)
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _dual_box_mp4(swap_stsz: bool = False) -> bytes:
+    """Hand-rolled ftyp + mdat-FIRST + moov file whose stbl carries TWO
+    stsz boxes (real 3x8-byte frames vs a hostile 3x4-byte decoy) and
+    whose mdia carries TWO hdlr boxes (vide, then a soun decoy).
+    mdat precedes moov so absolute stco offsets stay valid however the
+    moov grows; swap_stsz flips the stsz order to prove the two tables
+    genuinely disagree (a last-wins reader returns the decoy slices)."""
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 8)
+    frames = b"".join(bytes([16 * f + i for i in range(8)]) for f in range(3))
+    mdat = _box(b"mdat", b"\xEE\xEE" + frames)  # 2 junk bytes pre-frame-0
+    frame0 = len(ftyp) + 8 + 2
+    stsz_real = _box(
+        b"stsz",
+        b"\x00" * 4 + (0).to_bytes(4, "big") + (3).to_bytes(4, "big")
+        + b"".join((8).to_bytes(4, "big") for _ in range(3)),
+    )
+    stsz_decoy = _box(
+        b"stsz",
+        b"\x00" * 4 + (0).to_bytes(4, "big") + (3).to_bytes(4, "big")
+        + b"".join((4).to_bytes(4, "big") for _ in range(3)),
+    )
+    stsc = _box(
+        b"stsc",
+        b"\x00" * 4 + (1).to_bytes(4, "big")
+        + (1).to_bytes(4, "big") + (3).to_bytes(4, "big")
+        + (1).to_bytes(4, "big"),
+    )
+    stco = _box(
+        b"stco", b"\x00" * 4 + (1).to_bytes(4, "big")
+        + frame0.to_bytes(4, "big")
+    )
+    first, second = (
+        (stsz_decoy, stsz_real) if swap_stsz else (stsz_real, stsz_decoy)
+    )
+    stbl = _box(b"stbl", first + second + stsc + stco)
+    minf = _box(b"minf", stbl)
+    hdlr_vide = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    hdlr_soun = _box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    mdia = _box(b"mdia", hdlr_vide + hdlr_soun + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", trak)
+    return ftyp + mdat + moov
+
+
+def test_mp4_duplicate_boxes_first_wins():
+    """A hostile duplicate sample table or handler box must not
+    re-address the samples: the walk takes the FIRST of every
+    once-per-track box (the _walk_wav dual-data discipline, VERDICT
+    r11 #2 applied to ISO-BMFF). The swapped-order file proves the
+    decoy genuinely disagrees — a last-wins reader would have
+    returned exactly those wrong slices."""
+    from timer_pulsar_spark.operators.multimodal import _mp4_frame_slices
+
+    good = _dual_box_mp4()
+    sl = _mp4_frame_slices(good)
+    frame0 = sl[0][0]
+    assert sl == [(frame0, 8), (frame0 + 8, 8), (frame0 + 16, 8)]
+    # same bytes, stsz order swapped: the decoy table IS different
+    swapped = _mp4_frame_slices(_dual_box_mp4(swap_stsz=True))
+    assert swapped == [(frame0, 4), (frame0 + 4, 4), (frame0 + 8, 4)]
+    assert swapped != sl
+    # the duplicate soun hdlr must not demote the video trak either:
+    # slices were found, so handler stayed vide (first-wins)
+
+
+def test_mp4_meta_duplicate_mvhd_hdlr_first_wins():
+    """_walk_mp4's metadata path under the same hostility: a second
+    mvhd declaring a 10x duration and a second hdlr must not
+    overwrite what the first copies declared."""
+    from timer_pulsar_spark.operators.multimodal import _walk_mp4
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00" * 8)
+    # v0 mvhd: payload = ver/flags(4) ctime(4) mtime(4) ts(4) dur(4)...
+    def mvhd(ts, dur):
+        return _box(
+            b"mvhd",
+            b"\x00" * 4 + b"\x00" * 8 + ts.to_bytes(4, "big")
+            + dur.to_bytes(4, "big") + b"\x00" * 80,
+        )
+
+    stsd = _box(
+        b"stsd",
+        b"\x00" * 4 + (1).to_bytes(4, "big")
+        + (16).to_bytes(4, "big") + b"avc1" + b"\x00" * 8,
+    )
+    stsd_decoy = _box(
+        b"stsd",
+        b"\x00" * 4 + (1).to_bytes(4, "big")
+        + (16).to_bytes(4, "big") + b"hvc1" + b"\x00" * 8,
+    )
+    stbl = _box(b"stbl", stsd + stsd_decoy)
+    minf = _box(b"minf", stbl)
+    hdlr_vide = _box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    hdlr_soun = _box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    mdia = _box(b"mdia", hdlr_vide + hdlr_soun + minf)
+    trak = _box(b"trak", mdia)
+    moov = _box(b"moov", mvhd(1000, 5000) + mvhd(1000, 50000) + trak)
+    meta = _walk_mp4(ftyp + moov)
+    # (codec, w, h, dur_ms, video_codec, audio_codec, n_tracks)
+    assert meta[0] == "mp4"
+    assert meta[3] == 5000, meta      # first mvhd's 5 s, not the 50 s decoy
+    assert meta[4] == "avc1", meta    # first stsd fourcc
+    assert meta[5] is None            # the soun hdlr decoy won nothing

@@ -950,7 +950,10 @@ def _walk_mp4(
         if typ != b"moov":
             continue
         for ctyp, clo, cpay, chi in children(pay, hi):
-            if ctyp == b"mvhd" and chi - clo >= 32:
+            # first-wins on the once-per-file/track boxes (mvhd, hdlr,
+            # stsd): a hostile duplicate must not overwrite what the
+            # first copy declared — the _walk_wav dual-data lesson
+            if ctyp == b"mvhd" and chi - clo >= 32 and ts is None:
                 v = b[cpay]
                 off = _MVHD_V1_TS if v == 1 else _MVHD_V0_TS
                 dlen = 8 if v == 1 else 4
@@ -975,7 +978,11 @@ def _walk_mp4(
                                 width, height = w, h
                     elif gtyp == b"mdia":
                         for mtyp, _mlo, mpay, mhi in children(gpay, ghi):
-                            if mtyp == b"hdlr" and mhi - mpay >= 12:
+                            if (
+                                mtyp == b"hdlr"
+                                and mhi - mpay >= 12
+                                and handler is None
+                            ):
                                 # payload: version/flags, pre_defined,
                                 # then the handler_type fourcc
                                 handler = b[mpay + 8 : mpay + 12]
@@ -994,6 +1001,7 @@ def _walk_mp4(
                                         if (
                                             dtyp == b"stsd"
                                             and dhi - dpay >= 16
+                                            and fourcc is None
                                         ):
                                             fourcc = b[
                                                 dpay + 12 : dpay + 16
@@ -2070,7 +2078,16 @@ def _mp4_frame_slices(b: bytes | None) -> list[tuple[int, int]] | None:
                 if gtyp != b"mdia":
                     continue
                 for mtyp, _mlo, mpay, mhi in _mp4_children(b, gpay, ghi):
-                    if mtyp == b"hdlr" and mhi - mpay >= 12:
+                    # first-wins on EVERY once-per-track box (ISO/IEC
+                    # 14496-12 mandates exactly one): a hostile file
+                    # carrying a duplicate hdlr or sample table must
+                    # not let the LATER copy re-address the samples —
+                    # the _walk_wav dual-data lesson (VERDICT r11 #2)
+                    if (
+                        mtyp == b"hdlr"
+                        and mhi - mpay >= 12
+                        and handler is None
+                    ):
                         handler = b[mpay + 8 : mpay + 12]
                     elif mtyp == b"minf":
                         for styp, _slo, spay, shi in _mp4_children(
@@ -2081,7 +2098,7 @@ def _mp4_frame_slices(b: bytes | None) -> list[tuple[int, int]] | None:
                             for dtyp, _dlo, dpay, dhi in _mp4_children(
                                 b, spay, shi
                             ):
-                                tables[dtyp] = (dpay, dhi)
+                                tables.setdefault(dtyp, (dpay, dhi))
             if handler == b"vide" and {b"stsz", b"stsc"} <= set(tables) and (
                 b"stco" in tables or b"co64" in tables
             ):
