@@ -506,3 +506,39 @@ def test_mp4_meta_duplicate_mvhd_hdlr_first_wins():
     assert meta[3] == 5000, meta      # first mvhd's 5 s, not the 50 s decoy
     assert meta[4] == "avc1", meta    # first stsd fourcc
     assert meta[5] is None            # the soun hdlr decoy won nothing
+
+
+# ------------------------------ planted-corpus template generators
+
+def test_pcm_and_gradient_templates_match_the_arithmetic_law():
+    """The precomputed window-chunk templates (one substring per
+    planted window; the per-byte HOF-lambda form they replaced made
+    corpus generation dominate the media benches ~25x over the walks
+    consuming it) must encode EXACTLY the arithmetic law: 4 samples
+    [+a, -a, +a, -a] little-endian at each width (offset-binary at
+    wb=1, two's-complement of amp*257*256^(wb-2) wider), and the
+    0..190 pixel gradient."""
+    from timer_pulsar_spark.operators.multimodal import (
+        _GRADIENT_HEX,
+        _PCM_TEMPLATES,
+        _pcm_window_chunk,
+    )
+
+    assert _GRADIENT_HEX == "".join(format(x, "02X") for x in range(191))
+    for wb in (1, 2, 3, 4):
+        t = _PCM_TEMPLATES[wb - 1]
+        assert len(t) == 120 * 8 * wb
+        for a in (0, 1, 59, 118, 119):
+            chunk = t[a * 8 * wb : (a + 1) * 8 * wb]
+            assert chunk == _pcm_window_chunk(a, wb)
+            raw = bytes.fromhex(chunk)
+            if wb == 1:
+                assert list(raw) == [128 + a, 128 - a, 128 + a, 128 - a]
+            else:
+                sc = 257 * 256 ** (wb - 2)
+                vals = [
+                    int.from_bytes(raw[i * wb : (i + 1) * wb],
+                                   "little", signed=True)
+                    for i in range(4)
+                ]
+                assert vals == [a * sc, -a * sc, a * sc, -a * sc]

@@ -768,23 +768,10 @@ def planted_wavs_decoy(
                 (F.col("doc_id") % 4).alias("v"),
             )
             .withColumn("amps", F.expr(_AMPS_SQL))
+            # amplitude scale per width (257 * 256^(wb-2), keeping the
+            # top two sample bytes at (amp*257)'s int16 form) is baked
+            # into the per-width _PCM_TEMPLATES chunks
             .withColumn("wb", (F.col("doc_id") % 4 + 1).cast("long"))
-            # amplitude scale / sample modulus per width: 257 * 256^(wb-2)
-            # keeps the top two sample bytes at (amp*257)'s int16 form
-            .withColumn(
-                "sc",
-                F.expr(
-                    "CASE wb WHEN 2 THEN 257 WHEN 3 THEN 65792 "
-                    "WHEN 4 THEN 16842752 ELSE 0 END"
-                ).cast("long"),
-            )
-            .withColumn(
-                "md",
-                F.expr(
-                    "CASE wb WHEN 2 THEN 65536 WHEN 3 THEN 16777216 "
-                    "WHEN 4 THEN 4294967296 ELSE 256 END"
-                ).cast("long"),
-            )
         )
     doc = F.col("doc_id")
     channels = (doc % 2 + 1).cast("long")                      # 1..2
@@ -1660,29 +1647,51 @@ _AMPS_SQL = f"""
         ELSE (base * 31 + w*w*(base % 19 + 5)
               + w*(base % 11)) % 120 END)
 """
+# Window-chunk templates: every planted window is 4 samples
+# alternating +amp/-amp, so the window's wire bytes are a pure
+# function of (width, amplitude) — precompute the 120 amplitude
+# chunks per width ONCE in Python and emit each window as a single
+# substring. The per-sample lambda forms this replaces (65x4 samples
+# x wb bytes of interpreted lpad(hex(..)) per row — HOF lambdas never
+# enter whole-stage codegen) made corpus GENERATION dominate the
+# media benchmarks ~25x over the walks consuming it (measured on
+# q_video_dedup; byte-identity is pinned by pytest).
+def _pcm_window_chunk(a: int, wb: int) -> str:
+    """Hex of one planted 4-sample window at amplitude ``a`` and
+    sample width ``wb`` bytes: [+a, -a, +a, -a] little-endian. wb=1 is
+    the 128+/-amp offset-binary form; wider widths are two's
+    complement of +/-amp*sc (sc = 257 * 256^(wb-2), so the top two
+    bytes of every sample are exactly int16(+/-amp*257) and the
+    canonical downconversion is lossless)."""
+    if wb == 1:
+        plus, minus = 128 + a, 128 - a
+    else:
+        sc = 257 * 256 ** (wb - 2)
+        md = 256 ** wb
+        plus, minus = a * sc, (md - a * sc) % md
+
+    def le(v: int) -> str:
+        return "".join(format((v >> (8 * b)) % 256, "02X") for b in range(wb))
+
+    return le(plus) + le(minus) + le(plus) + le(minus)
+
+
+_PCM_TEMPLATES = [
+    "".join(_pcm_window_chunk(a, wb) for a in range(120))
+    for wb in (1, 2, 3, 4)
+]
 _PCM_HEX_SQL = f"""
-    concat_ws('', transform(sequence(0, {SIG_WINDOWS * SIG_WIN_SAMPLES - 1}),
-        i -> lpad(hex(CASE WHEN i % 2 = 0
-            THEN 128 + amps[i div {SIG_WIN_SAMPLES}]
-            ELSE 128 - amps[i div {SIG_WIN_SAMPLES}] END), 2, '0')))
+    concat_ws('', transform(amps,
+        a -> substring('{_PCM_TEMPLATES[0]}', a * 8 + 1, 8)))
 """
-# width-aware sibling (r12): materialize each sample as wb little-endian
-# bytes — needs (amps, wb, sc, md) in scope. wb=1 keeps the 128+/-amp
-# offset-binary form; wider widths are signed two's complement of
-# +/- amp*sc (sc = 257 * 256^(wb-2), so the top two bytes of every
-# sample are exactly int16(+/- amp*257) and the canonical
-# downconversion is lossless)
+# width-aware sibling (r12): (amps, wb) in scope; elt is 1-indexed so
+# wb = 1..4 selects its own template directly
 _PCM_HEX_W_SQL = f"""
-    concat_ws('', transform(sequence(0, {SIG_WINDOWS * SIG_WIN_SAMPLES - 1}),
-        i -> concat_ws('', transform(sequence(0, CAST(wb - 1 AS INT)),
-            b -> lpad(hex(shiftright(
-                CASE WHEN wb = 1 THEN
-                         CASE WHEN i % 2 = 0
-                              THEN 128 + amps[i div {SIG_WIN_SAMPLES}]
-                              ELSE 128 - amps[i div {SIG_WIN_SAMPLES}] END
-                     WHEN i % 2 = 0 THEN amps[i div {SIG_WIN_SAMPLES}] * sc
-                     ELSE (md - amps[i div {SIG_WIN_SAMPLES}] * sc) % md
-                END, b * 8) % 256), 2, '0')))))
+    concat_ws('', transform(amps,
+        a -> substring(elt(CAST(wb AS INT),
+                           '{_PCM_TEMPLATES[0]}', '{_PCM_TEMPLATES[1]}',
+                           '{_PCM_TEMPLATES[2]}', '{_PCM_TEMPLATES[3]}'),
+                       a * wb * 8 + 1, CAST(wb * 8 AS INT))))
 """
 
 
@@ -2172,10 +2181,18 @@ def video_sig64(frames: DataFrame) -> DataFrame:
 # equal the audio corpus's and the committed _SIG_ORACLE_CTE is the
 # arithmetic truth for BOTH containers. amps stay < 120 and i < 72,
 # so no byte ever wraps (max 191).
+#
+# Generated as ONE substring per frame out of a precomputed 0..190
+# gradient template, not a per-byte lpad(hex(amp+i)) lambda: HOF
+# lambdas never enter whole-stage codegen, so the per-byte form paid
+# 65x72 interpreted invocations per row — ~25 s of the old
+# q_video_dedup wall at sf0.1 was GENERATING the corpus, 25x the cost
+# of walking it (measured; the substring form is byte-identical by
+# the equality pytest and drops generation to ~1 s).
+_GRADIENT_HEX = "".join(format(x, "02X") for x in range(191))
 _FRAMES_HEX_SQL = f"""
-    concat_ws('', transform(sequence(0, {VID_FRAMES - 1}),
-        f -> concat_ws('', transform(sequence(0, {GRID_W * GRID_H - 1}),
-            i -> lpad(hex(amps[f] + i), 2, '0')))))
+    concat_ws('', transform(amps,
+        a -> substring('{_GRADIENT_HEX}', a * 2 + 1, {2 * GRID_W * GRID_H})))
 """
 
 
