@@ -761,6 +761,20 @@ def planted_wavs_decoy(
     read of the 16/24/32-bit rows provably fingerprints byte noise."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     if with_content:
+        # content corpora get the spread fan-out (guide §2): downstream
+        # is CPU-heavy per row (width-normalizing Python kernel + the
+        # 130-conv JVM signature), and the single-file testdata scan
+        # would otherwise single-thread the whole pipeline — measured
+        # 16.0 s -> 2.8 s on q_audio_pipeline at sf0.1. The metadata-
+        # only walks (this function without content, planted_images*,
+        # planted_wavs, planted_mp4s) stay unspread: their O(#chunks)
+        # per-row work is cheaper than the repartition exchange the
+        # spread inserts (measured q_audio_meta_real 0.75 s -> 1.38 s
+        # with a blanket spread). On a real many-split lake spread is a
+        # guarded no-op either way.
+        from .dedup import spread
+
+        d = spread(d, spark)
         d = (
             d.select(
                 "doc_id",
