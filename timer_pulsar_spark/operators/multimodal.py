@@ -1285,31 +1285,29 @@ def dhash64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     # byte is hex-decoded once instead of once per comparison. Higher-
     # order lambdas (transform/aggregate) measured ~10x slower here
     # (interpreted per element), so the compares stay unrolled — a
-    # fixed 64-term tree over a 72-element array column.
-    px = F.array(
-        *[
-            F.conv(
-                F.hex(F.substring(F.col(payload_col), i + 1, 1)), 16, 10
-            ).cast("long")
-            for i in range(GRID_W * GRID_H)
-        ]
-    )
+    # fixed 64-term tree over a 72-element array column, emitted as
+    # ONE generated SQL string per projection instead of ~700 Column
+    # ops (the r12 driver-side build-cost fix — see energy_sig64).
+    p = f"`{payload_col}`"
+    px = "array(" + ", ".join(
+        f"CAST(conv(hex(substring({p}, {i + 1}, 1)), 16, 10) AS BIGINT)"
+        for i in range(GRID_W * GRID_H)
+    ) + ")"
 
-    def half(lo_pos: int) -> Column:
-        total = F.lit(0).cast("long")
+    def half(lo_pos: int) -> str:
+        terms = ["CAST(0 AS BIGINT)"]
         for k in range(32):
             pos = lo_pos + k
             r, c = pos // 8, pos % 8
-            bit = (
-                F.col("px")[r * GRID_W + c] < F.col("px")[r * GRID_W + c + 1]
+            terms.append(
+                f"CAST(CASE WHEN (px[{r * GRID_W + c}] < "
+                f"px[{r * GRID_W + c + 1}]) "
+                f"THEN {1 << k} ELSE 0 END AS BIGINT)"
             )
-            total = total + F.when(bit, F.lit(1 << k)).otherwise(0).cast(
-                "long"
-            )
-        return total
+        return " + ".join(terms)
 
-    return df.select("doc_id", px.alias("px")).select(
-        "doc_id", half(32).alias("hi"), half(0).alias("lo")
+    return df.selectExpr("doc_id", f"{px} AS px").selectExpr(
+        "doc_id", f"{half(32)} AS hi", f"{half(0)} AS lo"
     )
 
 
@@ -1861,22 +1859,35 @@ def energy_sig64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     form stays inside WholeStageCodegen. Two projections keep each
     window decoded exactly once: energies -> unrolled adjacent
     compares (higher-order lambdas measured ~10x slower stay out of
-    the per-row math)."""
-    p = F.col(payload_col)
+    the per-row math).
 
-    def window_energy(w: int) -> Column:
-        word = F.conv(
-            F.hex(F.substring(p, w * SIG_WIN_SAMPLES + 1, SIG_WIN_SAMPLES)),
-            16, 10,
-        ).cast("long")
-        total = F.lit(0).cast("long")
+    The unrolled tree is built as ONE generated SQL string parsed in a
+    single call, not ~600 Column operations (r12 optimization round,
+    guide §1.2 driver-side cost): every pyspark Column op is a py4j
+    round-trip, and building this query paid 6-9 s of pure DataFrame
+    CONSTRUCTION per invocation at the driver — 3x its execution cost
+    — before any job ran. The parsed expression tree is identical, so
+    the plan, codegen and results are unchanged (oracle + golden
+    pytest re-verified)."""
+    p = f"`{payload_col}`"
+
+    def window_energy(w: int) -> str:
+        word = (
+            f"CAST(conv(hex(substring({p}, {w * SIG_WIN_SAMPLES + 1}, "
+            f"{SIG_WIN_SAMPLES})), 16, 10) AS BIGINT)"
+        )
+        terms = ["CAST(0 AS BIGINT)"]
         for j in range(SIG_WIN_SAMPLES):
             shift = 8 * (SIG_WIN_SAMPLES - 1 - j)
-            byte = (word if shift == 0 else F.shiftright(word, shift)) % 256
-            total = total + F.abs(byte - F.lit(128))
-        return total
+            byte = f"({word} % 256)" if shift == 0 else (
+                f"(shiftright({word}, {shift}) % 256)"
+            )
+            terms.append(f"abs({byte} - 128)")
+        return "(" + " + ".join(terms) + ")"
 
-    earr = F.array(*[window_energy(w) for w in range(SIG_WINDOWS)])
+    earr = "array(" + ", ".join(
+        window_energy(w) for w in range(SIG_WINDOWS)
+    ) + ")"
     # a null or truncated payload has NO signature: without a gate the
     # bit chain folds null comparisons to 0 and every undecodable clip
     # becomes signature (0,0) — a mutual hamming-0 "duplicate" of every
@@ -1886,35 +1897,40 @@ def energy_sig64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     # janino's 64 KB method limit and dropped all three audio queries
     # to interpreted mode (measured: 3 CodeGenerator failures at the
     # sweep, 0 with this form).
-    sig_guard = F.when(
-        p.isNotNull() & (F.length(p) >= SIG_WINDOWS * SIG_WIN_SAMPLES),
-        F.lit(0),
-    ).cast("long")
+    sig_guard = (
+        f"CAST(CASE WHEN (({p} IS NOT NULL) AND (length({p}) >= "
+        f"{SIG_WINDOWS * SIG_WIN_SAMPLES})) THEN 0 END AS BIGINT)"
+    )
     return _pack_sig(df, earr, sig_guard)
 
 
-def _pack_sig(df: DataFrame, earr: Column, sig_guard: Column) -> DataFrame:
+def _pack_sig(df: DataFrame, earr: str, sig_guard: str) -> DataFrame:
     """Adjacent-energy compares packed into the (hi, lo) uint32 halves
     — the bit chain shared by every energy signature width (unrolled;
     higher-order lambdas measured ~10x slower stay out of the per-row
     math). ``sig_guard`` is the additive null guard: null + total =
     null, without a CASE wrapper around each 32-term half (the wrapper
-    form blew janino's 64 KB method limit — see energy_sig64)."""
+    form blew janino's 64 KB method limit — see energy_sig64).
 
-    def half(lo_pos: int) -> Column:
-        total = F.col("sig_guard")
+    ``earr``/``sig_guard`` are SQL expression STRINGS (not Columns):
+    the two 33-term halves are emitted as one generated string each
+    and parsed in a single call — the r12 build-cost fix shared by all
+    three signature widths (see energy_sig64)."""
+
+    def half(lo_pos: int) -> str:
+        terms = ["sig_guard"]
         for k in range(32):
             pos = lo_pos + k
-            bit = F.col("earr")[pos] < F.col("earr")[pos + 1]
-            total = total + F.when(bit, F.lit(1 << k)).otherwise(0).cast(
-                "long"
+            terms.append(
+                f"CAST(CASE WHEN (earr[{pos}] < earr[{pos + 1}]) "
+                f"THEN {1 << k} ELSE 0 END AS BIGINT)"
             )
-        return total
+        return " + ".join(terms)
 
-    return df.select(
-        "doc_id", earr.alias("earr"), sig_guard.alias("sig_guard")
-    ).select(
-        "doc_id", half(32).alias("hi"), half(0).alias("lo")
+    return df.selectExpr(
+        "doc_id", f"{earr} AS earr", f"{sig_guard} AS sig_guard"
+    ).selectExpr(
+        "doc_id", f"{half(32)} AS hi", f"{half(0)} AS lo"
     )
 
 
@@ -1931,32 +1947,52 @@ def energy_sig64_s16(
     32768 is the negative half, |u - 65536| = 65536 - u; the planted
     negative amplitudes pin that an unsigned |u| misreads), additive
     null guard. 130 convs total stays inside whole-stage codegen —
-    the measured janino ceiling was the 260-conv per-byte unrolling."""
-    p = F.col(payload_col)
+    the measured janino ceiling was the 260-conv per-byte unrolling.
+    Built as one generated SQL string per projection, not ~900 Column
+    ops — the r12 driver-side build-cost fix (see energy_sig64)."""
+    p = f"`{payload_col}`"
+    # the 130 BE words are projected ONCE under a short alias and the
+    # energy terms reference `wrds[i]` — flat inlining repeated each
+    # ~90-char conv expression ~12x per window (a ~140 KB SQL string
+    # whose PARSE alone measured ~0.95 s per build); the optimizer's
+    # projection collapse + ExtractValue simplification reduces this
+    # to the identical flat tree, so plan and results are unchanged
+    words = ", ".join(
+        f"CAST(conv(hex(substring({p}, "
+        f"{w * SIG_WIN_SAMPLES * 2 + word_idx * 4 + 1}, 4)), "
+        f"16, 10) AS BIGINT)"
+        for w in range(SIG_WINDOWS)
+        for word_idx in range(SIG_WIN_SAMPLES // 2)
+    )
 
-    def window_energy(w: int) -> Column:
-        total = F.lit(0).cast("long")
+    def window_energy(w: int) -> str:
+        terms = ["CAST(0 AS BIGINT)"]
         for word_idx in range(SIG_WIN_SAMPLES // 2):
-            word = F.conv(
-                F.hex(F.substring(p, w * SIG_WIN_SAMPLES * 2 + word_idx * 4 + 1, 4)),
-                16, 10,
-            ).cast("long")
+            word = f"wrds[{w * (SIG_WIN_SAMPLES // 2) + word_idx}]"
             # BE word b0b1b2b3 = LE samples (b0,b1), (b2,b3)
-            u0 = F.shiftright(word, 24) + (F.shiftright(word, 16) % 256) * 256
-            u1 = (F.shiftright(word, 8) % 256) + (word % 256) * 256
-            total = (
-                total
-                + F.least(u0, F.lit(65536) - u0)
-                + F.least(u1, F.lit(65536) - u1)
+            u0 = (
+                f"(shiftright({word}, 24) + "
+                f"((shiftright({word}, 16) % 256) * 256))"
             )
-        return total
+            u1 = (
+                f"((shiftright({word}, 8) % 256) + (({word} % 256) * 256))"
+            )
+            terms.append(f"least({u0}, 65536 - {u0})")
+            terms.append(f"least({u1}, 65536 - {u1})")
+        return "(" + " + ".join(terms) + ")"
 
-    earr = F.array(*[window_energy(w) for w in range(SIG_WINDOWS)])
-    sig_guard = F.when(
-        p.isNotNull() & (F.length(p) >= SIG_WINDOWS * SIG_WIN_SAMPLES * 2),
-        F.lit(0),
-    ).cast("long")
-    return _pack_sig(df, earr, sig_guard)
+    earr = "array(" + ", ".join(
+        window_energy(w) for w in range(SIG_WINDOWS)
+    ) + ")"
+    sig_guard = (
+        f"CAST(CASE WHEN (({p} IS NOT NULL) AND (length({p}) >= "
+        f"{SIG_WINDOWS * SIG_WIN_SAMPLES * 2})) THEN 0 END AS BIGINT)"
+    )
+    return _pack_sig(
+        df.selectExpr("doc_id", p, f"array({words}) AS wrds"),
+        earr,
+        sig_guard,
+    )
 
 
 def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2183,10 +2219,11 @@ def video_sig64(frames: DataFrame) -> DataFrame:
     the audio energy signature's bit law), with the additive null
     guard keeping unparseable videos signature-less so they can never
     pair as hamming-0 duplicates downstream."""
-    guard = F.when(
-        F.col("earr").isNotNull() & (F.size("earr") == VID_FRAMES), F.lit(0)
-    ).cast("long")
-    return _pack_sig(frames, F.col("earr"), guard)
+    guard = (
+        f"CAST(CASE WHEN ((earr IS NOT NULL) AND (size(earr) = "
+        f"{VID_FRAMES})) THEN 0 END AS BIGINT)"
+    )
+    return _pack_sig(frames, "earr", guard)
 
 
 # frame pixels: px(f, i) = amps[f] + i — a per-frame gradient whose
