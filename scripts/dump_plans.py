@@ -229,11 +229,12 @@ AUDITED: dict[str, str] = {
     ),
     "q_audio_pipeline": (
         "Width-aware audio container->content pipeline (r12): ONE "
-        "MapInPandas kernel (RIFF walk to the data slice + declared "
-        "bits, canonical 16-bit normalization), then the pure-JVM "
-        "energy_sig64_s16 projection — 130 convs stays inside "
-        "whole-stage codegen; no joins, no shuffle before the final "
-        "order."
+        "MapInPandas kernel does the whole content pass — RIFF walk "
+        "to the data slice + declared bits, canonical 16-bit "
+        "normalization, and the vectorized numpy signature — so only "
+        "16 bytes/row return to the JVM; the id source is range-"
+        "partitioned + sorted BEFORE the map chain (spread_sorted), "
+        "so there is NO final sort re-executing it; no joins."
     ),
     "q_video_dedup": (
         "Video temporal-signature dedup (r12): ONE MapInPandas kernel "

@@ -113,6 +113,30 @@ def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
     return df
 
 
+def spread_sorted(
+    df: DataFrame, spark: SparkSession, col: str = "doc_id"
+) -> DataFrame:
+    """spread() for map-only "card" queries that must emit globally
+    ``col``-ordered rows (r12 optimization round, guide §2.4): a FINAL
+    ``orderBy`` pays the global sort's range-bound sampling pass, which
+    re-executes the sort's whole child plan — and a map-only chain has
+    no shuffle materialization to shield it, so the expensive
+    generate/decode/signature pipeline ran TWICE per action (measured
+    ~2x on q_audio_pipeline / q_image_dhash_real at sf0.1). Range-
+    partitioning + in-partition sorting the cheap id SOURCE instead
+    puts the double-executed subtree at the scan (pennies), and every
+    downstream map-only op (projections, mapInPandas) preserves
+    per-partition row order, so the concatenated output is exactly
+    ``orderBy(col)`` without a final sort. Same parallelism fan-out as
+    spread() on the single-file testdata; on a many-split lake the one
+    id-frame exchange replaces the final sort's exchange, not adds to
+    it."""
+    target = spark.sparkContext.defaultParallelism
+    return df.repartitionByRange(target, F.col(col)).sortWithinPartitions(
+        col
+    )
+
+
 def with_shingles(df: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """Word n-gram shingle sets.
 

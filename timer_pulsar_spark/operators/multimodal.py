@@ -761,20 +761,22 @@ def planted_wavs_decoy(
     read of the 16/24/32-bit rows provably fingerprints byte noise."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     if with_content:
-        # content corpora get the spread fan-out (guide §2): downstream
+        # content corpora get an ORDERED fan-out (guide §2): downstream
         # is CPU-heavy per row (width-normalizing Python kernel + the
         # 130-conv JVM signature), and the single-file testdata scan
         # would otherwise single-thread the whole pipeline — measured
-        # 16.0 s -> 2.8 s on q_audio_pipeline at sf0.1. The metadata-
-        # only walks (this function without content, planted_images*,
-        # planted_wavs, planted_mp4s) stay unspread: their O(#chunks)
-        # per-row work is cheaper than the repartition exchange the
-        # spread inserts (measured q_audio_meta_real 0.75 s -> 1.38 s
-        # with a blanket spread). On a real many-split lake spread is a
-        # guarded no-op either way.
-        from .dedup import spread
+        # 16.0 s -> 2.8 s on q_audio_pipeline at sf0.1. spread_sorted
+        # rather than spread: pre-ordering the cheap id frame lets
+        # q_audio_pipeline drop its final orderBy, whose range-bound
+        # sampling re-executed the whole map chain a second time (see
+        # spread_sorted). The metadata-only walks (this function
+        # without content, planted_images*, planted_wavs, planted_mp4s)
+        # stay unspread: their O(#chunks) per-row work is cheaper than
+        # the exchange (measured q_audio_meta_real 0.75 s -> 1.38 s
+        # with a blanket spread).
+        from .dedup import spread_sorted
 
-        d = spread(d, spark)
+        d = spread_sorted(d, spark)
         d = (
             d.select(
                 "doc_id",
@@ -858,9 +860,19 @@ def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-bit-assuming read of a 16-bit row fingerprints interleaved byte
     noise, pinned by the companion pytest."""
     wavs = planted_wavs_decoy(spark, sf_dir, with_content=True)
-    return energy_sig64_s16(
-        audio_canonical_pcm(wavs), payload_col="pcm16"
-    ).orderBy("doc_id")
+    # no final orderBy: the corpus ids are range-partitioned + sorted
+    # at the SOURCE (spread_sorted) and every op downstream is
+    # map-only and order-preserving, so the output is already globally
+    # doc_id-ordered — a trailing orderBy re-executed this whole
+    # generate->walk->signature chain a second time for its range-
+    # bound sampling pass (no shuffle boundary shields a map-only
+    # plan; measured ~2x at sf0.1). Walk + width-normalize + signature
+    # run in ONE Arrow kernel (audio_pipeline_sigs): the corpus
+    # crosses the Python boundary for the chunk walk anyway, so the
+    # vectorized numpy signature rides the same pass and only 16
+    # bytes/row return to the JVM (guide §4.2); JVM-law equivalence is
+    # pinned by the companion pytest and the unchanged oracle.
+    return audio_pipeline_sigs(wavs)
 
 
 def q_audio_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1594,9 +1606,14 @@ def planted_bitmap_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the pixel bridge): same near-duplicate group structure as
     planted_bitmaps, upscaled to variable sizes and containerized as
     BMP/PGM by _plant_bitmap."""
-    from .dedup import spread
+    # spread_sorted, not spread (r12): the id frame is range-
+    # partitioned + sorted at the source so q_image_dhash_real can
+    # drop its final orderBy — the global sort's range-bound sampling
+    # re-executed the whole plant->decode->dhash map chain a second
+    # time (see dedup.spread_sorted)
+    from .dedup import spread_sorted
 
-    d = spread(
+    d = spread_sorted(
         load_table(spark, sf_dir, "documents").select("doc_id"), spark
     )
 
@@ -1626,10 +1643,15 @@ def q_image_dhash_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches if the real decode pipeline recovered every planted pixel
     through the container layer (the companion pytest shows a
     fixed-72-byte read of the same files hashes garbage)."""
+    # no final orderBy: planted_bitmap_files pre-orders the id source
+    # (spread_sorted) and the plant/decode/dhash chain is map-only and
+    # order-preserving, so the output is already globally
+    # doc_id-ordered — the trailing sort's sampling pass re-executed
+    # the whole chain a second time (measured ~2x at sf0.1)
     return dhash64(
         image_grid_walk(planted_bitmap_files(spark, sf_dir)),
         payload_col="grid",
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------
@@ -1846,6 +1868,80 @@ def audio_canonical_pcm(
     )
 
 
+def _sig64_np(pcms: list) -> tuple[list, list]:
+    """Vectorized (hi, lo) energy-sign signatures over canonical
+    16-bit LE PCM byte strings — the numpy twin of energy_sig64_s16's
+    JVM law, exact in integer math: energy[w] = sum |s16| over the 4
+    samples of window w (|−32768| = 32768 on both sides: the JVM form
+    computes least(u, 65536−u) on the unsigned read, numpy abs() on
+    int64), bit w set when energy[w] < energy[w+1], halves packed as
+    Σ bit<<k. A payload that is null or shorter than the 65-window
+    span has NO signature (None halves), the same guard law."""
+    import numpy as np
+
+    span = SIG_WINDOWS * SIG_WIN_SAMPLES * 2
+    idx, bufs = [], []
+    for i, pcm in enumerate(pcms):
+        if pcm is not None and len(pcm) >= span:
+            idx.append(i)
+            bufs.append(pcm[:span])
+    his: list = [None] * len(pcms)
+    los: list = [None] * len(pcms)
+    if bufs:
+        arr = (
+            np.frombuffer(b"".join(bufs), dtype="<i2")
+            .reshape(len(bufs), SIG_WINDOWS * SIG_WIN_SAMPLES)
+            .astype(np.int64)
+        )
+        e = np.abs(arr).reshape(-1, SIG_WINDOWS, SIG_WIN_SAMPLES).sum(axis=2)
+        bits = e[:, :-1] < e[:, 1:]
+        w32 = 1 << np.arange(32, dtype=np.int64)
+        lo = (bits[:, 0:32] * w32).sum(axis=1)
+        hi = (bits[:, 32:64] * w32).sum(axis=1)
+        for j, i in enumerate(idx):
+            his[i] = int(hi[j])
+            los[i] = int(lo[j])
+    return his, los
+
+
+def audio_pipeline_sigs(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """The full container->content audio pipeline in ONE Arrow kernel:
+    RIFF-walk each WAV to (data slice, fmt bits), width-normalize to
+    canonical 16-bit LE signed, and fingerprint the canonical samples
+    vectorized in numpy — emitting only (doc_id, hi, lo). r12
+    optimization (guide §4.2): the corpus already crosses the Python
+    boundary for the chunk walk, so the signature rides the same
+    kernel instead of a second JVM pass — the 130-conv fused
+    projection sat ON janino's 64 KB cliff (the string-built variant
+    of the identical tree tipped over and silently dropped the whole
+    stage to interpreted mode), and 16 bytes/row now cross back
+    instead of 520. Bit-exactness vs the JVM energy_sig64_s16 law is
+    pinned by the equivalence pytest and the unchanged signature
+    oracle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            pcm16 = [
+                _widen_to_s16(_wav_data_slice(p), _walk_wav(p)[3])
+                for p in payloads
+            ]
+            his, los = _sig64_np(pcm16)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "hi": pd.array(his, dtype="Int64"),
+                    "lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return df.select("doc_id", payload_col).mapInPandas(
+        kernel, schema="doc_id long, hi long, lo long"
+    )
+
+
 def energy_sig64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """CODEC-FREE audio fingerprint: parse the raw PCM bytes with JVM
     byte math (substring+hex+conv — the dhash64 idiom, no Python) and
@@ -1947,51 +2043,55 @@ def energy_sig64_s16(
     32768 is the negative half, |u - 65536| = 65536 - u; the planted
     negative amplitudes pin that an unsigned |u| misreads), additive
     null guard. 130 convs total stays inside whole-stage codegen —
-    the measured janino ceiling was the 260-conv per-byte unrolling.
-    Built as one generated SQL string per projection, not ~900 Column
-    ops — the r12 driver-side build-cost fix (see energy_sig64)."""
-    p = f"`{payload_col}`"
-    # the 130 BE words are projected ONCE under a short alias and the
-    # energy terms reference `wrds[i]` — flat inlining repeated each
-    # ~90-char conv expression ~12x per window (a ~140 KB SQL string
-    # whose PARSE alone measured ~0.95 s per build); the optimizer's
-    # projection collapse + ExtractValue simplification reduces this
-    # to the identical flat tree, so plan and results are unchanged
-    words = ", ".join(
-        f"CAST(conv(hex(substring({p}, "
-        f"{w * SIG_WIN_SAMPLES * 2 + word_idx * 4 + 1}, 4)), "
-        f"16, 10) AS BIGINT)"
-        for w in range(SIG_WINDOWS)
-        for word_idx in range(SIG_WIN_SAMPLES // 2)
-    )
+    the measured janino ceiling was the 260-conv per-byte unrolling,
+    and a string-built variant of this same tree also tipped over it
+    (r12: "Code grows beyond 64 KB" on the fused projection), so THIS
+    function deliberately keeps the r11 Column-built form whose
+    codegen is proven. It is the JVM reference implementation the
+    equivalence pytest checks the in-kernel numpy signature against
+    (q_audio_pipeline computes hi/lo vectorized inside
+    audio_pipeline_sigs — the corpus already crosses the Python
+    boundary for the RIFF walk, so the signature rides the same
+    kernel; guide §4.2)."""
+    p = F.col(payload_col)
 
-    def window_energy(w: int) -> str:
-        terms = ["CAST(0 AS BIGINT)"]
+    def window_energy(w: int) -> Column:
+        total = F.lit(0).cast("long")
         for word_idx in range(SIG_WIN_SAMPLES // 2):
-            word = f"wrds[{w * (SIG_WIN_SAMPLES // 2) + word_idx}]"
+            word = F.conv(
+                F.hex(F.substring(p, w * SIG_WIN_SAMPLES * 2 + word_idx * 4 + 1, 4)),
+                16, 10,
+            ).cast("long")
             # BE word b0b1b2b3 = LE samples (b0,b1), (b2,b3)
-            u0 = (
-                f"(shiftright({word}, 24) + "
-                f"((shiftright({word}, 16) % 256) * 256))"
+            u0 = F.shiftright(word, 24) + (F.shiftright(word, 16) % 256) * 256
+            u1 = (F.shiftright(word, 8) % 256) + (word % 256) * 256
+            total = (
+                total
+                + F.least(u0, F.lit(65536) - u0)
+                + F.least(u1, F.lit(65536) - u1)
             )
-            u1 = (
-                f"((shiftright({word}, 8) % 256) + (({word} % 256) * 256))"
-            )
-            terms.append(f"least({u0}, 65536 - {u0})")
-            terms.append(f"least({u1}, 65536 - {u1})")
-        return "(" + " + ".join(terms) + ")"
+        return total
 
-    earr = "array(" + ", ".join(
-        window_energy(w) for w in range(SIG_WINDOWS)
-    ) + ")"
-    sig_guard = (
-        f"CAST(CASE WHEN (({p} IS NOT NULL) AND (length({p}) >= "
-        f"{SIG_WINDOWS * SIG_WIN_SAMPLES * 2})) THEN 0 END AS BIGINT)"
-    )
-    return _pack_sig(
-        df.selectExpr("doc_id", p, f"array({words}) AS wrds"),
-        earr,
-        sig_guard,
+    earr = F.array(*[window_energy(w) for w in range(SIG_WINDOWS)])
+    sig_guard = F.when(
+        p.isNotNull() & (F.length(p) >= SIG_WINDOWS * SIG_WIN_SAMPLES * 2),
+        F.lit(0),
+    ).cast("long")
+
+    def half(lo_pos: int) -> Column:
+        total = F.col("sig_guard")
+        for k in range(32):
+            pos = lo_pos + k
+            bit = F.col("earr")[pos] < F.col("earr")[pos + 1]
+            total = total + F.when(bit, F.lit(1 << k)).otherwise(0).cast(
+                "long"
+            )
+        return total
+
+    return df.select(
+        "doc_id", earr.alias("earr"), sig_guard.alias("sig_guard")
+    ).select(
+        "doc_id", half(32).alias("hi"), half(0).alias("lo")
     )
 
 
