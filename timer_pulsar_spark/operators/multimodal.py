@@ -2347,7 +2347,9 @@ _FRAMES_HEX_SQL = f"""
 """
 
 
-def planted_mp4s_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+def planted_mp4s_frames(
+    spark: SparkSession, sf_dir: str, *, ordered: bool = False
+) -> DataFrame:
     """planted_mp4s' content-bearing sibling: a full video trak with
     REAL sample tables (stsz per-entry sizes, stsc one-run mapping,
     stco absolute chunk offset) addressing 65 uncompressed 9x8
@@ -2366,10 +2368,20 @@ def planted_mp4s_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     Frame amplitudes reuse the audio corpus's _AMPS_SQL groups-of-four
     law, so the temporal signature's oracle is the SAME doc_id
     arithmetic (_SIG_ORACLE_CTE)."""
-    from .dedup import spread
+    # ordered=True (q_video_fingerprint): pre-ordering the id source
+    # lets the card query drop its final orderBy, whose range-bound
+    # sampling re-executed the whole generate->walk map chain a second
+    # time (see dedup.spread_sorted). ordered=False (q_video_dedup):
+    # the pair machinery shuffles anyway, and the round-robin spread
+    # avoids paying the range partitioner's sampling job for an order
+    # nothing downstream uses (measured +0.5 s when always-on).
+    from .dedup import spread, spread_sorted
 
+    fan = spread_sorted if ordered else spread
     d = (
-        spread(load_table(spark, sf_dir, "documents").select("doc_id"), spark)
+        fan(
+            load_table(spark, sf_dir, "documents").select("doc_id"), spark
+        )
         .select(
             "doc_id",
             (F.col("doc_id") - F.col("doc_id") % 4).alias("base"),
@@ -2499,9 +2511,16 @@ def q_video_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stsz/stsc/stco walk landed on exactly the planted frames —
     junk bytes after the mdat header make a payload-offset shortcut
     provably wrong on every file (companion pytest)."""
+    # no final orderBy: planted_mp4s_frames pre-orders the id source
+    # (spread_sorted) and the generate/walk/signature chain is
+    # map-only and order-preserving — the trailing sort's sampling
+    # pass re-executed the whole chain a second time (measured ~1.8x
+    # at sf0.1)
     return video_sig64(
-        video_frame_energies(planted_mp4s_frames(spark, sf_dir))
-    ).orderBy("doc_id")
+        video_frame_energies(
+            planted_mp4s_frames(spark, sf_dir, ordered=True)
+        )
+    )
 
 
 def q_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
