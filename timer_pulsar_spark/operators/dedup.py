@@ -1560,7 +1560,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides are corpus-sized so a shuffle is unavoidable; here the
     asymmetry makes the whole probe map-side. Plan-gated (one
     BroadcastHashJoin, no SortMergeJoin) in tests/test_plans.py."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread before the corpus-side n-gram explode (r12, guide §2):
+    # the single-file scan is ONE partition, single-threading the
+    # map-side probe this query's asymmetric shape exists to keep
+    # cheap; guarded no-op on a many-split lake
+    d = spread(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
+    )
     return decontaminate_report(d)
 
 

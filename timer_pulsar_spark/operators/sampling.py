@@ -954,7 +954,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: dsir_ratio_model's single bounded-key aggregate +
     _dsir_score's broadcast-join-and-fold — two corpus passes total
     (model + scoring), the same linear shape as q_unigram_lm."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread before the two per-gram md5 passes (r12, guide §2): the
+    # single-file scan is ONE partition, which single-threaded both the
+    # model aggregate's and the scorer's gram explosion — measured
+    # 2.6 -> 1.2 s at sf0.1; guarded no-op on a many-split lake
+    from .dedup import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     return _dsir_score(d, dsir_ratio_model(d)).orderBy("doc_id")
 
 

@@ -375,7 +375,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone in tf-idf within a document but exactly reproducible
     across engines (no float comparison in the ORDER BY); the float
     tfidf score is emitted rounded, never compared."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread before the per-gram explode/hash map work (r12, guide
+    # §2): the single-file testdata scan is ONE partition, which
+    # single-threaded this query's token/gram explosion; a real lake
+    # arrives in many splits where spread is a guarded no-op
+    from .dedup import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     tf = (
         d.select("doc_id", F.size(_toks()).alias("n_tokens"),
@@ -616,7 +622,13 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back for the scoring pass. Net cost at 100 TB: two
     corpus scans and zero wide shuffles; a precomputed corpus-stats
     table would cut it to one."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread before the per-gram explode/hash map work (r12, guide
+    # §2): the single-file testdata scan is ONE partition, which
+    # single-threaded this query's token/gram explosion; a real lake
+    # arrives in many splits where spread is a guarded no-op
+    from .dedup import spread
+
+    d = spread(load_table(spark, sf_dir, "documents"), spark)
     toks = _toks()
     tf_cols = [
         F.size(F.expr(f"filter(split(text, ' '), x -> x = '{q}')")).alias(f"tf_{i}")
