@@ -268,6 +268,15 @@ def curate_per_doc(d: DataFrame) -> DataFrame:
         (en_hits >= 1).alias("s_lang"),
         ((n >= 50) & (F.size(F.array_distinct(toks)) / n >= 0.2)).alias("s_qual"),
     )
+    # persisted across its three consumers (r12): Catalyst recomputes
+    # the scan + marker/token flag projections for the canonical-ids
+    # branch, the contamination branch AND the final join — the frame
+    # is one small row per doc, so one cache write replaces two full
+    # corpus re-scans (the cooccurring_pairs lesson; reclaimed by
+    # release_persisted between queries)
+    from .dedup import _track_persist
+
+    base = _track_persist(base)
     s2 = base.filter(F.col("s_lang") & F.col("s_qual"))
     canon_ids = (
         s2.groupBy(F.md5("text").alias("h"))
