@@ -1560,14 +1560,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides are corpus-sized so a shuffle is unavoidable; here the
     asymmetry makes the whole probe map-side. Plan-gated (one
     BroadcastHashJoin, no SortMergeJoin) in tests/test_plans.py."""
-    # spread before the corpus-side n-gram explode (r12, guide §2):
-    # the single-file scan is ONE partition, single-threading the
-    # map-side probe this query's asymmetric shape exists to keep
-    # cheap; guarded no-op on a many-split lake
-    d = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        spark,
-    )
+    # NOT spread (r12 optimization round): fanning the scan out added
+    # one repartition exchange per derived branch (bench + train), 3 ->
+    # 5 exchanges against the plan gate's documented 3-exchange
+    # asymmetric shape, for a within-noise 0.27 s A/B win — the tight
+    # plan contract is worth more than the local fan-out here
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return decontaminate_report(d)
 
 
