@@ -2674,7 +2674,7 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute only the other ranker's term."""
     from .textops import q_bm25
 
-    sparse_pool = q_bm25(spark, sf_dir).orderBy(
+    sparse_pool = q_bm25(spark, sf_dir, _spread=False).orderBy(
         F.col("bm25").desc(), "doc_id"
     ).limit(RRF_POOL)
     sparse = sparse_pool.withColumn(

@@ -617,7 +617,9 @@ BM25_B = 0.75
 BM25_TERMS = ("join", "spark", "window", "customer")
 
 
-def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_bm25(
+    spark: SparkSession, sf_dir: str, *, _spread: bool = True
+) -> DataFrame:
     """BM25 relevance scoring of every document against a fixed query
     term set (Robertson & Zaragoza's Okapi BM25) — the retrieval-style
     ranking a curation pipeline uses to pull topic-relevant documents
@@ -631,13 +633,18 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts back for the scoring pass. Net cost at 100 TB: two
     corpus scans and zero wide shuffles; a precomputed corpus-stats
     table would cut it to one."""
-    # spread before the per-gram explode/hash map work (r12, guide
-    # §2): the single-file testdata scan is ONE partition, which
-    # single-threaded this query's token/gram explosion; a real lake
-    # arrives in many splits where spread is a guarded no-op
+    # spread before the per-doc tf map work (r12, guide §2): the
+    # single-file testdata scan is ONE partition, which single-threaded
+    # the term-frequency projection; a real lake arrives in many splits
+    # where spread is a guarded no-op. q_rrf_fusion passes
+    # _spread=False: its plan gate pins ONE shuffle total (the scale
+    # design statement — at 100 TB scan parallelism is free), and the
+    # extra repartition exchanges would break that contract.
     from .dedup import spread
 
-    d = spread(load_table(spark, sf_dir, "documents"), spark)
+    d = load_table(spark, sf_dir, "documents")
+    if _spread:
+        d = spread(d, spark)
     toks = _toks()
     tf_cols = [
         F.size(F.expr(f"filter(split(text, ' '), x -> x = '{q}')")).alias(f"tf_{i}")
