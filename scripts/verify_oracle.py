@@ -34,6 +34,15 @@ if "--changed-since" in argv:
 SF_DIR = argv[0] if argv else "/root/testdata/sf0.01"
 ONLY = set(argv[1:])
 
+# card queries whose global doc_id order is a PHYSICAL contract
+# (dedup.spread_sorted source, no trailing Sort in the plan) — the
+# sweep asserts their output is monotone in doc_id (ADVICE r12)
+ORDERED_CARDS = {
+    "q_audio_pipeline",
+    "q_image_dhash_real",
+    "q_video_fingerprint",
+}
+
 
 def _query_module_importers(mod_files):
     """Reverse import edges BETWEEN query modules: sampling.py pulls
@@ -175,6 +184,21 @@ def main():
                 opdf.columns = [c.lower() for c in opdf.columns]
                 hmatch = df_hash(spdf) == df_hash(opdf) if rows and schema else False
                 ok = rows and schema and hmatch
+                # physical-order contract of the spread_sorted card
+                # queries (ADVICE r12): their global doc_id ordering is
+                # PHYSICAL (range partitions concatenated in index order
+                # through order-preserving map ops, no trailing Sort in
+                # the plan), which the value-hash above cannot see — a
+                # future consumer inserting a shuffle/coalesce after the
+                # map chain would silently lose the documented ordering.
+                # Assert monotonicity explicitly so that regression
+                # fails the sweep, not a downstream reader.
+                if ok and name in ORDERED_CARDS:
+                    ids = spdf["doc_id"].tolist()
+                    if ids != sorted(ids):
+                        ok = False
+                        print(f"FAIL {name}: doc_id output order not "
+                              f"monotone (spread_sorted contract broken)")
                 results[name] = {
                     "rows": ok and rows, "schema": schema, "hash": hmatch,
                     "spark_rows": len(spdf), "oracle_rows": len(opdf),

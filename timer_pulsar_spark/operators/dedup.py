@@ -130,7 +130,20 @@ def spread_sorted(
     ``orderBy(col)`` without a final sort. Same parallelism fan-out as
     spread() on the single-file testdata; on a many-split lake the one
     id-frame exchange replaces the final sort's exchange, not adds to
-    it."""
+    it.
+
+    Deliberately UNGUARDED, unlike spread() (VERDICT r12): spread's
+    exchange is a pure parallelism fix, correctly skipped when the
+    lake already arrives in many splits — but THIS exchange is the
+    consuming card query's one global sort, moved from after the
+    expensive map chain to the cheap id source. Every consumer
+    (q_audio_pipeline, q_image_dhash_real, q_video_fingerprint)
+    declares globally doc_id-ordered output, so on ANY input layout
+    something must range-partition by doc_id exactly once; skipping it
+    on a many-split lake would not save an exchange, it would break
+    the ordering contract. The contract is asserted end-to-end by the
+    verify sweep's monotonicity check (scripts/verify_oracle.py
+    ORDERED_CARDS)."""
     target = spark.sparkContext.defaultParallelism
     return df.repartitionByRange(target, F.col(col)).sortWithinPartitions(
         col
