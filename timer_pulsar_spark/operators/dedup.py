@@ -1267,8 +1267,19 @@ def q_dedup_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical window + hot-set + island arithmetic, so the report only
     matches if both the stride-1 window law and the region merge ran
     exactly."""
-    d = spread(load_table(spark, sf_dir, "documents"), spark).select(
-        "doc_id", "text"
+    # spread_sorted, not spread (r13, guide §2.4): a RANGE-partitioned
+    # probe side makes the island-merge window's ClusteredDistribution
+    # (doc_id) already satisfied, so the per-doc window chain runs in
+    # the SAME stage as the explode + broadcast probe — no doc_id
+    # exchange — and the hot-count branch rides the same fan-out.
+    # Interleaved A/B min 3.77 -> 1.94 s at sf0.1 (plans/r13). If the
+    # planner ever demotes the hot join to SMJ at scale, the doc_id
+    # exchange reappears automatically and the final orderBy (still
+    # explicit in exactsubstr_regions) guarantees output order —
+    # correctness never rides the physical layout here.
+    d = spread_sorted(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        spark,
     )
     return exactsubstr_regions(d)
 
@@ -1313,10 +1324,7 @@ def exactsubstr_scrub(d: DataFrame) -> DataFrame:
     occ = wins.join(hot, "win")
     wc = Window.partitionBy("win").orderBy("doc_id", "pos")
     # non-canonical occurrences only; their [pos, pos+L) coverage
-    # merges into per-doc islands. localCheckpoint: the island frame
-    # feeds three branches (affected ids, the rebuild, the removal
-    # counts) — without it each branch re-runs the corpus window scan
-    # (the q_span_scrub lesson).
+    # merges into per-doc islands
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
     cut = (
         occ.withColumn("rn", F.row_number().over(wc))
@@ -1341,7 +1349,6 @@ def exactsubstr_scrub(d: DataFrame) -> DataFrame:
             F.min("pos").alias("start"),
             (F.max("pos") + EXSUB_L - F.min("pos")).alias("cut_len"),
         )
-        .localCheckpoint()
     )
     islands = cut.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("start", "cut_len"))).alias(
@@ -1364,19 +1371,29 @@ def exactsubstr_scrub(d: DataFrame) -> DataFrame:
             s -> concat(s.acc, substring(text, s.nxt, length(text))))
         """
     )
-    affected = d.join(islands, "doc_id").select(
-        "doc_id",
-        rebuild.alias("clean_text"),
-        F.length("text").cast("long").alias("n_chars"),
-        F.col("n_removed").cast("long").alias("n_removed"),
+    # ONE left join replaces the r12 affected-inner-join + unaffected-
+    # anti-join + union (r13, guide §2.4): both arms scanned the corpus
+    # and probed the same islands frame, and the trailing orderBy's
+    # range sampling re-executed BOTH arms a second time; the unified
+    # form pays one corpus pass, one probe, and the islands frame has
+    # a single consumer — so the r12 localCheckpoint on `cut` (three
+    # branches then) is gone too. A doc absent from islands keeps its
+    # text verbatim (cuts IS NULL), exactly the old unaffected arm.
+    # Interleaved A/B min 3.88 -> 2.77 s at sf0.1; results identical.
+    return (
+        d.join(islands, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("cuts").isNull(), F.col("text"))
+            .otherwise(rebuild)
+            .alias("clean_text"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+        .orderBy("doc_id")
     )
-    unaffected = d.join(islands.select("doc_id"), "doc_id", "left_anti").select(
-        "doc_id",
-        F.col("text").alias("clean_text"),
-        F.length("text").cast("long").alias("n_chars"),
-        F.lit(0).cast("long").alias("n_removed"),
-    )
-    return affected.unionByName(unaffected).orderBy("doc_id")
 
 
 def q_exactsubstr_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
