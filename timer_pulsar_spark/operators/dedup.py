@@ -1925,10 +1925,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _incr_split(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    """(existing, incoming) via the content-stable md5 doc_id bucket."""
-    d = spread(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
-        spark,
+    """(existing, incoming) via the content-stable md5 doc_id bucket.
+
+    The spread frame is persisted across the split's four consumers
+    (r13, VERDICT r12 #4 — the q_curate_funnel recipe): exdim, the
+    existing postings, the incoming exact probe and the incoming
+    postings each re-derived the scan + round-robin exchange, so the
+    13-stage chain paid four corpus scans for one small frame. One
+    tracked cache write replaces three re-derivations; blocks are
+    reclaimed by release_persisted() between bench/sweep queries."""
+    d = _track_persist(
+        spread(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+            spark,
+        )
     )
     bucket = (
         F.conv(
