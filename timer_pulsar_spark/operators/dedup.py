@@ -1186,6 +1186,25 @@ EXSUB_L = 24        # minimum repeated-substring length, characters
 EXSUB_MIN_OCC = 2   # total occurrences (intra-doc repeats count, per the paper)
 
 
+def _exsub_wins(d: DataFrame) -> DataFrame:
+    """Stride-1 length-EXSUB_L window postings (doc_id, pos, win) over
+    (doc_id, text) — the shared front half of exactsubstr_regions and
+    exactsubstr_scrub."""
+    return (
+        d.filter(F.length("text") >= EXSUB_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(text) - {EXSUB_L - 1}),"
+                    f" p -> substring(text, p, {EXSUB_L}))"
+                )
+            ).alias("i", "win"),
+        )
+        .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "win")
+    )
+
+
 def exactsubstr_regions(d: DataFrame) -> DataFrame:
     """Byte-level ExactSubstr dedup over any (doc_id, text) frame —
     the production form of Lee et al. 2022's suffix-array pass
@@ -1211,19 +1230,7 @@ def exactsubstr_regions(d: DataFrame) -> DataFrame:
     global sort. The raw L-char window is the grouping key (no hash
     round-trip; same wire bytes as an md5 hex digest at L = 24,
     collision-free by construction)."""
-    wins = (
-        d.filter(F.length("text") >= EXSUB_L)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {EXSUB_L - 1}),"
-                    f" p -> substring(text, p, {EXSUB_L}))"
-                )
-            ).alias("i", "win"),
-        )
-        .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "win")
-    )
+    wins = _exsub_wins(d)
     hot = (
         wins.groupBy("win")
         .agg(F.count(F.lit(1)).alias("n_occ"))
@@ -1302,19 +1309,7 @@ def exactsubstr_scrub(d: DataFrame) -> DataFrame:
     one JVM `aggregate` fold over its sorted island list (islands per
     doc are bounded by cut regions, not text length). Unaffected docs
     pass through as whole rows."""
-    wins = (
-        d.filter(F.length("text") >= EXSUB_L)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, length(text) - {EXSUB_L - 1}),"
-                    f" p -> substring(text, p, {EXSUB_L}))"
-                )
-            ).alias("i", "win"),
-        )
-        .select("doc_id", (F.col("i") + 1).cast("long").alias("pos"), "win")
-    )
+    wins = _exsub_wins(d)
     hot = (
         wins.groupBy("win")
         .agg(F.count(F.lit(1)).alias("n_occ"))
