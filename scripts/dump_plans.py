@@ -201,11 +201,11 @@ AUDITED: dict[str, str] = {
         "projection — no joins, no shuffle before the final order."
     ),
     "q_audio_dedup": (
-        "Audio content dedup (r11): energy-sign signature parsed with "
-        "pure JVM byte math (one conv per window — per-byte unrolling "
-        "overflows janino and falls back to interpreted, measured), then "
-        "image_dedup_pairs' shape REUSED: four exchange nodes, ZERO "
-        "joins, no Python eval anywhere."
+        "Audio content dedup (r13): ONE MapInPandas kernel plants the "
+        "PCM corpus and signs it (byte/bit-identity pytests against the "
+        "retained JVM expression law), then image_dedup_pairs' shape "
+        "REUSED: four exchange nodes, ZERO joins — only 16 bytes/row "
+        "ever cross the Python boundary."
     ),
     "q_video_meta": (
         "MP4 box-walk metadata (r11 depth): ONE MapInPandas kernel; the "
@@ -228,10 +228,11 @@ AUDITED: dict[str, str] = {
         "fusion full-outer join sorts only the two 50-row pools."
     ),
     "q_audio_pipeline": (
-        "Width-aware audio container->content pipeline (r12): ONE "
-        "MapInPandas kernel does the whole content pass — RIFF walk "
-        "to the data slice + declared bits, canonical 16-bit "
-        "normalization, and the vectorized numpy signature — so only "
+        "Width-aware audio container->content pipeline (r13): ONE "
+        "MapInPandas kernel does the whole pass — corpus GENERATION "
+        "(_plant_wav, byte-identity-pinned), RIFF walk to the data "
+        "slice + declared bits, canonical 16-bit normalization, and "
+        "the vectorized numpy signature — so only doc_id enters and "
         "16 bytes/row return to the JVM; the id source is range-"
         "partitioned + sorted BEFORE the map chain (spread_sorted), "
         "so there is NO final sort re-executing it; no joins."

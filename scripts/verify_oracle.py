@@ -39,6 +39,7 @@ ONLY = set(argv[1:])
 # sweep asserts their output is monotone in doc_id (ADVICE r12)
 ORDERED_CARDS = {
     "q_audio_pipeline",
+    "q_audio_fingerprint",
     "q_image_dhash_real",
     "q_video_fingerprint",
 }

@@ -87,3 +87,75 @@ def test_plant_mp4_byte_identical_to_jvm_expression(spark):
     assert len(jvm) >= 420
     for doc_id, expected in jvm.items():
         assert _plant_mp4(doc_id) == expected, f"doc_id {doc_id}"
+
+
+def test_plant_wav_byte_identical_to_jvm_expression(spark):
+    """_plant_wav (the in-kernel Python WAV builder q_audio_pipeline
+    now generates through — the _plant_mp4 pattern on the audio side)
+    must produce byte-identical files to the original JVM hex-concat
+    expression form across every container-form rotation: fmt kind
+    16/18/40 (doc%3), sample width 8/16/24/32 (doc%4), channels
+    (doc%2), rate (doc%5), LIST size + even padding (doc%7), and the
+    amplitude group law (doc%4). 420 = lcm of the structural moduli,
+    so 420 consecutive ids cover the full cross product."""
+    from pyspark.sql import functions as F
+
+    from timer_pulsar_spark.operators.multimodal import (
+        _plant_wav,
+        planted_wavs_decoy,
+    )
+
+    jvm = {
+        r.doc_id: bytes(r.payload)
+        for r in planted_wavs_decoy(spark, SF_DIR, with_content=True)
+        .filter(F.col("doc_id") < 420)
+        .collect()
+    }
+    assert len(jvm) >= 420
+    for doc_id, expected in jvm.items():
+        assert _plant_wav(doc_id) == expected, f"doc_id {doc_id}"
+
+
+def test_plant_pcm_byte_identical_to_jvm_expression(spark):
+    """_plant_pcm (the in-kernel raw-PCM builder behind
+    planted_pcm_sigs) must produce byte-identical payloads to the
+    planted_pcm JVM template expression for every amplitude group and
+    variant (doc%4) — the corpus q_audio_fingerprint / q_audio_dedup
+    fingerprint."""
+    from timer_pulsar_spark.operators.multimodal import (
+        _plant_pcm,
+        planted_pcm,
+    )
+
+    jvm = {
+        r.doc_id: bytes(r.payload)
+        for r in planted_pcm(spark, SF_DIR).collect()
+    }
+    assert len(jvm) >= 420
+    for doc_id, expected in jvm.items():
+        assert _plant_pcm(doc_id) == expected, f"doc_id {doc_id}"
+
+
+def test_planted_pcm_sigs_equals_jvm_energy_sig64(spark):
+    """planted_pcm_sigs (fused gen+sig kernel, what q_audio_fingerprint
+    / q_audio_dedup ship) must equal the JVM reference composition
+    energy_sig64 ∘ planted_pcm bit-for-bit: the 8-bit energy law scales
+    by exactly 256 under the canonical _widen_to_s16(·, 8) widening, so
+    every adjacent-compare bit must survive — a kernel regression must
+    fail pytest, not only the oracle sweep."""
+    from timer_pulsar_spark.operators.multimodal import (
+        energy_sig64,
+        planted_pcm,
+        planted_pcm_sigs,
+    )
+
+    jvm = {
+        r.doc_id: (r.hi, r.lo)
+        for r in energy_sig64(planted_pcm(spark, SF_DIR)).collect()
+    }
+    kernel = {
+        r.doc_id: (r.hi, r.lo)
+        for r in planted_pcm_sigs(spark, SF_DIR).collect()
+    }
+    assert len(kernel) == len(jvm) > 400
+    assert kernel == jvm

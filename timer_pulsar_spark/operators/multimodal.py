@@ -875,20 +875,20 @@ def q_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     data bytes and the declared width through the decoys — the old
     8-bit-assuming read of a 16-bit row fingerprints interleaved byte
     noise, pinned by the companion pytest."""
-    wavs = planted_wavs_decoy(spark, sf_dir, with_content=True)
     # no final orderBy: the corpus ids are range-partitioned + sorted
     # at the SOURCE (spread_sorted) and every op downstream is
     # map-only and order-preserving, so the output is already globally
     # doc_id-ordered — a trailing orderBy re-executed this whole
     # generate->walk->signature chain a second time for its range-
     # bound sampling pass (no shuffle boundary shields a map-only
-    # plan; measured ~2x at sf0.1). Walk + width-normalize + signature
-    # run in ONE Arrow kernel (audio_pipeline_sigs): the corpus
-    # crosses the Python boundary for the chunk walk anyway, so the
-    # vectorized numpy signature rides the same pass and only 16
-    # bytes/row return to the JVM (guide §4.2); JVM-law equivalence is
-    # pinned by the companion pytest and the unchanged oracle.
-    return audio_pipeline_sigs(wavs)
+    # plan; measured ~2x at sf0.1). Generation + walk + width-
+    # normalize + signature run FUSED in ONE Arrow kernel
+    # (planted_wav_sigs, r13): same _plant_wav bytes (byte-identity
+    # pytest vs the JVM expression form), same walk bodies, only 16
+    # bytes/row cross back — measured 0.95 -> 0.50 s interleaved A/B
+    # at sf0.1; JVM-law equivalence is pinned by the companion pytest
+    # and the unchanged oracle.
+    return planted_wav_sigs(spark, sf_dir)
 
 
 def q_audio_meta_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1744,6 +1744,73 @@ _PCM_HEX_W_SQL = f"""
                        a * wb * 8 + 1, CAST(wb * 8 AS INT))))
 """
 
+_PCM_TEMPLATE_BYTES = [bytes.fromhex(t) for t in _PCM_TEMPLATES]
+
+
+def _plant_pcm(doc_id: int, wb: int = 1) -> bytes:
+    """planted_pcm's payload (wb=1) / planted_wavs_decoy's planted data
+    chunk (wb = declared sample-width bytes) as PYTHON bytes — the
+    _plant_mp4 pattern (r13, VERDICT r12 #3): the same per-window
+    amplitude law (_planted_amps ≡ _AMPS_SQL) indexing the same
+    precomputed window templates, assembled in Python instead of an
+    interpreted JVM transform(..., substring(elt(...))) per row.
+    Byte-identity with the JVM expression forms is pinned by the
+    companion pytest."""
+    tpl = _PCM_TEMPLATE_BYTES[wb - 1]
+    step = 4 * wb
+    return b"".join(
+        tpl[a * step : (a + 1) * step] for a in _planted_amps(doc_id)
+    )
+
+
+def _plant_wav(doc_id: int) -> bytes:
+    """planted_wavs_decoy(with_content=True)'s payload as PYTHON bytes
+    (the _plant_mp4 pattern): identical decoy LIST chunk, rotating fmt
+    form (16 / 18 / 40-byte extensible), RIFF even-padding, and the
+    width-planted data chunk. Byte-identity with the JVM hex-concat
+    form is pinned by the companion pytest over the full form
+    rotation (fmt kind x width x list size/padding)."""
+    doc = doc_id
+
+    def le(v: int, n: int) -> bytes:
+        return int(v).to_bytes(n, "little")
+
+    channels = doc % 2 + 1
+    rate = 8000 + (doc % 5) * 8000
+    bits = (doc % 4 + 1) * 8
+    block_align = channels * bits // 8
+    byte_rate = rate * block_align
+    wb = doc % 4 + 1
+    data_bytes = SIG_WINDOWS * SIG_WIN_SAMPLES * wb
+    list_size = 14 + doc % 7
+    pad = list_size % 2
+    fmt_kind = doc % 3
+    fmt_size = (16, 18, 40)[fmt_kind]
+    riff_size = 28 + list_size + pad + fmt_size + data_bytes
+    if fmt_kind == 0:
+        tag, ext = b"\x01\x00", b""
+    elif fmt_kind == 1:
+        tag, ext = b"\x01\x00", b"\x00\x00"            # cbSize 0
+    else:                                              # extensible
+        tag = b"\xfe\xff"
+        ext = (
+            b"\x16\x00" + le(bits, 2)                  # cbSize 22, valid
+            + b"\x03\x00\x00\x00" + bytes.fromhex(_PCM_GUID_HEX)
+        )
+    return (
+        b"RIFF" + le(riff_size, 4) + b"WAVE"
+        + b"LIST" + le(list_size, 4) + b"INFO"
+        + bytes([doc % 89 + 8]) * (10 + doc % 7)       # decoy fill
+        + (b"\x00" if pad else b"")                    # even padding
+        + b"fmt " + le(fmt_size, 4) + tag
+        + le(channels, 2) + le(rate, 4)
+        + le(byte_rate, 4) + le(block_align, 2)
+        # extensible files declare CONTAINER bits (32)
+        + (le(32, 2) if fmt_kind == 2 else le(bits, 2))
+        + ext
+        + b"data" + le(data_bytes, 4) + _plant_pcm(doc, wb)
+    )
+
 
 def planted_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 8-bit unsigned PCM payloads in GROUPS OF FOUR
@@ -1958,6 +2025,82 @@ def audio_pipeline_sigs(
     )
 
 
+def planted_wav_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused corpus generation + RIFF walk + width-normalize +
+    signature in ONE Arrow kernel (r13, the planted_mp4_energies
+    pattern): audio_pipeline_sigs ∘ planted_wavs_decoy(with_content)
+    materialized each full WAV out of an interpreted JVM hex-concat
+    tree, across the Arrow boundary, and back into the walk kernel.
+    The fused kernel builds each file with _plant_wav (byte-identity-
+    pinned against the JVM expression form) and walks it with the SAME
+    _wav_data_slice/_walk_wav/_widen_to_s16/_sig64_np bodies
+    audio_pipeline_sigs uses, so the walk semantics — and the
+    doc_id-arithmetic signature oracle — are untouched; only 16
+    bytes/row leave the kernel. The id source is spread_sorted, so the
+    map-only chain's output stays globally doc_id-ordered with no
+    trailing sort."""
+    from .dedup import spread_sorted
+
+    ids = spread_sorted(
+        load_table(spark, sf_dir, "documents").select("doc_id"), spark
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = [_plant_wav(int(i)) for i in pdf["doc_id"]]
+            pcm16 = [
+                _widen_to_s16(_wav_data_slice(p), _walk_wav(p)[3])
+                for p in wavs
+            ]
+            his, los = _sig64_np(pcm16)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "hi": pd.array(his, dtype="Int64"),
+                    "lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return ids.mapInPandas(kernel, schema="doc_id long, hi long, lo long")
+
+
+def planted_pcm_sigs(
+    spark: SparkSession, sf_dir: str, *, ordered: bool = False
+) -> DataFrame:
+    """Fused raw-PCM corpus generation + energy-sign signature in ONE
+    Arrow kernel (r13): energy_sig64 ∘ planted_pcm generated each
+    260-byte payload via an interpreted JVM transform and parsed it
+    back with 65 convs per row; the fused kernel plants the identical
+    bytes (_plant_pcm, byte-identity pytest) and signs them through the
+    shared _widen_to_s16(·, 8) + _sig64_np pair — the 8-bit energy law
+    scales by exactly 256 under the canonical widening, so every
+    adjacent-compare bit is unchanged (bit-identity pytest + the
+    unchanged doc_id-arithmetic oracle). ordered=True pre-orders the id
+    source (spread_sorted) so a card query needs no trailing sort;
+    pair consumers keep the round-robin spread (their machinery
+    shuffles anyway)."""
+    from .dedup import spread, spread_sorted
+
+    fan = spread_sorted if ordered else spread
+    ids = fan(load_table(spark, sf_dir, "documents").select("doc_id"), spark)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pcm16 = [
+                _widen_to_s16(_plant_pcm(int(i)), 8) for i in pdf["doc_id"]
+            ]
+            his, los = _sig64_np(pcm16)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "hi": pd.array(his, dtype="Int64"),
+                    "lo": pd.array(los, dtype="Int64"),
+                }
+            )
+
+    return ids.mapInPandas(kernel, schema="doc_id long, hi long, lo long")
+
+
 def energy_sig64(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """CODEC-FREE audio fingerprint: parse the raw PCM bytes with JVM
     byte math (substring+hex+conv — the dhash64 idiom, no Python) and
@@ -2118,7 +2261,13 @@ def q_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id arithmetic (window amplitudes -> energy order -> bit sums),
     so Spark's answer only matches if the byte-level parse and the
     window energy math really ran."""
-    return energy_sig64(planted_pcm(spark, sf_dir)).orderBy("doc_id")
+    # generation + signature fused in one Arrow kernel (r13): the
+    # planted bytes are byte-identical (_plant_pcm pytest) and every
+    # adjacent-compare bit matches the JVM energy_sig64 law (bit-
+    # identity pytest); the id source is pre-ordered (spread_sorted)
+    # so no trailing sort re-executes the map chain — measured
+    # 1.20 -> 0.55 s interleaved A/B at sf0.1.
+    return planted_pcm_sigs(spark, sf_dir, ordered=True)
 
 
 def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2129,8 +2278,12 @@ def q_audio_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, zero joins). The oracle replays the identical banding in
     DuckDB; the planted-group pytest pins same-group recall on the
     fixed corpus."""
+    # the signature side is the fused gen+sig kernel (planted_pcm_sigs,
+    # r13 — byte/bit-identity pytests, same oracle); round-robin spread
+    # stays: the pair machinery shuffles anyway — measured
+    # 1.87 -> 1.15 s interleaved A/B at sf0.1.
     return image_dedup_pairs(
-        energy_sig64(planted_pcm(spark, sf_dir))
+        planted_pcm_sigs(spark, sf_dir)
     ).orderBy("doc_a", "doc_b")
 
 
