@@ -158,9 +158,7 @@ PRIORITY: list[str] = [
     # signature oracle, but the PCM is recovered THROUGH the decoy
     # container by the RIFF walk — strictly stronger; the fingerprint
     # card sits at the SECONDARY head)
-    "q_audio_meta_real", "q_image_dhash_real",
     "q_audio_pipeline",
-    "q_stream_execute",
     "q_range_join", "q_chunk_cdc", "q_kmeans_check",
     # r11 late additions (this session): first driver rows for the two
     # new pipeline operators — benchmark decontamination (corpus-vs-eval
@@ -172,7 +170,6 @@ PRIORITY: list[str] = [
     # the drift contract was hash-green r10 and sits first to re-enter)
     # and q_corpus_card (analytics keep the entering q_retention;
     # hash-green r10).
-    "q_decontaminate", "q_rrf_fusion",
     # r12 rotation (VERDICT r11 item 1): the three r12 newcomers get
     # first driver rows — the video CONTENT fingerprint + dedup pair
     # (stsz/stsc/stco sample-table walk to planted mdat frames,
@@ -213,10 +210,6 @@ PRIORITY: list[str] = [
     # q_fingerprint (winnowing kept by the span family's exactsubstr +
     # SECONDARY q_winnow_pairs).
     "q_video_fingerprint", "q_video_dedup", "q_dedup_exactsubstr",
-    "q_stream_decontaminate",
-    "q_dup_clusters_star", "q_tfidf", "q_sample_stratified",
-    "q_outliers", "q_zorder", "q_langid", "q_setops",
-    "q_record_linkage", "q_gapfill_locf", "q_pmi_collocations",
     # r12 late additions (this session): first driver rows for the
     # curation-funnel composition — the per-stage retention report
     # (raw -> langid -> quality -> exact dedup -> decontaminate) and
@@ -230,6 +223,49 @@ PRIORITY: list[str] = [
     # textops keep the entering q_tfidf / q_langid /
     # q_pmi_collocations).
     "q_curate_funnel", "q_curate_pipeline",
+    # r13 rotation (VERDICT r12 item 8): the 16 r12 demotions re-enter
+    # from the SECONDARY head so their green status stays fresh —
+    # exactly the rotation the r12 verdict prescribed. Queries MODIFIED
+    # this round stay in-window per policy: q_audio_pipeline (fused
+    # _plant_wav gen+walk+sig kernel), q_video_fingerprint /
+    # q_video_dedup (fused _plant_mp4 kernel), q_dedup_exactsubstr
+    # (range-partitioned probe), q_dedup_incremental_check (_incr_split
+    # persist), q_curate_funnel / q_curate_pipeline (spread-before-
+    # persist), and the re-entering q_audio_dedup (fused _plant_pcm
+    # kernel) gets its modified form a driver row. Slots freed by
+    # demoting rows hash-green in r12 (most also r11) whose family
+    # keeps an in-window rep (see SECONDARY head):
+    # q_audio_meta_real (the RIFF chunk walk now runs IN-WINDOW inside
+    # q_audio_pipeline's fused kernel — same _walk_wav body — and
+    # metadata keeps the re-entering q_image_dims_real + q_video_meta),
+    # q_image_dhash_real (the generated-SQL signature law stays via
+    # q_video_fingerprint/q_video_dedup's video_sig64; the decoy-
+    # container walk via the re-entering q_image_dims_real; the banded
+    # pair machinery via the re-entering q_audio_dedup),
+    # q_stream_execute (stream family gains the three re-entering fold
+    # streams), q_decontaminate + q_stream_decontaminate (their
+    # canonical n-gram law is embedded VERBATIM in the in-window
+    # q_curate_funnel/q_curate_pipeline oracles' decon stage; the fold
+    # streams keep three re-entering reps), q_rrf_fusion (both arms
+    # re-enter standalone: q_bm25, q_ann_matmul), q_dup_clusters_star
+    # (graph resolution over the pair machinery that re-enters via
+    # q_dedup_near/q_audio_dedup), q_tfidf + q_langid +
+    # q_pmi_collocations (textops keep the re-entering q_html_extract
+    # + q_bpe_encode_check + q_bm25 — the same gram/postings pipeline),
+    # q_sample_stratified (sampling keeps the re-entering
+    # q_temperature_mix), q_outliers (analytics keep the re-entering
+    # q_retention), q_zorder (interleave law pytest-pinned; core
+    # q_sort/q_bucket stay), q_setops (core q_join/q_anti/q_distinct),
+    # q_gapfill_locf (time-series core q_groupby_minute/
+    # q_window_bucket stay), q_record_linkage (the blocking law runs
+    # cooccurring_pairs verbatim — re-covered by q_dedup_near +
+    # q_audio_dedup).
+    "q_stream_dedup_exact", "q_html_extract",
+    "q_dedup_near", "q_bpe_encode_check", "q_bm25",
+    "q_stream_source_overlap", "q_stream_heavy_hitters",
+    "q_pack_concat_sharded", "q_temperature_mix",
+    "q_image_dims_real", "q_video_meta", "q_audio_dedup",
+    "q_dedup_span", "q_ann_matmul", "q_retention", "q_fingerprint",
 ]
 
 # Immediately after the PRIORITY window: the newest operator families,
@@ -238,16 +274,18 @@ PRIORITY: list[str] = [
 # rotated OUT of the window in r5 head the list so a one-slot-bigger
 # budget re-verifies them first.
 SECONDARY: list[str] = [
-    # r12 late-addition demotions — hash-green in r11, law coverage
-    # argued at the PRIORITY late-additions comment; first to re-enter
-    "q_stream_dedup_exact", "q_html_extract",
-    # r12 demotions — hash-green in r11, family coverage argued at the
-    # PRIORITY r12-rotation comment; first to re-enter on budget+1
-    "q_dedup_near", "q_bpe_encode_check", "q_bm25",
-    "q_stream_source_overlap", "q_stream_heavy_hitters",
-    "q_pack_concat_sharded", "q_temperature_mix",
-    "q_image_dims_real", "q_video_meta", "q_audio_dedup",
-    "q_dedup_span", "q_ann_matmul", "q_retention", "q_fingerprint",
+    # r13 head: q_exactsubstr_scrub was RESTRUCTURED this round
+    # (unified left join) — never windowed, covered by the committed
+    # 246/246 sweeps at both SFs; first to enter on budget+1
+    "q_exactsubstr_scrub",
+    # r13 demotions — hash-green in r12 (most also r11), family
+    # coverage argued at the PRIORITY r13-rotation comment; first to
+    # re-enter after scrub
+    "q_audio_meta_real", "q_image_dhash_real", "q_stream_execute",
+    "q_decontaminate", "q_rrf_fusion", "q_stream_decontaminate",
+    "q_dup_clusters_star", "q_tfidf", "q_sample_stratified",
+    "q_outliers", "q_zorder", "q_langid", "q_setops",
+    "q_record_linkage", "q_gapfill_locf", "q_pmi_collocations",
     # r11 demotions — hash-green in r10 (q_audio_fingerprint: superseded
     # in-window by q_audio_pipeline, same oracle through the container
     # walk), family coverage argued at the PRIORITY r11-rotation
