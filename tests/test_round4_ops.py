@@ -215,14 +215,17 @@ def test_bm25_plan_has_no_shuffle_for_tf(spark):
     df = _q("q_bm25")(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    # only the scalar stats agg (SinglePartition) and the presentation
-    # sort (rangepartitioning over result rows) may exchange — never a
-    # shuffle keyed on terms or doc ids
+    # only the scalar stats agg (SinglePartition), the presentation
+    # sort (rangepartitioning over result rows), and the KEYLESS
+    # corpus spread (RoundRobinPartitioning — the r12 single-chain
+    # gram-explode fan-out, which carries no key by construction) may
+    # exchange — never a shuffle keyed on terms or doc ids
     import re
 
     shuffles = re.findall(r"(?<![A-Za-z])Exchange (\w+)", plan)  # not BroadcastExchange
     assert all(
-        s.rstrip(",") == "SinglePartition" or s.startswith("rangepartitioning")
+        s.rstrip(",") in ("SinglePartition", "RoundRobinPartitioning")
+        or s.startswith("rangepartitioning")
         for s in shuffles
     ), shuffles
 
